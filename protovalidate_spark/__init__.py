@@ -1,0 +1,16 @@
+"""protovalidate_spark — a PySpark-native schema + constraint validation
+engine reimplementing the semantics of proto-studio/protovalidate
+(reference at /root/reference, read-only) as a declarative DSL compiled to
+Catalyst DataFrame predicates and Arrow-vectorized UDFs, extended with
+dataset-level checks (stats, uniqueness, referential integrity,
+distribution drift, audio decode) per SURVEY.md / BASELINE.json.
+"""
+
+from .errors import Code, CompileError  # noqa: F401
+from .rules import (  # noqa: F401
+    Any, Binary, Bool, Constant, Duration, Float32, Float64, Int, Int8,
+    Int16, Int32, Int64, Object, ObjectRule, Slice, String, Time, Uint8,
+    Uint16, Uint32, Uint64,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,14 @@
+"""Fluent rule-builder DSL (reference /root/reference/pkg/rules)."""
+
+from .base import Rule, RuleSet, violation_struct, typed_empty_array  # noqa: F401
+from .string import String, StringRuleSet  # noqa: F401
+from .numeric import (  # noqa: F401
+    Float32, Float64, FloatRuleSet, Int, Int8, Int16, Int32, Int64,
+    IntRuleSet, Uint8, Uint16, Uint32, Uint64,
+)
+from .boolean import Bool, BoolRuleSet  # noqa: F401
+from .temporal import Duration, DurationRuleSet, Time, TimeRuleSet  # noqa: F401
+from .binary import Binary, BinaryRuleSet  # noqa: F401
+from .array_ import ArrayRuleSet, Slice  # noqa: F401
+from .misc import Any, AnyRuleSet, Constant, ConstantRuleSet  # noqa: F401
+from .object import Object, ObjectRule, ObjectRuleSet, StringMap  # noqa: F401

@@ -1,0 +1,167 @@
+"""Time / Duration rule sets.
+
+Reference: /root/reference/pkg/rules/time/time.go (386 LoC, constructor
+61-64, layout parsing 205-224), time/duration.go (482 LoC, constructor
+64-66, unit handling 139-155,196-232), and the per-bound rule files
+time/rule_{min,max,minexclusive,maxexclusive}.go,
+time/rule_duration_*.go, time/rule_{mindiff,maxdiff}.go.
+
+Spark mapping (SURVEY.md §2.4): TimestampType column; string→time via
+``coalesce(to_timestamp(col, fmt1), ...)`` (first-match-wins layout list);
+Duration = numeric column scaled by WithUnit to milliseconds.
+min_diff/max_diff pin "now" at compile time for determinism (the reference
+evaluates time.Until at call time, rule_mindiff.go:19-53).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..errors import Code, CompileError
+from .base import ComparableMixin, MembershipMixin, Rule, RuleSet
+
+#: ns per unit, mirroring Go time constants (duration.go WithUnit default ns)
+UNIT_MS = {
+    "ns": 1e-6, "us": 1e-3, "ms": 1.0, "s": 1e3, "m": 60e3, "h": 3600e3,
+}
+
+
+@dataclass(frozen=True)
+class TimeRuleSet(RuleSet, ComparableMixin, MembershipMixin):
+    layouts: tuple = ()          # cumulative (time.go:134-152)
+    output_layout: Optional[str] = None
+
+    SPARK_TYPE: str = "timestamp"
+
+    def with_layouts(self, *fmts: str) -> "TimeRuleSet":
+        return self._clone(layouts=self.layouts + tuple(fmts))
+
+    def with_output_layout(self, fmt: str) -> "TimeRuleSet":
+        return self._clone(output_layout=fmt)
+
+    def min_diff(self, delta: _dt.timedelta, now: Optional[_dt.datetime] = None):
+        """value - now >= delta (reference rule_mindiff.go:19-53). ``now`` is
+        pinned at compile time (pass job-start) for deterministic plans."""
+        now = now or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        bound = now + delta
+        return self._with_rule(Rule(
+            Code.MIN, lambda c: c >= F.lit(bound),
+            f"value must be at least {delta} from now", conflict_key="min_diff",
+            params={"delta": delta}))
+
+    def max_diff(self, delta: _dt.timedelta, now: Optional[_dt.datetime] = None):
+        now = now or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        bound = now + delta
+        return self._with_rule(Rule(
+            Code.MAX, lambda c: c <= F.lit(bound),
+            f"value must be at most {delta} from now", conflict_key="max_diff",
+            params={"delta": delta}))
+
+    def expired(self, now: Optional[_dt.datetime] = None):
+        now = now or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        return self._with_rule(Rule(
+            Code.EXPIRED, lambda c: c >= F.lit(now),
+            "value has expired", params={"now": now}))
+
+    def coerce(self, col: Column, input_type: str):
+        base_t = input_type.split("(")[0]
+        if base_t in ("timestamp", "timestamp_ntz", "date"):
+            return col.cast("timestamp"), F.lit(True), Code.TYPE
+        if self.strict:
+            raise CompileError(f"strict Time rule set applied to {input_type}")
+        if base_t == "string":
+            # first-match-wins over the layout list (time.go:205-224)
+            fmts = self.layouts or ("yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd HH:mm:ss",
+                                    "yyyy-MM-dd")
+            value = F.coalesce(*[F.try_to_timestamp(col, F.lit(f)) for f in fmts])
+            return value, value.isNotNull(), Code.TYPE
+        if base_t in ("int", "bigint"):
+            value = F.timestamp_seconds(col)
+            return value, F.lit(True), Code.TYPE
+        raise CompileError(f"cannot coerce {input_type} to timestamp")
+
+
+@dataclass(frozen=True)
+class DurationRuleSet(RuleSet, ComparableMixin, MembershipMixin):
+    """Durations are carried as BIGINT **milliseconds** (the clips table's
+    ``dur_ms``). ``with_unit`` scales numeric input; last unit wins
+    (duration.go:139-155)."""
+
+    unit: str = "ms"
+    rounding: str = "half_even"
+
+    SPARK_TYPE: str = "bigint"
+
+    def with_unit(self, unit: str) -> "DurationRuleSet":
+        if unit not in UNIT_MS:
+            raise CompileError(f"unknown duration unit {unit!r}")
+        return self._clone(unit=unit)
+
+    def with_rounding(self, mode: str) -> "DurationRuleSet":
+        return self._clone(rounding=mode)
+
+    def _to_ms(self, v) -> float:
+        if isinstance(v, _dt.timedelta):
+            return v.total_seconds() * 1e3
+        return float(v) * UNIT_MS[self.unit]
+
+    # bound builders take timedelta or numbers-in-unit
+    def min(self, v):
+        ms = self._to_ms(v)
+        return self._with_rule(Rule(
+            Code.MIN, lambda c: c >= F.lit(ms).cast("double"),
+            f"duration must be at least {ms} ms", conflict_key="min",
+            params={"min_ms": ms}))
+
+    def max(self, v):
+        ms = self._to_ms(v)
+        return self._with_rule(Rule(
+            Code.MAX, lambda c: c <= F.lit(ms).cast("double"),
+            f"duration must be at most {ms} ms", conflict_key="max",
+            params={"max_ms": ms}))
+
+    def min_exclusive(self, v):
+        ms = self._to_ms(v)
+        return self._with_rule(Rule(
+            Code.MIN_EXCLUSIVE, lambda c: c > F.lit(ms).cast("double"),
+            f"duration must be greater than {ms} ms", conflict_key="min",
+            params={"min_ms_exclusive": ms}))
+
+    def max_exclusive(self, v):
+        ms = self._to_ms(v)
+        return self._with_rule(Rule(
+            Code.MAX_EXCLUSIVE, lambda c: c < F.lit(ms).cast("double"),
+            f"duration must be less than {ms} ms", conflict_key="max",
+            params={"max_ms_exclusive": ms}))
+
+    def coerce(self, col: Column, input_type: str):
+        base_t = input_type.split("(")[0]
+        if base_t in ("tinyint", "smallint", "int", "bigint"):
+            if self.unit == "ms":
+                return col.cast("bigint"), F.lit(True), Code.TYPE
+            value = F.round(col * F.lit(UNIT_MS[self.unit]), 0).cast("bigint")
+            return value, F.lit(True), Code.TYPE
+        if base_t in ("float", "double"):
+            value = F.round(col * F.lit(UNIT_MS[self.unit]), 0).cast("bigint")
+            return value, F.lit(True), Code.TYPE
+        if self.strict:
+            raise CompileError(f"strict Duration rule set applied to {input_type}")
+        if base_t == "string":
+            value = col.try_cast("double")
+            ok = value.isNotNull()
+            value = F.round(value * F.lit(UNIT_MS[self.unit]), 0).cast("bigint")
+            return value, ok, Code.TYPE
+        raise CompileError(f"cannot coerce {input_type} to duration")
+
+
+def Time() -> TimeRuleSet:
+    return TimeRuleSet()
+
+
+def Duration() -> DurationRuleSet:
+    return DurationRuleSet()

@@ -1,0 +1,73 @@
+"""spark-submit entry: full clips validation pass (BASELINE.json
+north_rule launch path: ``spark-submit --py-files``).
+
+Usage:
+  spark-submit --py-files protovalidate_spark.zip jobs/validate_clips.py \
+      [--table PATH] [--out DIR] [--rows N] [--resume]
+
+With no --table, generates the deterministic fixture table first.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", default="")
+    ap.add_argument("--out", default="")
+    ap.add_argument("--rows", type=int, default=0)
+    ap.add_argument("--resume", action="store_true",
+                    help="use the checkpointed per-partition runner")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("protovalidate-clips").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from protovalidate_spark.clips import clips_suite
+    from protovalidate_spark.fixtures import TINY, Profile, clips_df, write_clips
+    from protovalidate_spark.runner import run_checkpointed, verdicts_from_outputs
+
+    profile = Profile(n_rows=args.rows, dur_range_ms=1000) if args.rows else TINY
+    suite = clips_suite(spark)
+    t0 = time.time()
+
+    if args.resume:
+        table = args.table or "/tmp/protovalidate_clips_table"
+        out = args.out or "/tmp/protovalidate_clips_out"
+        if not args.table:
+            write_clips(spark, table, profile)
+        rep = run_checkpointed(spark, suite, table, out)
+        verdicts = verdicts_from_outputs(spark, out)
+        print(json.dumps({
+            "mode": "checkpointed", "partitions_run": rep.partitions_run,
+            "partitions_skipped": rep.partitions_skipped,
+            "rows": rep.total_rows, "violations": rep.total_violations,
+            "wall_s": round(time.time() - t0, 2),
+        }))
+        verdicts.orderBy("part_date").show(20, truncate=False)
+    else:
+        df = (spark.read.parquet(args.table) if args.table
+              else clips_df(spark, profile))
+        res = suite.run(df)
+        n_rows = df.count()
+        nv = res.violations.count()
+        print(json.dumps({
+            "mode": "single-pass", "rows": n_rows, "violations": nv,
+            "clips_per_sec": round(n_rows / (time.time() - t0), 1),
+            "wall_s": round(time.time() - t0, 2),
+        }))
+        res.verdicts.orderBy("part_date").show(5, truncate=False)
+        res.violations.groupBy("field_path", "rule_id").count() \
+           .orderBy("field_path", "rule_id").show(30, truncate=False)
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

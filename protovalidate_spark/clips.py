@@ -1,0 +1,53 @@
+"""The flagship audio-clips validation suite (FIXTURES.md §6;
+BASELINE.json north_star): the full rule-set pass over the
+(clip_id, bytes, sr_hz, dur_ms, codec, transcript, part_date) table.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .audio.decode import dur_consistency_rule, sr_consistency_rule
+from .fixtures import codecs_dim
+from .rules import Binary, Int32, Object, String
+from .suite import ValidationSuite
+
+ALLOWED_CODECS = ("flac", "mp3", "opus", "wav")
+
+
+def clips_rules():
+    """FIXTURES.md §6 rule set, built with the fluent DSL."""
+    return (
+        Object()
+        .with_key("clip_id", String().with_required().min_len(6).max_len(64)
+                  .regex(r"^clip-[0-9]{10}$"))
+        .with_key("bytes", Binary().with_required().decodable("wav"))
+        .with_key("sr_hz", Int32().with_required().min(8000).max(192000)
+                  .allowed_values(8000, 16000, 22050, 44100, 48000))
+        .with_key("dur_ms", Int32().with_required().min_exclusive(0).max(600_000))
+        .with_key("codec", String().with_required().allowed_values(*ALLOWED_CODECS))
+        .with_key("transcript", String().with_required().min_len(1))
+        .with_unknown()
+    )
+
+
+def clips_suite(spark: SparkSession,
+                drift_baseline: Optional[Dict[str, dict]] = None,
+                dim: Optional[DataFrame] = None,
+                salt_buckets: int = 0) -> ValidationSuite:
+    return ValidationSuite(
+        rules=clips_rules(),
+        row_keys=("row_idx", "clip_id"),
+        partition_col="part_date",
+        unique=[("clip_id",)],
+        refs=[("codec", dim if dim is not None else codecs_dim(spark), "codec")],
+        drift_baseline=drift_baseline,
+        stats_cols=("clip_id", "sr_hz", "dur_ms", "codec", "transcript"),
+        extra_object_rules=(
+            sr_consistency_rule("sr_hz", "__dec_bytes"),
+            dur_consistency_rule("dur_ms", "__dec_bytes", tolerance_ms=10),
+        ),
+        salt_buckets=salt_buckets,
+    )

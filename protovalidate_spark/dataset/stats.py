@@ -1,0 +1,75 @@
+"""Single-pass per-column statistics (SURVEY.md §2.9).
+
+The reference has no dataset-level checks (it is value-at-a-time); these
+reuse its error model only. One ``df.agg()`` computes null-rate, min/max,
+approx-distinct (HyperLogLog++ via ``approx_count_distinct``) and quantile
+sketches (Greenwald-Khanna via ``percentile_approx``) for every requested
+column in a SINGLE scan — partial aggregation is map-side combined by
+Catalyst, so this is one shuffle of a few hundred bytes per partition
+regardless of input size (100 TB-safe).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+
+DEFAULT_QUANTILES = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def column_stats(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+    quantiles: Sequence[float] = DEFAULT_QUANTILES,
+    accuracy: int = 10000,
+    exact_distinct: bool = False,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """One aggregation pass → one row per column:
+    (column, n_rows, null_rate, min, max, approx_distinct, quantiles).
+
+    ``exact_distinct`` switches HLL++ to exact count(distinct) — used by the
+    DuckDB oracle comparisons; default approx for scale.
+    """
+    dtypes = dict(df.dtypes)
+    cols = list(cols or df.columns)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        base = dtypes[c].split("(")[0]
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+        else:
+            aggs.append(F.approx_count_distinct(c, rsd).alias(f"{c}__distinct"))
+        if base in _NUMERIC:
+            aggs.append(F.percentile_approx(
+                F.col(c).cast("double"), list(quantiles), accuracy
+            ).alias(f"{c}__q"))
+        else:
+            aggs.append(F.lit(None).cast("array<double>").alias(f"{c}__q"))
+    row: Row = df.agg(*aggs).collect()[0]
+
+    n = row["__n"]
+    out = [
+        (
+            c,
+            n,
+            (row[f"{c}__nulls"] / n) if n else 0.0,
+            row[f"{c}__min"],
+            row[f"{c}__max"],
+            row[f"{c}__distinct"],
+            row[f"{c}__q"],
+        )
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, n_rows long, null_rate double, min string, max string, "
+        "approx_distinct long, quantiles array<double>",
+    )

@@ -79,7 +79,7 @@ class ObjectRuleSet(RuleSet):
         (reference object.go:306-359). Dependencies are checked for cycles at
         build time like reftracker.go:8-78."""
         out = self._clone(keys=self.keys + (KeySpec(
-            name, rs, condition=condition, condition_deps=tuple(deps))))
+            name, rs, condition=condition, condition_deps=tuple(deps)),))
         out._check_cycles()
         return out
 

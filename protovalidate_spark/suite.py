@@ -1,0 +1,135 @@
+"""ValidationSuite — the full rule-set pass (FIXTURES.md §6).
+
+Combines:
+- row-level object rule set (ONE projection, whole-stage codegen; audio
+  decode wired in as ONE Arrow batch stage, decoded struct computed once
+  and reused — SURVEY.md §4),
+- dataset-level checks (uniqueness, referential, drift) which scan the RAW
+  input (no decode cost),
+- per-partition verdicts.
+
+Scan budget at scale: row pass (1 scan incl. decode) + uniqueness
+(1 scan of key column only — parquet column pruning) + referential
+(1 scan of ref column only) + drift (1 scan of drifted columns) +
+row-count agg (metadata-cheap). Violations are persisted (or written to a
+sink) so verdict aggregation never re-runs the decode stage.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .audio.decode import decode_ok_rule, with_decoded
+from .dataset.drift import drift_violations
+from .dataset.referential import ref_violations
+from .dataset.stats import column_stats
+from .dataset.uniqueness import unique_violations
+from .rules.binary import BinaryRuleSet
+from .rules.object import ObjectRuleSet
+
+
+@dataclass
+class RunResult:
+    violations: DataFrame        # (row keys..., part?, field_path, rule_id, message, actual)
+    verdicts: DataFrame          # (part, pass, rows_scanned, violations, wall_ms)
+    stats: Optional[DataFrame]
+    wall_ms: int
+
+
+@dataclass
+class ValidationSuite:
+    rules: ObjectRuleSet
+    row_keys: Sequence[str] = ()
+    partition_col: Optional[str] = None
+    unique: Sequence[Sequence[str]] = ()             # e.g. [["clip_id"]]
+    refs: Sequence[Tuple[str, DataFrame, str]] = ()  # (col, dim_df, dim_col)
+    drift_baseline: Optional[Dict[str, dict]] = None
+    psi_threshold: float = 0.2
+    ks_threshold: float = 0.1
+    stats_cols: Sequence[str] = ()
+    extra_object_rules: tuple = field(default_factory=tuple)
+    salt_buckets: int = 0
+
+    # ------------------------------------------------------------------
+
+    def _decodable_cols(self):
+        return [k.name for k in self.rules.keys
+                if isinstance(k.rule_set, BinaryRuleSet)
+                and k.rule_set.decodable_codec]
+
+    def _keep(self):
+        cols = list(self.row_keys)
+        if self.partition_col:
+            cols.append(self.partition_col)
+        return cols
+
+    def row_violations(self, df: DataFrame) -> DataFrame:
+        """Row-level pass: decode stage (if any) + one validation projection."""
+        rules = self.rules
+        work = df
+        for c in self._decodable_cols():
+            work = with_decoded(work, bytes_col=c, out_col=f"__dec_{c}")
+            rules = rules.with_rule(decode_ok_rule(c, f"__dec_{c}"))
+        for r in self.extra_object_rules:
+            rules = rules.with_rule(r)
+        if not rules.allow_unknown:
+            rules = rules.with_unknown()  # engine-internal helper cols
+        keep = self._keep()
+        return rules.violations(work, row_key_cols=keep)
+
+    def dataset_violations(self, df: DataFrame) -> list:
+        keep = self._keep()
+        out = []
+        for cols in self.unique:
+            out.append(unique_violations(
+                df, list(cols), row_key_cols=keep,
+                salt_buckets=self.salt_buckets))
+        for col, dim, dim_col in self.refs:
+            out.append(ref_violations(df, col, dim, dim_col, row_key_cols=keep))
+        if self.drift_baseline:
+            d = drift_violations(df, self.drift_baseline,
+                                 self.psi_threshold, self.ks_threshold)
+            null_keys = [F.lit(None).cast("string").alias(k) for k in self.row_keys]
+            part = ([F.lit(None).cast("date").alias(self.partition_col)]
+                    if self.partition_col else [])
+            out.append(d.select(*null_keys, *part,
+                                "field_path", "rule_id", "message", "actual"))
+        return out
+
+    def run(self, df: DataFrame, with_stats: bool = False,
+            persist: bool = True) -> RunResult:
+        t0 = time.time()
+        parts = [self.row_violations(df)] + self.dataset_violations(df)
+        violations = parts[0]
+        for p in parts[1:]:
+            violations = violations.unionByName(p.select(*violations.columns))
+        if persist:
+            violations = violations.persist(StorageLevel.MEMORY_AND_DISK)
+
+        if self.partition_col:
+            pc = self.partition_col
+            rows = df.groupBy(pc).agg(F.count(F.lit(1)).alias("rows_scanned"))
+            vio = (violations.filter(F.col(pc).isNotNull())
+                   .groupBy(pc).agg(F.count(F.lit(1)).alias("violations")))
+            verdicts = (
+                rows.join(vio, on=pc, how="left")
+                    .withColumn("violations", F.coalesce("violations", F.lit(0)))
+                    .withColumn("pass", F.col("violations") == 0)
+            )
+        else:
+            total = df.count()
+            nv = violations.count()
+            verdicts = df.sparkSession.createDataFrame(
+                [(total, nv, nv == 0)],
+                "rows_scanned long, violations long, pass boolean")
+
+        stats = column_stats(df, list(self.stats_cols)) if with_stats else None
+        wall_ms = int((time.time() - t0) * 1000)
+        verdicts = verdicts.withColumn("wall_ms", F.lit(wall_ms))
+        return RunResult(violations, verdicts, stats, wall_ms)

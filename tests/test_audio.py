@@ -1,0 +1,91 @@
+"""Audio stage: WAV synth/decode round-trip, SNR invariant (BASELINE.json
+input_hint: decoded-PCM allclose at SNR≥30dB + transcript equality),
+Arrow decode UDF, consistency rules."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from protovalidate_spark.audio import (
+    decode_bytes, decode_wav, snr_db, synth_sine_wav, with_decoded,
+)
+
+
+def test_wav_round_trip():
+    b = synth_sine_wav(440, 16000, 1000)
+    d = decode_wav(b, want_pcm=True)
+    assert d.ok and d.sr == 16000 and d.n_samples == 16000 and d.dur_ms == 1000
+    # PCM matches the generator sine at SNR >= 30 dB (quantization only)
+    t = np.arange(16000) / 16000.0
+    ref = 0.5 * np.sin(2 * np.pi * 440 * t)
+    assert snr_db(ref, d.pcm) >= 30.0
+    assert abs(d.rms - 0.5 / np.sqrt(2)) < 1e-3
+
+
+def test_wav_zero_duration():
+    b = synth_sine_wav(440, 16000, 0)
+    d = decode_wav(b)
+    assert d.ok and d.n_samples == 0 and d.dur_ms == 0
+
+
+def test_decode_rejects_garbage():
+    assert not decode_wav(b"not a wav at all" * 4).ok
+    assert not decode_wav(None).ok
+    assert not decode_wav(b"RIFF\x00\x00\x00\x00WAVE").ok
+    # truncated payload
+    b = synth_sine_wav(440, 8000, 100)
+    assert not decode_wav(b[: len(b) // 2]).ok
+
+
+def test_compressed_codecs_are_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_bytes(b"x", "flac")
+
+
+def test_decode_udf_batch(spark):
+    rows = [(synth_sine_wav(300, 8000, 250),), (b"garbage",), (None,)]
+    df = spark.createDataFrame(rows, "bytes binary")
+    out = with_decoded(df).select("_decoded.*").collect()
+    assert [r["ok"] for r in out] == [True, False, False]
+    assert out[0]["sr"] == 8000 and out[0]["dur_ms"] == 250
+
+
+def test_decode_udf_pcm_snr(spark):
+    # per-row invariant through the FULL Spark path (Arrow batch round-trip)
+    b = synth_sine_wav(440, 16000, 500)
+    df = spark.createDataFrame([(b,)], "bytes binary")
+    pcm = np.array(
+        with_decoded(df, include_pcm=True).select("_decoded.pcm").collect()[0][0],
+        dtype=np.float64)
+    t = np.arange(8000) / 16000.0
+    ref = 0.5 * np.sin(2 * np.pi * 440 * t)
+    assert snr_db(ref, pcm) >= 30.0
+
+
+def test_transcript_round_trip(spark, tiny_clips):
+    # transcript equality vs the pure-Python generator (input_hint)
+    from protovalidate_spark.fixtures import TINY, py_row
+    rows = {r["row_idx"]: r["transcript"]
+            for r in tiny_clips.select("row_idx", "transcript").collect()}
+    for i in list(rows)[:300]:
+        assert rows[i] == py_row(i, TINY)["transcript"]
+
+
+def test_fixture_pcm_snr_invariant(spark, tiny_clips):
+    # decoded PCM of clean fixture rows ≈ generator sine at SNR≥30dB
+    from protovalidate_spark.fixtures import TINY, py_row
+    sample = (tiny_clips.filter(F.col("bytes").isNotNull())
+              .limit(20).select("row_idx", "bytes").collect())
+    checked = 0
+    for r in sample:
+        meta = py_row(r["row_idx"], TINY)
+        if meta["bytes_mode"] != 0:
+            continue
+        d = decode_wav(bytes(r["bytes"]), want_pcm=True)
+        assert d.ok
+        n = d.n_samples
+        t = np.arange(n) / meta["gen_sr"]
+        ref = 0.5 * np.sin(2 * np.pi * meta["freq"] * t)
+        assert snr_db(ref, d.pcm) >= 30.0
+        checked += 1
+    assert checked > 0

@@ -1,0 +1,76 @@
+"""Dataset-level checks: stats, uniqueness, referential, drift
+(SURVEY.md §2.9 — engine extensions reusing the reference error model)."""
+
+from pyspark.sql import functions as F
+
+from protovalidate_spark.dataset import (
+    column_stats, drift_violations, histogram, ks_stat, psi, ref_violations,
+    snapshot, unique_violations,
+)
+
+
+def test_column_stats_single_pass(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (3, "b")], "n int, s string")
+    st = {r["column"]: r for r in column_stats(df, exact_distinct=True).collect()}
+    assert st["n"]["n_rows"] == 4
+    assert st["s"]["null_rate"] == 0.25
+    assert st["n"]["min"] == "1" and st["n"]["max"] == "3"
+    assert st["n"]["approx_distinct"] == 3
+    assert st["n"]["quantiles"] is not None
+    assert st["s"]["quantiles"] is None
+
+
+def test_unique_violations(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b"), (4, None), (5, None)], "id int, k string")
+    v = unique_violations(df, ["k"], row_key_cols=["id"])
+    got = {(r["id"], r["rule_id"]) for r in v.collect()}
+    # both rows of the dup group flagged; NULLs are not duplicates
+    assert got == {(2, "UNIQUE"), (3, "UNIQUE")}
+
+
+def test_unique_salted_matches_plain(spark):
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 3 else f"k{i}") for i in range(300)], "id int, k string")
+    plain = {r["id"] for r in unique_violations(df, ["k"], ["id"]).collect()}
+    salted = {r["id"] for r in
+              unique_violations(df, ["k"], ["id"], salt_buckets=8).collect()}
+    assert plain == salted and len(plain) == 200
+
+
+def test_ref_violations_broadcast(spark):
+    fact = spark.createDataFrame(
+        [(1, "wav"), (2, "xm"), (3, None)], "id int, codec string")
+    dim = spark.createDataFrame([("wav",), ("mp3",)], "codec string")
+    v = ref_violations(fact, "codec", dim, "codec", row_key_cols=["id"])
+    got = {(r["id"], r["rule_id"], r["actual"]) for r in v.collect()}
+    assert got == {(2, "REF", "xm")}  # NULL skipped (field rule reports it)
+
+
+def test_psi_ks_math():
+    a = {"x": 0.5, "y": 0.5}
+    assert abs(psi(a, a)) < 1e-12
+    assert ks_stat(a, a) == 0.0
+    b = {"x": 0.9, "y": 0.1}
+    assert psi(a, b) > 0.2
+    assert abs(ks_stat(a, b) - 0.4) < 1e-12
+
+
+def test_drift_trips_on_shifted_mix(spark):
+    from protovalidate_spark.fixtures import TINY_CLEAN, TINY_SHIFTED, clips_df
+    clean = clips_df(spark, TINY_CLEAN)
+    base = snapshot(clean, ["sr_hz", "codec"])
+    # identical generation must NOT trip (FIXTURES.md §3)
+    same = drift_violations(clips_df(spark, TINY_CLEAN), base)
+    assert same.count() == 0
+    # 44100-heavy generation must trip on sr_hz
+    shifted = drift_violations(clips_df(spark, TINY_SHIFTED), base)
+    got = {r["field_path"] for r in shifted.collect()}
+    assert "/sr_hz" in got
+
+
+def test_histogram_categorical(spark):
+    df = spark.createDataFrame([("a",)] * 7 + [("b",)] * 3, "v string")
+    h = histogram(df, "v")
+    assert abs(h["a"] - 0.7) < 1e-9 and abs(h["b"] - 0.3) < 1e-9

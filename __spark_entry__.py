@@ -1,38 +1,524 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query below exercises the public protovalidate_spark engine API
+(rule DSL → Catalyst predicates, dataset-level checks, pipeline ops) over
+the driver's parquet tables; ``oracle_sql()`` carries the DuckDB-runnable
+ANSI equivalent. Clips-specific queries run over the committed
+deterministic scalar fixture ``_fixtures/clips_scalar.parquet``
+(FIXTURES.md) so the DuckDB oracle can read the same rows.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+CLIPS_SCALAR = os.path.join(REPO, "_fixtures", "clips_scalar.parquet")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: rule-set validation pass over sf0.001 lineitem+orders —
+    row-level DSL rules + uniqueness + referential, one violations frame."""
+    return q_validate_lineitem(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# validation queries (engine API on the shared tables)
+# ---------------------------------------------------------------------------
+
+def q_validate_lineitem(spark, sf_dir):
+    from protovalidate_spark import Float64, Object, String
+    li = _t(spark, sf_dir, "lineitem")
+    rs = (Object().with_unknown()
+          .with_key("l_quantity", Float64().with_required().min(1).max(45))
+          .with_key("l_discount", Float64().with_required().max(0.07))
+          .with_key("l_returnflag", String().allowed_values("A", "N", "R"))
+          .with_key("l_linestatus", String().allowed_values("F", "O")))
+    v = rs.violations(li, row_key_cols=["l_orderkey", "l_linenumber"])
+    return v.select("l_orderkey", "l_linenumber", "field_path", "rule_id")
+
+
+def q_conditional_orders(spark, sf_dir):
+    import datetime as dt
+    from protovalidate_spark import Object, Time
+    o = _t(spark, sf_dir, "orders")
+    rs = (Object().with_unknown()
+          .with_conditional_key(
+              "o_orderdate", lambda get: get("o_orderstatus") == "F",
+              Time().max(dt.datetime(1999, 12, 31)), deps=("o_orderstatus",)))
+    v = rs.violations(o, row_key_cols=["o_orderkey"])
+    return v.select("o_orderkey", "field_path", "rule_id")
+
+
+def q_cross_column_lineitem(spark, sf_dir):
+    from protovalidate_spark import Object, ObjectRule
+    li = _t(spark, sf_dir, "lineitem")
+    rs = (Object().with_unknown()
+          .with_rule(ObjectRule(
+              "RANGE", lambda get: get("l_tax") <= get("l_discount") + 0.05,
+              "tax must be within discount+0.05", field_path="/l_tax")))
+    v = rs.violations(li, row_key_cols=["l_orderkey", "l_linenumber"])
+    return v.select("l_orderkey", "l_linenumber", "field_path", "rule_id")
+
+
+def q_stats_lineitem(spark, sf_dir):
+    from protovalidate_spark.dataset import column_stats
+    li = _t(spark, sf_dir, "lineitem")
+    st = column_stats(li, ["l_orderkey", "l_linenumber", "l_returnflag"],
+                      exact_distinct=True)
+    return st.select(
+        F.col("column").alias("col_name"), "n_rows", "null_rate",
+        F.col("min").alias("min_s"), F.col("max").alias("max_s"),
+        F.col("approx_distinct").alias("distinct_cnt"))
+
+
+def q_unique_orders_custkey(spark, sf_dir):
+    from protovalidate_spark.dataset import unique_violations
+    o = _t(spark, sf_dir, "orders")
+    v = unique_violations(o, ["o_custkey"], row_key_cols=["o_orderkey"])
+    return v.select("o_orderkey", "field_path", "rule_id")
+
+
+def q_ref_customer_nation(spark, sf_dir):
+    from protovalidate_spark.dataset import ref_violations
+    c = _t(spark, sf_dir, "customer")
+    dim = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 15)
+    v = ref_violations(c, "c_nationkey", dim, "n_nationkey",
+                       row_key_cols=["c_custkey"])
+    return v.select("c_custkey", "field_path", "rule_id")
+
+
+def q_hist_quantity(spark, sf_dir):
+    from protovalidate_spark.dataset import histogram_counts
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram_counts(li, "l_quantity", 0.0, 64.0, 32)
+
+
+def q_psi_returnflag(spark, sf_dir):
+    from protovalidate_spark.dataset import histogram, psi
+    li = _t(spark, sf_dir, "lineitem")
+    a = histogram(li.filter(F.col("l_orderkey") % 2 == 0), "l_returnflag")
+    b = histogram(li.filter(F.col("l_orderkey") % 2 == 1), "l_returnflag")
+    val = round(psi(a, b), 6)
+    return spark.createDataFrame([(val,)], "psi double")
+
+
+# ---------------------------------------------------------------------------
+# clips engine queries (committed scalar fixture → DuckDB-readable)
+# ---------------------------------------------------------------------------
+
+def q_clips_scalar_rules(spark, sf_dir):
+    from protovalidate_spark import Int32, Object, String
+    df = spark.read.parquet(CLIPS_SCALAR)
+    rs = (Object().with_unknown()
+          .with_key("clip_id", String().with_required().min_len(6).max_len(64)
+                    .regex(r"^clip-[0-9]{10}$"))
+          .with_key("sr_hz", Int32().with_required().min(8000).max(192000)
+                    .allowed_values(8000, 16000, 22050, 44100, 48000))
+          .with_key("dur_ms", Int32().with_required().min_exclusive(0)
+                    .max(600_000))
+          .with_key("codec", String().with_required()
+                    .allowed_values("wav", "flac", "opus", "mp3"))
+          .with_key("transcript", String().with_required().min_len(1)))
+    v = rs.violations(df, row_key_cols=["row_idx"])
+    return v.select("row_idx", "field_path", "rule_id")
+
+
+def q_clips_unique(spark, sf_dir):
+    from protovalidate_spark.dataset import unique_violations
+    df = spark.read.parquet(CLIPS_SCALAR)
+    v = unique_violations(df, ["clip_id"], row_key_cols=["row_idx"])
+    return v.select("row_idx", "field_path", "rule_id")
+
+
+def q_clips_ref_codec(spark, sf_dir):
+    from protovalidate_spark.dataset import ref_violations
+    from protovalidate_spark.fixtures import codecs_dim
+    df = spark.read.parquet(CLIPS_SCALAR)
+    v = ref_violations(df, "codec", codecs_dim(spark), "codec",
+                       row_key_cols=["row_idx"])
+    return v.select("row_idx", "field_path", "rule_id")
+
+
+def q_clips_full_audio(spark, sf_dir):
+    """Full audio pass (incl. WAV decode + consistency) on the generated
+    tiny table — non-SQL-expressible (Arrow decode stage), rows-only."""
+    from protovalidate_spark.clips import clips_suite
+    from protovalidate_spark.fixtures import TINY, clips_df
+    res = clips_suite(spark).run(clips_df(spark, TINY), persist=False)
+    return res.violations.select("row_idx", "field_path", "rule_id")
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline ops
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_documents(spark, sf_dir):
+    from protovalidate_spark.pipeline import exact_duplicates
+    d = _t(spark, sf_dir, "documents")
+    return exact_duplicates(d, "doc_id", "text", normalized=False) \
+        .select("doc_id", "fingerprint", "group_size")
+
+
+def q_fingerprint_documents(spark, sf_dir):
+    from protovalidate_spark.pipeline import fingerprint
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_token_count_documents(spark, sf_dir):
+    from protovalidate_spark.pipeline import token_count
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens"))
+
+
+def q_quality_documents(spark, sf_dir):
+    from protovalidate_spark.pipeline import quality_score
+    d = _t(spark, sf_dir, "documents")
+    q = quality_score(d, "text")
+    return q.select("doc_id",
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    F.round("punct_ratio", 6).alias("punct_r"),
+                    F.round("digit_ratio", 6).alias("digit_r"),
+                    F.round("stopword_ratio_en", 6).alias("stop_r"))
+
+
+def q_langid_documents(spark, sf_dir):
+    from protovalidate_spark.pipeline import lang_id
+    d = _t(spark, sf_dir, "documents")
+    return lang_id(d, "text").select("doc_id", "lang_pred")
+
+
+def q_ann_topk_embeddings(spark, sf_dir):
+    from protovalidate_spark.pipeline import cosine_topk
+    e = _t(spark, sf_dir, "embeddings")
+    e = e.withColumn("vec", F.transform("embedding",
+                                        lambda x: x.cast("double")))
+    qvec = e.orderBy("vec_id").first()["vec"]
+    return cosine_topk(e, "vec_id", "vec", qvec, k=10) \
+        .select("vec_id", F.round("cosine", 4).alias("cos4"))
+
+
+def q_neardup_embeddings(spark, sf_dir):
+    from protovalidate_spark.pipeline import embedding_near_dups
+    e = _t(spark, sf_dir, "embeddings")
+    e = e.withColumn("vec", F.transform("embedding",
+                                        lambda x: x.cast("double")))
+    return embedding_near_dups(e, "vec_id", "vec", threshold=0.4,
+                               brute_force=True) \
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cos4"))
+
+
+def q_minhash_neardup_documents(spark, sf_dir):
+    """MinHash-LSH candidates verified by exact Jaccard — non-SQL
+    (banded signature join), rows-only check."""
+    from protovalidate_spark.pipeline import ngram_jaccard_dedup
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_dedup(d, "doc_id", "text", shingle_n=3,
+                               threshold=0.5)
+
+
+def q_simhash_documents(spark, sf_dir):
+    """SimHash near-dups — Arrow UDF signature, rows-only check."""
+    from protovalidate_spark.pipeline import simhash_near_dups
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(d, "doc_id", "text", prefix_bits=12,
+                             max_hamming=6)
+
+
+def q_lsh_topk_embeddings(spark, sf_dir):
+    """Hyperplane-LSH ANN probe — approximate by design, rows-only."""
+    from protovalidate_spark.pipeline import build_lsh_index, lsh_topk
+    e = _t(spark, sf_dir, "embeddings")
+    e = e.withColumn("vec", F.transform("embedding",
+                                        lambda x: x.cast("double")))
+    qvec = e.orderBy("vec_id").first()["vec"]
+    index, hp = build_lsh_index(e, "vec_id", "vec", planes=8)
+    return lsh_topk(index, hp, "vec_id", "vec", qvec, k=10)
+
+
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "validate_lineitem": q_validate_lineitem,
+        "conditional_orders": q_conditional_orders,
+        "cross_column_lineitem": q_cross_column_lineitem,
+        "stats_lineitem": q_stats_lineitem,
+        "unique_orders_custkey": q_unique_orders_custkey,
+        "ref_customer_nation": q_ref_customer_nation,
+        "hist_quantity": q_hist_quantity,
+        "psi_returnflag": q_psi_returnflag,
+        "clips_scalar_rules": q_clips_scalar_rules,
+        "clips_unique": q_clips_unique,
+        "clips_ref_codec": q_clips_ref_codec,
+        "clips_full_audio": q_clips_full_audio,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "token_count_documents": q_token_count_documents,
+        "quality_documents": q_quality_documents,
+        "langid_documents": q_langid_documents,
+        "ann_topk_embeddings": q_ann_topk_embeddings,
+        "neardup_embeddings": q_neardup_embeddings,
+        "minhash_neardup_documents": q_minhash_neardup_documents,
+        "simhash_documents": q_simhash_documents,
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    clips = f"read_parquet('{CLIPS_SCALAR}')"
+    return {
+        "validate_lineitem": """
+            SELECT l_orderkey, l_linenumber, '/l_quantity' AS field_path,
+                   'MAX' AS rule_id FROM lineitem WHERE l_quantity > 45
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, '/l_quantity', 'MIN'
+              FROM lineitem WHERE l_quantity < 1
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, '/l_discount', 'MAX'
+              FROM lineitem WHERE l_discount > 0.07
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, '/l_returnflag', 'NOTALLOWED'
+              FROM lineitem WHERE l_returnflag NOT IN ('A','N','R')
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, '/l_linestatus', 'NOTALLOWED'
+              FROM lineitem WHERE l_linestatus NOT IN ('F','O')
+        """,
+        "conditional_orders": """
+            SELECT o_orderkey, '/o_orderdate' AS field_path, 'MAX' AS rule_id
+              FROM orders
+             WHERE o_orderstatus = 'F'
+               AND o_orderdate > TIMESTAMP '1999-12-31 00:00:00'
+        """,
+        "cross_column_lineitem": """
+            SELECT l_orderkey, l_linenumber, '/l_tax' AS field_path,
+                   'RANGE' AS rule_id
+              FROM lineitem WHERE NOT (l_tax <= l_discount + 0.05)
+        """,
+        "stats_lineitem": """
+            SELECT 'l_orderkey' AS col_name, COUNT(*)::BIGINT AS n_rows,
+                   (COUNT(*) - COUNT(l_orderkey)) / CAST(COUNT(*) AS DOUBLE)
+                       AS null_rate,
+                   CAST(MIN(l_orderkey) AS VARCHAR) AS min_s,
+                   CAST(MAX(l_orderkey) AS VARCHAR) AS max_s,
+                   COUNT(DISTINCT l_orderkey)::BIGINT AS distinct_cnt
+              FROM lineitem
+            UNION ALL
+            SELECT 'l_linenumber', COUNT(*)::BIGINT,
+                   (COUNT(*) - COUNT(l_linenumber)) / CAST(COUNT(*) AS DOUBLE),
+                   CAST(MIN(l_linenumber) AS VARCHAR),
+                   CAST(MAX(l_linenumber) AS VARCHAR),
+                   COUNT(DISTINCT l_linenumber)::BIGINT
+              FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', COUNT(*)::BIGINT,
+                   (COUNT(*) - COUNT(l_returnflag)) / CAST(COUNT(*) AS DOUBLE),
+                   CAST(MIN(l_returnflag) AS VARCHAR),
+                   CAST(MAX(l_returnflag) AS VARCHAR),
+                   COUNT(DISTINCT l_returnflag)::BIGINT
+              FROM lineitem
+        """,
+        "unique_orders_custkey": """
+            SELECT o_orderkey, '/o_custkey' AS field_path, 'UNIQUE' AS rule_id
+              FROM orders
+             WHERE o_custkey IN (SELECT o_custkey FROM orders
+                                 WHERE o_custkey IS NOT NULL
+                                 GROUP BY 1 HAVING COUNT(*) > 1)
+        """,
+        "ref_customer_nation": """
+            SELECT c_custkey, '/c_nationkey' AS field_path, 'REF' AS rule_id
+              FROM customer
+             WHERE c_nationkey IS NOT NULL
+               AND c_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                        WHERE n_nationkey < 15)
+        """,
+        "hist_quantity": """
+            SELECT CASE WHEN l_quantity < 0 THEN 0
+                        WHEN l_quantity >= 64 THEN 33
+                        ELSE FLOOR(l_quantity / 2)::BIGINT + 1 END AS bucket,
+                   COUNT(*)::BIGINT AS cnt
+              FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
+        """,
+        "psi_returnflag": """
+            WITH a AS (SELECT l_returnflag v,
+                              COUNT(*) / CAST((SELECT COUNT(*) FROM lineitem
+                                               WHERE l_orderkey % 2 = 0) AS DOUBLE) p
+                         FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1),
+                 b AS (SELECT l_returnflag v,
+                              COUNT(*) / CAST((SELECT COUNT(*) FROM lineitem
+                                               WHERE l_orderkey % 2 = 1) AS DOUBLE) p
+                         FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1),
+                 j AS (SELECT GREATEST(COALESCE(a.p, 0), 1e-6) pa,
+                              GREATEST(COALESCE(b.p, 0), 1e-6) pb
+                         FROM a FULL JOIN b ON a.v = b.v)
+            SELECT ROUND(SUM((pb - pa) * LN(pb / pa)), 6) AS psi FROM j
+        """,
+        "clips_scalar_rules": f"""
+            WITH c AS (SELECT * FROM {clips})
+            SELECT row_idx, '/clip_id' AS field_path, 'REQUIRED' AS rule_id
+              FROM c WHERE clip_id IS NULL
+            UNION ALL
+            SELECT row_idx, '/clip_id', 'MIN_LEN' FROM c
+             WHERE clip_id IS NOT NULL AND strlen(clip_id) < 6
+            UNION ALL
+            SELECT row_idx, '/clip_id', 'MAX_LEN' FROM c
+             WHERE clip_id IS NOT NULL AND strlen(clip_id) > 64
+            UNION ALL
+            SELECT row_idx, '/clip_id', 'PATTERN' FROM c
+             WHERE clip_id IS NOT NULL
+               AND NOT regexp_matches(clip_id, '^clip-[0-9]{{10}}$')
+            UNION ALL
+            SELECT row_idx, '/sr_hz', 'REQUIRED' FROM c WHERE sr_hz IS NULL
+            UNION ALL
+            SELECT row_idx, '/sr_hz', 'MIN' FROM c
+             WHERE sr_hz IS NOT NULL AND sr_hz < 8000
+            UNION ALL
+            SELECT row_idx, '/sr_hz', 'MAX' FROM c
+             WHERE sr_hz IS NOT NULL AND sr_hz > 192000
+            UNION ALL
+            SELECT row_idx, '/sr_hz', 'NOTALLOWED' FROM c
+             WHERE sr_hz IS NOT NULL
+               AND sr_hz NOT IN (8000, 16000, 22050, 44100, 48000)
+            UNION ALL
+            SELECT row_idx, '/dur_ms', 'REQUIRED' FROM c WHERE dur_ms IS NULL
+            UNION ALL
+            SELECT row_idx, '/dur_ms', 'MIN_EXCLUSIVE' FROM c
+             WHERE dur_ms IS NOT NULL AND dur_ms <= 0
+            UNION ALL
+            SELECT row_idx, '/dur_ms', 'MAX' FROM c
+             WHERE dur_ms IS NOT NULL AND dur_ms > 600000
+            UNION ALL
+            SELECT row_idx, '/codec', 'REQUIRED' FROM c WHERE codec IS NULL
+            UNION ALL
+            SELECT row_idx, '/codec', 'NOTALLOWED' FROM c
+             WHERE codec IS NOT NULL
+               AND codec NOT IN ('wav', 'flac', 'opus', 'mp3')
+            UNION ALL
+            SELECT row_idx, '/transcript', 'REQUIRED' FROM c
+             WHERE transcript IS NULL
+            UNION ALL
+            SELECT row_idx, '/transcript', 'MIN_LEN' FROM c
+             WHERE transcript IS NOT NULL AND strlen(transcript) < 1
+        """,
+        "clips_unique": f"""
+            SELECT row_idx, '/clip_id' AS field_path, 'UNIQUE' AS rule_id
+              FROM {clips}
+             WHERE clip_id IN (SELECT clip_id FROM {clips}
+                               WHERE clip_id IS NOT NULL
+                               GROUP BY 1 HAVING COUNT(*) > 1)
+        """,
+        "clips_ref_codec": f"""
+            SELECT row_idx, '/codec' AS field_path, 'REF' AS rule_id
+              FROM {clips}
+             WHERE codec IS NOT NULL
+               AND codec NOT IN ('wav', 'flac', 'opus', 'mp3')
+        """,
+        "dedup_exact_documents": """
+            SELECT d.doc_id, md5(d.text) AS fingerprint, g.cnt AS group_size
+              FROM documents d
+              JOIN (SELECT md5(text) f, COUNT(*)::BIGINT cnt FROM documents
+                    GROUP BY 1 HAVING COUNT(*) > 1) g
+                ON md5(d.text) = g.f
+        """,
+        "fingerprint_documents": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+              FROM documents
+        """,
+        "token_count_documents": r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+'))
+                   END::BIGINT AS n_tokens
+              FROM documents
+        """,
+        "quality_documents": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END::BIGINT AS n_tokens,
+                     CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                         / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS pr,
+                     CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS dr,
+                     CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+                       len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> list_contains(['the','and','of','to','a','in',
+                                               'is','it','that','for'], x)))
+                         / CAST(len(string_split_regex(trim(text), '\s+'))
+                                AS DOUBLE) END AS sr
+                FROM documents)
+            SELECT doc_id, n_tokens, ROUND(pr, 6) AS punct_r,
+                   ROUND(dr, 6) AS digit_r, ROUND(sr, 6) AS stop_r
+              FROM f
+        """,
+        "langid_documents": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0
+                          THEN []::VARCHAR[]
+                          ELSE string_split_regex(lower(trim(text)), '\s+')
+                     END AS toks
+                FROM documents),
+            s AS (
+              SELECT doc_id, text,
+                 len(list_filter(toks, x -> list_contains(
+                   ['the','and','of','to','a','in','is','it','that','for'], x))) AS s_en,
+                 len(list_filter(toks, x -> list_contains(
+                   ['der','die','das','und','ist','nicht','ein','mit','für','auf'], x))) AS s_de,
+                 len(list_filter(toks, x -> list_contains(
+                   ['le','la','les','et','est','un','une','pour','dans','que'], x))) AS s_fr,
+                 len(list_filter(toks, x -> list_contains(
+                   ['el','la','los','las','es','un','una','para','con','que'], x))) AS s_es,
+                 length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+                FROM t)
+            SELECT doc_id,
+                   CASE WHEN cjk > length(text) * 0.2 THEN 'zh'
+                        WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                        WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+              FROM s
+        """,
+        "ann_topk_embeddings": """
+            WITH q AS (SELECT embedding::DOUBLE[] v FROM embeddings
+                       ORDER BY vec_id LIMIT 1)
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(embedding::DOUBLE[],
+                                                (SELECT v FROM q)), 4) AS cos4
+              FROM embeddings
+             ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                                             (SELECT v FROM q)) DESC, vec_id
+             LIMIT 10
+        """,
+        "neardup_embeddings": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS cos4
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) >= 0.4
+        """,
+        # clips_full_audio, minhash_neardup_documents, simhash_documents,
+        # lsh_topk_embeddings: non-SQL-expressible (Arrow decode stage /
+        # banded LSH joins) — rows-only checks by design.
+    }

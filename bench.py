@@ -1,0 +1,117 @@
+"""Bench harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Also times the flagship clips full-pass (WAV decode + all checks) on a
+cached deterministic clips table and reports clips/sec. The two-level
+scaling-efficiency evidence (local[8] vs local[32]) lives in
+``bench/scaling.py`` → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "validate_lineitem",
+    "cross_column_lineitem",
+    "stats_lineitem",
+    "unique_orders_custkey",
+    "ref_customer_nation",
+    "hist_quantity",
+    "dedup_exact_documents",
+    "fingerprint_documents",
+    "quality_documents",
+    "langid_documents",
+    "ann_topk_embeddings",
+    "neardup_embeddings",
+    "minhash_neardup_documents",
+    "simhash_documents",
+]
+
+CLIPS_BENCH_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "_fixtures", "clips_bench")
+
+
+def ensure_clips_bench(spark, n_rows: int):
+    from protovalidate_spark.fixtures import Profile, write_clips
+    marker = os.path.join(CLIPS_BENCH_PATH, "_SUCCESS_N%d" % n_rows)
+    if not os.path.exists(marker):
+        import shutil
+        shutil.rmtree(CLIPS_BENCH_PATH, ignore_errors=True)
+        write_clips(spark, CLIPS_BENCH_PATH,
+                    Profile(n_rows=n_rows, dur_range_ms=800))
+        open(marker, "w").close()
+    return CLIPS_BENCH_PATH
+
+
+def run_clips_pass(spark, path: str) -> tuple:
+    """Full rule-set pass (stats+unique+ref+drift-less+decode) — returns
+    (rows, violations, seconds)."""
+    from protovalidate_spark.clips import clips_suite
+    df = spark.read.parquet(path)
+    t0 = time.time()
+    res = clips_suite(spark).run(df, persist=True)
+    nv = res.violations.count()
+    n = df.count()
+    dt = time.time() - t0
+    res.violations.unpersist()
+    return n, nv, dt
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    clips_rows = int(os.environ.get("SPARK_GRAFT_CLIPS_ROWS", "20000"))
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .config("spark.sql.shuffle.partitions", str(int(cpus) * 2))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "16g")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.session.timeZone", "UTC")
+             .appName("protovalidate-bench").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    path = ensure_clips_bench(spark, clips_rows)
+    n, nv, dt = run_clips_pass(spark, path)
+    timings["clips_full_pass"] = round(dt, 3)
+    total += dt
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    print(json.dumps({
+        "metric": "suite_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "clips_rows": n,
+        "clips_violations": nv,
+        "clips_per_sec": round(n / dt, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

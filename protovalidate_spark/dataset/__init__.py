@@ -2,6 +2,6 @@ from .stats import column_stats  # noqa: F401
 from .uniqueness import duplicate_keys, unique_violations  # noqa: F401
 from .referential import ref_violations  # noqa: F401
 from .drift import (  # noqa: F401
-    drift_violations, histogram, ks_stat, load_snapshot, psi, save_snapshot,
-    snapshot,
+    drift_violations, histogram, histogram_counts, ks_stat, load_snapshot,
+    psi, save_snapshot, snapshot,
 )

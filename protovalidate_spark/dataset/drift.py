@@ -66,6 +66,20 @@ def histogram(df: DataFrame, col: str, lo: Optional[float] = None,
     return out
 
 
+def histogram_counts(df: DataFrame, col: str, lo: float, hi: float,
+                     n_buckets: int = N_BUCKETS) -> DataFrame:
+    """Distributed equi-width histogram as a DataFrame (bucket, cnt) —
+    the shuffle-light building block behind drift checks (bucket 0 =
+    below lo, n_buckets+1 = at/above hi, PostgreSQL width_bucket
+    semantics)."""
+    return (df.filter(F.col(col).isNotNull())
+            .groupBy(F.width_bucket(F.col(col).cast("double"),
+                                    F.lit(float(lo)), F.lit(float(hi)),
+                                    F.lit(n_buckets)).cast("bigint")
+                     .alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
 def numeric_bounds(df: DataFrame, cols: Sequence[str]) -> Dict[str, Tuple[float, float]]:
     dtypes = dict(df.dtypes)
     num = [c for c in cols if dtypes[c].split("(")[0] in _NUMERIC]

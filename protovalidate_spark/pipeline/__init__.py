@@ -1,0 +1,17 @@
+from .text import (  # noqa: F401
+    bpe_ish_token_count, fingerprint, lang_id, normalize_text, punct_ratio,
+    quality_features, quality_score, rolling_hash_fingerprint,
+    stopword_ratio, token_count, tokens,
+)
+from .dedup import (  # noqa: F401
+    cosine_sim, embedding_near_dups, exact_duplicates, jaccard_pairs,
+    minhash_lsh_candidates, minhash_signature, ngram_jaccard_dedup,
+    simhash_near_dups, word_shingles,
+)
+from .similarity import (  # noqa: F401
+    build_lsh_index, cosine_topk, ivf_assign, ivf_topk, lsh_topk,
+    train_centroids,
+)
+from .multimodal import (  # noqa: F401
+    extract_media_meta, feature_extract, frame_sample, sniff_format,
+)

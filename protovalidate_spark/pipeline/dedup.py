@@ -1,0 +1,298 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (driver brief: first-class pipeline ops).
+
+Scale design notes (100 TB):
+- Exact: hash-groupBy on a 128-bit fingerprint — partial agg map-side;
+  duplicate groups are tiny ⇒ broadcast join-back.
+- MinHash LSH: signatures are one map stage; banding converts O(n²) to
+  groupBy(band_hash) buckets; candidate verification touches only
+  bucket-mates. Hot buckets (boilerplate docs) are capped with
+  ``max_bucket`` (documented truncation — standard practice).
+- SimHash: one map stage + self-join on rotated prefixes (here: bucket by
+  high bits, verify Hamming distance ≤ k within buckets).
+- Embedding near-dup: random-hyperplane LSH buckets + in-bucket cosine.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .text import normalize_text, tokens
+
+MERSENNE = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str,
+                     normalized: bool = True) -> DataFrame:
+    """Rows belonging to an exact-duplicate group:
+    (id, fingerprint, group_size). Fingerprint = md5 of (normalized) text."""
+    fp = F.md5(normalize_text(F.col(text_col))) if normalized \
+        else F.md5(F.col(text_col))
+    with_fp = df.select(F.col(id_col), fp.alias("fingerprint"))
+    groups = (with_fp.groupBy("fingerprint")
+              .agg(F.count(F.lit(1)).alias("group_size"))
+              .filter(F.col("group_size") > 1))
+    return (with_fp.join(F.broadcast(groups), "fingerprint")
+            .select(id_col, "fingerprint", "group_size"))
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-token shingles of normalized text.
+
+    Tokenization is JVM-side (regex split); shingle assembly is ONE
+    Arrow-batched kernel. (A pure-HOF version — transform over sequence
+    with slice+concat_ws — re-evaluates the token subtree per shingle
+    index because Catalyst doesn't CSE inside lambdas: measured 24 s for
+    5 000 docs vs <1 s here.)"""
+    toks = tokens(normalize_text(col))
+
+    def _shingle(batch: pd.Series) -> pd.Series:
+        out = []
+        for ts in batch:
+            if ts is None or len(ts) < n:
+                out.append([])
+                continue
+            ts = list(ts)
+            out.append(list(dict.fromkeys(
+                " ".join(ts[i:i + n]) for i in range(len(ts) - n + 1))))
+        return pd.Series(out)
+
+    udf = pandas_udf(_shingle, T.ArrayType(T.StringType()))
+    return udf(toks)
+
+
+def _hash_params(num_hashes: int, seed: int = 7):
+    # coefficients < 2^30 so a*crc32 + b stays under 2^63 (ANSI overflow)
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 30, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, 1 << 30, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature(col: Column, num_hashes: int = 32, shingle_n: int = 3,
+                      seed: int = 7) -> Column:
+    """MinHash signature as array<bigint>.
+
+    Shingle hashing (regex split + crc32) is JVM-side; the k permutations
+    are ONE Arrow-batched numpy kernel over the hash array. (A pure-Column
+    version with k ``array_min(transform(...))`` duplicates the shingling
+    subtree k× — Catalyst has no common-subexpression elimination across
+    projections — so the vectorized UDF is the fast path here.)"""
+    a, b = _hash_params(num_hashes, seed)
+    sh_hashes = F.transform(word_shingles(col, shingle_n), F.crc32)
+
+    def _minhash(hs: pd.Series) -> pd.Series:
+        av = a[:, None]
+        bv = b[:, None]
+        out = []
+        for h in hs:
+            if h is None or len(h) == 0:
+                out.append(None)
+                continue
+            hv = np.asarray(h, dtype=np.int64)[None, :]
+            out.append(((av * hv + bv) % MERSENNE).min(axis=1))
+        return pd.Series(out)
+
+    udf = pandas_udf(_minhash, T.ArrayType(T.LongType()))
+    return udf(sh_hashes)
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 32, bands: int = 8,
+                           shingle_n: int = 3, seed: int = 7,
+                           max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b, band-bucket join).
+
+    bands×rows = num_hashes; similarity threshold ≈ (1/bands)^(1/rows).
+    """
+    rows = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(F.col(text_col), num_hashes, shingle_n, seed)
+        .alias("__sig"))
+    band_cols = [
+        F.concat_ws("_", F.lit(bi),
+                    F.xxhash64(F.slice(F.col("__sig"), bi * rows + 1, rows)))
+        .alias("bucket")
+        for bi in range(bands)
+    ]
+    exploded = (sigs.filter(F.col("__sig").isNotNull())
+                .select("__id", F.explode(F.array(*band_cols)).alias("bucket")))
+    # cap pathological buckets (boilerplate): documented truncation
+    counts = exploded.groupBy("bucket").count().filter(
+        (F.col("count") > 1) & (F.col("count") <= max_bucket))
+    pruned = exploded.join(F.broadcast(counts.select("bucket")), "bucket")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.__id") < F.col("b.__id")))
+            .select(F.col("a.__id").alias("id_a"),
+                    F.col("b.__id").alias("id_b"))
+            .distinct())
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                  candidates: DataFrame, shingle_n: int = 3,
+                  threshold: float = 0.7) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard similarity:
+    (id_a, id_b, jaccard)."""
+    sh = df.select(F.col(id_col).alias("__id"),
+                   word_shingles(F.col(text_col), shingle_n).alias("__sh"))
+    out = (candidates
+           .join(sh.withColumnRenamed("__id", "id_a")
+                   .withColumnRenamed("__sh", "sh_a"), "id_a")
+           .join(sh.withColumnRenamed("__id", "id_b")
+                   .withColumnRenamed("__sh", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (out.withColumn("jaccard", F.round(jac, 6))
+               .filter(F.col("jaccard") >= threshold)
+               .select("id_a", "id_b", "jaccard"))
+
+
+def ngram_jaccard_dedup(df: DataFrame, id_col: str, text_col: str,
+                        shingle_n: int = 3, threshold: float = 0.7,
+                        **lsh_kw) -> DataFrame:
+    """End-to-end near-dup: MinHash-LSH candidates → exact Jaccard verify."""
+    cand = minhash_lsh_candidates(df, id_col, text_col,
+                                  shingle_n=shingle_n, **lsh_kw)
+    return jaccard_pairs(df, id_col, text_col, cand, shingle_n, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_udf(bits: int = 64):
+    """Arrow-batched SimHash over whitespace tokens (xxhash-free: numpy
+    crc-mix). Returns bigint."""
+
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import zlib
+        out = np.zeros(len(texts), dtype=np.int64)
+        for idx, t in enumerate(texts):
+            if t is None:
+                out[idx] = 0
+                continue
+            words = str(t).lower().split()
+            if not words:
+                out[idx] = 0
+                continue
+            # crc per word, golden-ratio mixed to `bits`; bit matrix vectorized
+            h = np.fromiter((zlib.crc32(w.encode()) for w in words),
+                            dtype=np.uint64, count=len(words))
+            h64 = h * np.uint64(0x9E3779B97F4A7C15)  # wraps mod 2^64
+            bitsm = ((h64[:, None] >> shifts[None, :]) & np.uint64(1))
+            acc = (bitsm.astype(np.int64) * 2 - 1).sum(axis=0)
+            v = int((np.where(acc > 0, 1, 0).astype(np.uint64)
+                     << shifts).sum(dtype=np.uint64))
+            out[idx] = v - (1 << 64) if v >= (1 << 63) else v
+        return pd.Series(out)
+
+    return pandas_udf(_simhash, T.LongType())
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
+                      prefix_bits: int = 16, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits,
+    verify Hamming distance within buckets (one rotation; multi-rotation
+    probing is the standard recall extension)."""
+    sh = df.select(F.col(id_col).alias("__id"),
+                   simhash_udf()(F.col(text_col)).alias("__sh"))
+    bucketed = sh.withColumn(
+        "bucket", F.shiftrightunsigned(F.col("__sh"), 64 - prefix_bits))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    ham = F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh")))
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.__id") < F.col("b.__id")))
+            .withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select(F.col("a.__id").alias("id_a"),
+                    F.col("b.__id").alias("id_b"), "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float> columns, JVM-side
+    (zip_with dot product + aggregate norms)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def embedding_near_dups(df: DataFrame, id_col: str, vec_col: str,
+                        threshold: float = 0.95,
+                        brute_force: bool = False,
+                        planes: int = 12, seed: int = 11) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine.
+
+    ``brute_force=True``: full O(n²) self-join (small n / oracle baseline).
+    Default: random-hyperplane LSH — bucket by sign-bit signature, compare
+    within buckets only (the 100 TB path).
+
+    The pair join is repartitioned so the quadratic work parallelizes
+    instead of landing in one broadcast-NLJ task."""
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if brute_force:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        a = base.repartition(par).alias("a")
+        b = base.alias("b")
+        pairs = a.join(b, F.col("a.__id") < F.col("b.__id"))
+    else:
+        dim = len(base.select("__v").first()[0])
+        rng = np.random.RandomState(seed)
+        hp = rng.randn(planes, dim)
+        sig = F.concat(*[
+            F.when(F.aggregate(
+                F.zip_with(F.col("__v"),
+                           F.array(*[F.lit(float(x)) for x in hp[p]]),
+                           lambda u, w: u * w),
+                F.lit(0.0), lambda acc, v: acc + v) >= 0,
+                F.lit("1")).otherwise(F.lit("0"))
+            for p in range(planes)])
+        bucketed = base.withColumn("bucket", sig)
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                       & (F.col("a.__id") < F.col("b.__id")))
+    # dot/(|a||b|) kept verbatim (bit-compatible with the SQL oracle's
+    # list_cosine_similarity); parallelism, not per-pair algebra, is the
+    # lever here
+    norm = F.sqrt(F.aggregate(F.transform(F.col("a.__v"), lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+    dot = F.aggregate(F.zip_with(F.col("a.__v"), F.col("b.__v"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    norm_b = F.sqrt(F.aggregate(F.transform(F.col("b.__v"), lambda x: x * x),
+                                F.lit(0.0), lambda acc, v: acc + v))
+    sim = F.when((norm > 0) & (norm_b > 0), dot / (norm * norm_b)) \
+           .otherwise(F.lit(0.0))
+    return (pairs.withColumn("__sim", sim)
+            .filter(F.col("__sim") >= threshold)  # threshold on UNrounded
+            .select(F.col("a.__id").alias("id_a"),
+                    F.col("b.__id").alias("id_b"),
+                    F.round("__sim", 6).alias("cosine")))

@@ -1,0 +1,146 @@
+"""Text-analysis operators for training-data pipelines (driver brief:
+language-ID, quality scoring, token counting, document fingerprinting).
+
+All hot-path expressions are JVM-side built-ins (whole-stage codegen) —
+no Python UDFs. At 100 TB these are pure map stages: no shuffle, fully
+pushdown-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal stopword sets per language for the n-gram/stopword heuristic.
+STOPWORDS: Dict[str, Sequence[str]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "para", "con", "que"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array."""
+    t = F.split(F.trim(col), r"\s+")
+    return F.when(F.length(F.trim(col)) == 0, F.array().cast("array<string>")) \
+            .otherwise(t)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-like subword estimate: word chunks + digits + punctuation each
+    count (regex split, JVM-side)."""
+    pieces = F.split(col, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])")
+    return F.size(F.filter(pieces, lambda p: F.trim(p) != ""))
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.when(F.length(col) > 0,
+                  F.length(stripped) / F.length(col)).otherwise(F.lit(0.0))
+
+
+def digit_ratio(col: Column) -> Column:
+    return F.when(F.length(col) > 0,
+                  F.length(F.regexp_replace(col, r"[^0-9]", "")) / F.length(col)
+                  ).otherwise(F.lit(0.0))
+
+
+def upper_ratio(col: Column) -> Column:
+    return F.when(F.length(col) > 0,
+                  F.length(F.regexp_replace(col, r"[^A-Z]", "")) / F.length(col)
+                  ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = tokens(F.lower(col))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One projection appending the standard quality-feature columns."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    return df.withColumns({
+        "n_chars_q": F.length(c),
+        "n_tokens": F.size(toks),
+        "avg_token_len": F.when(
+            F.size(toks) > 0,
+            F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, t: acc + F.length(t)) / F.size(toks)
+        ).otherwise(F.lit(0.0)),
+        "punct_ratio": punct_ratio(c),
+        "digit_ratio": digit_ratio(c),
+        "stopword_ratio_en": stopword_ratio(c, "en"),
+    })
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  out_col: str = "quality") -> DataFrame:
+    """Heuristic quality in [0,1]: penalize empty/short, high punctuation,
+    high digit share; reward stopword presence (fluency proxy)."""
+    d = quality_features(df, text_col)
+    score = (
+        F.least(F.col("n_tokens") / 20.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(F.col("punct_ratio") * 4, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(F.col("digit_ratio") * 4, F.lit(1.0))) * 0.2
+        + F.least(F.col("stopword_ratio_en") * 5, F.lit(1.0)) * 0.2
+    )
+    return d.withColumn(out_col, F.round(score, 6))
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            out_col: str = "lang_pred") -> DataFrame:
+    """Stopword/charset language heuristic, pure Column expressions:
+    CJK-character share decides 'zh'; otherwise argmax of per-language
+    stopword hit counts; 'und' when nothing matches."""
+    c = F.col(text_col)
+    toks = tokens(F.lower(c))
+    scores = {}
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
+
+    best = F.greatest(*scores.values())
+    pred = F.when(cjk > F.length(c) * 0.2, F.lit("zh"))
+    # deterministic tie-break: language order below
+    for lang in ("en", "de", "fr", "es"):
+        pred = pred.when((best > 0) & (scores[lang] == best), F.lit(lang))
+    pred = pred.otherwise(F.lit("und"))
+    return df.withColumn(out_col, pred)
+
+
+def normalize_text(col: Column) -> Column:
+    """Dedup normalization: lowercase, strip non-alphanumerics, squeeze
+    whitespace."""
+    return F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " "), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text
+    (matches ANSI md5 → DuckDB-verifiable)."""
+    return F.md5(normalize_text(col))
+
+
+def rolling_hash_fingerprint(col: Column, n: int = 4) -> Column:
+    """Order-sensitive rolling fingerprint: crc32 of each n-token shingle,
+    combined with a positional multiplier — JVM-side only."""
+    toks = tokens(normalize_text(col))
+    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_sh - 1, F.lit(0))),
+        lambda i: F.crc32(F.concat_ws(" ", F.slice(toks, i + 1, n))))
+    combined = F.aggregate(
+        shingles, F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * F.lit(31) + h) % F.lit(2**61 - 1))
+    return F.when(F.size(toks) == 0, F.lit(0).cast("bigint")).otherwise(combined)

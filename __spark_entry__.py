@@ -77,7 +77,7 @@ def q_stats_lineitem(spark, sf_dir):
     from protovalidate_spark.dataset import column_stats
     li = _t(spark, sf_dir, "lineitem")
     st = column_stats(li, ["l_orderkey", "l_linenumber", "l_returnflag"],
-                      exact_distinct=True)
+                      exact_distinct=True, quantiles=())
     return st.select(
         F.col("column").alias("col_name"), "n_rows", "null_rate",
         F.col("min").alias("min_s"), F.col("max").alias("max_s"),
@@ -159,6 +159,46 @@ def q_clips_full_audio(spark, sf_dir):
     from protovalidate_spark.fixtures import TINY, clips_df
     res = clips_suite(spark).run(clips_df(spark, TINY), persist=False)
     return res.violations.select("row_idx", "field_path", "rule_id")
+
+
+def q_email_customer(spark, sf_dir):
+    """net-package Email rule set (reference pkg/rules/net/email.go) over a
+    deterministic derived email column: valid / bad-domain-label /
+    unknown-TLD / missing-@ cases keyed off c_custkey moduli."""
+    from protovalidate_spark import Email, Object
+    c = _t(spark, sf_dir, "customer")
+    email = F.concat(
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(""))),
+        F.when(F.col("c_custkey") % 7 == 3, F.lit("@bad..domain.com"))
+         .when(F.col("c_custkey") % 11 == 5, F.lit("@example.notatld"))
+         .when(F.col("c_custkey") % 13 == 6, F.lit("atexample.com"))
+         .otherwise(F.lit("@example.com")))
+    df = c.select("c_custkey", email.alias("email"))
+    rs = Object().with_unknown().with_key("email", Email())
+    v = rs.violations(df, row_key_cols=["c_custkey"])
+    return v.select("c_custkey", "field_path", "rule_id")
+
+
+def q_uri_orders(spark, sf_dir):
+    """net-package URI rule set (reference pkg/rules/net/uri.go): scheme
+    allow-list, port bounds, query-param sub-rules, percent-encoding."""
+    from protovalidate_spark import URI, Int32, Object
+    o = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.when(F.col("o_orderkey") % 7 == 3, F.lit("ftp://files.example.com/"))
+         .when(F.col("o_orderkey") % 11 == 5, F.lit("https://example.com:99999/"))
+         .when(F.col("o_orderkey") % 13 == 6, F.lit("https://example.com/a%zzb"))
+         .otherwise(F.lit("https://example.com/")),
+        F.lit("orders/"), F.col("o_orderkey").cast("string"),
+        F.when(F.col("o_orderkey") % 17 == 8, F.lit("?page=500"))
+         .otherwise(F.lit("?page=3")))
+    df = o.select("o_orderkey", url.alias("url"))
+    rs = (Object().with_unknown()
+          .with_key("url", URI().with_allowed_schemes("http", "https")
+                    .with_max_port(65535)
+                    .with_query_param("page", Int32().min(1).max(100))))
+    v = rs.violations(df, row_key_cols=["o_orderkey"])
+    return v.select("o_orderkey", "field_path", "rule_id")
 
 
 # ---------------------------------------------------------------------------
@@ -262,6 +302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_customer_nation": q_ref_customer_nation,
         "hist_quantity": q_hist_quantity,
         "psi_returnflag": q_psi_returnflag,
+        "email_customer": q_email_customer,
+        "uri_orders": q_uri_orders,
         "clips_scalar_rules": q_clips_scalar_rules,
         "clips_unique": q_clips_unique,
         "clips_ref_codec": q_clips_ref_codec,
@@ -366,6 +408,31 @@ def oracle_sql() -> dict[str, str]:
                               GREATEST(COALESCE(b.p, 0), 1e-6) pb
                          FROM a FULL JOIN b ON a.v = b.v)
             SELECT ROUND(SUM((pb - pa) * LN(pb / pa)), 6) AS psi FROM j
+        """,
+        "email_customer": """
+            SELECT c_custkey, '/email' AS field_path, 'PATTERN' AS rule_id
+              FROM customer WHERE c_custkey % 7 = 3
+            UNION ALL
+            SELECT c_custkey, '/email', 'NOTALLOWED' FROM customer
+             WHERE c_custkey % 7 <> 3 AND c_custkey % 11 = 5
+            UNION ALL
+            SELECT c_custkey, '/email', 'PATTERN' FROM customer
+             WHERE c_custkey % 7 <> 3 AND c_custkey % 11 <> 5
+               AND c_custkey % 13 = 6
+        """,
+        "uri_orders": """
+            SELECT o_orderkey, '/url' AS field_path, 'NOTALLOWED' AS rule_id
+              FROM orders WHERE o_orderkey % 7 = 3
+            UNION ALL
+            SELECT o_orderkey, '/url', 'MAX' FROM orders
+             WHERE o_orderkey % 7 <> 3 AND o_orderkey % 11 = 5
+            UNION ALL
+            SELECT o_orderkey, '/url', 'ENCODING' FROM orders
+             WHERE o_orderkey % 7 <> 3 AND o_orderkey % 11 <> 5
+               AND o_orderkey % 13 = 6
+            UNION ALL
+            SELECT o_orderkey, '/url', 'MAX' FROM orders
+             WHERE o_orderkey % 17 = 8
         """,
         "clips_scalar_rules": f"""
             WITH c AS (SELECT * FROM {clips})

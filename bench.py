@@ -70,18 +70,10 @@ def main():
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     clips_rows = int(os.environ.get("SPARK_GRAFT_CLIPS_ROWS", "20000"))
 
-    from pyspark.sql import SparkSession
-
     import __spark_entry__ as entrymod
 
-    spark = (SparkSession.builder.master(f"local[{cpus}]")
-             .config("spark.sql.shuffle.partitions", str(int(cpus) * 2))
-             .config("spark.sql.adaptive.enabled", "true")
-             .config("spark.driver.memory", "16g")
-             .config("spark.ui.enabled", "false")
-             .config("spark.sql.session.timeZone", "UTC")
-             .appName("protovalidate-bench").getOrCreate())
-    spark.sparkContext.setLogLevel("ERROR")
+    from protovalidate_spark.conf import local_session
+    spark = local_session(cores=int(cpus), app="protovalidate-bench")
 
     qs = entrymod.queries()
     timings = {}

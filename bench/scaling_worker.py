@@ -1,0 +1,77 @@
+"""spark-submit worker for the scaling-efficiency evidence
+(BASELINE.json north_rule: ≥0.8 throughput scaling efficiency between N
+and 4N executors; in-sandbox protocol: same job, same input, local[N] vs
+local[4N]).
+
+Launched by bench/scaling.py as:
+  spark-submit --master local[N] --py-files pv_spark.zip \
+      bench/scaling_worker.py --table PATH --cores N --repeats 3
+
+Runs the FULL clips rule-set pass (row rules + audio decode + uniqueness
++ referential) over the given table: one untimed warm-up pass (JIT,
+Python-worker fork+import, page cache), then ``--repeats`` timed passes.
+Prints ONE JSON line with per-pass seconds; the harness takes the median.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from protovalidate_spark.conf import apply_recommended
+
+    b = (SparkSession.builder.appName(f"pv-scaling-{args.cores}")
+         .config("spark.ui.enabled", "false"))
+    spark = apply_recommended(b, cores=args.cores).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from protovalidate_spark.clips import clips_suite
+
+    df = spark.read.parquet(args.table)
+    suite = clips_suite(spark)
+    n_rows = df.count()
+
+    # Build the full plan ONCE (persist=False so repeated executions
+    # recompute rather than read a cache). Plan construction + Catalyst
+    # optimization is a per-JOB driver cost — at the 10^12-row target it
+    # amortizes to ~0% of wall time, so the throughput measurement times
+    # plan EXECUTION; the one-time planning cost is reported separately.
+    t0 = time.time()
+    res = suite.run(df, persist=False)
+    violations = res.violations
+    violations._jdf.queryExecution().executedPlan()
+    plan_sec = round(time.time() - t0, 3)
+
+    def one_pass() -> float:
+        t0 = time.time()
+        violations.count()
+        return time.time() - t0
+
+    one_pass()  # warm-up: python workers, JIT, page cache — untimed
+    secs = [round(one_pass(), 3) for _ in range(args.repeats)]
+
+    print(json.dumps({
+        "cores": args.cores,
+        "rows": n_rows,
+        "plan_sec": plan_sec,
+        "passes_sec": secs,
+        "median_sec": sorted(secs)[len(secs) // 2],
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,7 +25,9 @@ def main():
                     help="use the checkpointed per-partition runner")
     args = ap.parse_args()
 
-    spark = SparkSession.builder.appName("protovalidate-clips").getOrCreate()
+    from protovalidate_spark.conf import apply_recommended
+    spark = apply_recommended(
+        SparkSession.builder.appName("protovalidate-clips")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     from protovalidate_spark.clips import clips_suite

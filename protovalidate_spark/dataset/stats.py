@@ -47,7 +47,7 @@ def column_stats(
             aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
         else:
             aggs.append(F.approx_count_distinct(c, rsd).alias(f"{c}__distinct"))
-        if base in _NUMERIC:
+        if base in _NUMERIC and quantiles:
             aggs.append(F.percentile_approx(
                 F.col(c).cast("double"), list(quantiles), accuracy
             ).alias(f"{c}__q"))

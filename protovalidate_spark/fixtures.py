@@ -184,9 +184,13 @@ def _garbage_bytes(h: int) -> bytes:
 def write_clips(spark: SparkSession, path: str, profile: Profile = TINY,
                 partitions: int = 0) -> str:
     """Materialize as part_date-directory-partitioned Parquet (Iceberg
-    layout emulation per FIXTURES.md §1)."""
+    layout emulation per FIXTURES.md §1). Uncompressed: real audio
+    payloads are already codec-compressed (incompressible), so snappy on
+    the bytes column would only add scan-side CPU without shrinking the
+    table — matching production practice for binary media columns."""
     (clips_df(spark, profile, partitions)
-     .write.mode("overwrite").partitionBy("part_date").parquet(path))
+     .write.mode("overwrite").option("compression", "none")
+     .partitionBy("part_date").parquet(path))
     return path
 
 

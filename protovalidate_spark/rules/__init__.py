@@ -11,4 +11,8 @@ from .temporal import Duration, DurationRuleSet, Time, TimeRuleSet  # noqa: F401
 from .binary import Binary, BinaryRuleSet  # noqa: F401
 from .array_ import ArrayRuleSet, Slice  # noqa: F401
 from .misc import Any, AnyRuleSet, Constant, ConstantRuleSet  # noqa: F401
+from .net import (  # noqa: F401
+    IP, URI, Domain, DomainRuleSet, Email, EmailRuleSet, IPRuleSet,
+    Query, QueryRuleSet, URIRuleSet,
+)
 from .object import Object, ObjectRule, ObjectRuleSet, StringMap  # noqa: F401

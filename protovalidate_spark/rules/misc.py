@@ -1,14 +1,18 @@
-"""Constant / Any rule sets.
+"""Constant / Any / Interface rule sets.
 
 Reference: constant.go:29-53,136-148 (cached singleton per value; Replaces
-everything); any.go:33-36 (Any), any.go:78-83,135-137 (WithForbidden).
+everything); any.go:33-36 (Any), any.go:78-83,135-137 (WithForbidden);
+inerface.go:25-29,69-74,131-144 (Interface[T]().WithCast — stacked cast
+functions, newest first, first non-nil wins).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 from typing import Any as _Any
+from typing import Callable, Optional
 
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..errors import Code
@@ -61,3 +65,33 @@ class AnyRuleSet(RuleSet):
 
 def Any() -> AnyRuleSet:
     return AnyRuleSet(allow_nil=True)
+
+
+@dataclass(frozen=True)
+class InterfaceRuleSet(RuleSet):
+    """``Interface[T]().WithCast(fn)`` (reference inerface.go:69-74):
+    a stack of cast functions tried newest-first; the first producing a
+    non-null value wins. Each cast is a Column transform
+    ``(Column) -> Column`` (e.g. ``lambda c: F.try_to_timestamp(c)`` or a
+    decode-UDF wrapper); the stack compiles to one ``F.coalesce``. A value
+    no cast accepts ⇒ TYPE (coercion short-circuit, SURVEY.md §4)."""
+
+    casts: tuple = ()        # newest first
+    out_type: str = "string"
+
+    SPARK_TYPE: str = "any"
+
+    def with_cast(self, fn: Callable[[Column], Column],
+                  out_type: Optional[str] = None) -> "InterfaceRuleSet":
+        return self._clone(casts=(fn,) + self.casts,
+                           out_type=out_type or self.out_type)
+
+    def coerce(self, col, input_type):
+        if not self.casts:
+            return col, F.lit(True), Code.TYPE
+        value = F.coalesce(*[fn(col) for fn in self.casts])
+        return value, value.isNotNull(), Code.TYPE
+
+
+def Interface() -> InterfaceRuleSet:
+    return InterfaceRuleSet()

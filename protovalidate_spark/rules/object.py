@@ -219,8 +219,16 @@ class ObjectRuleSet(RuleSet):
         (errors/collection.go:7-141) as a DataFrame."""
         v = self.validate(df)
         keep = [F.col(c) for c in (*row_key_cols, *extra_cols)]
+        # explode_outer + isNotNull — NOT plain explode: Catalyst's
+        # InferFiltersFromGenerate adds `size(violations) > 0` below a
+        # non-outer Generate, and after alias substitution that duplicates
+        # the whole violations expression (including the Arrow decode UDF)
+        # into a Filter ⇒ every rule and decode ran TWICE per row. The
+        # outer variant is exempt from that rule; filtering on the
+        # generated attribute cannot be pushed below the Generate.
         return (
-            v.select(*keep, F.explode("violations").alias("_v"))
+            v.select(*keep, F.explode_outer("violations").alias("_v"))
+             .filter(F.col("_v").isNotNull())
              .select(*keep, "_v.field_path", "_v.rule_id", "_v.message", "_v.actual")
         )
 

@@ -1,0 +1,81 @@
+"""Structured Streaming validation (SURVEY.md §2.6, §3 entry point C).
+
+The reference validates streams item-at-a-time through channels
+(/root/reference/pkg/rules/slice.go:419-516: producer goroutine →
+unbuffered chan → per-item Apply → output chan). Spark's analog is a
+micro-batched stream: the SAME compiled rule plan (one projection; the
+rules are stateless) applied via ``readStream`` → transformations →
+``writeStream``. Nothing about the compilation changes — a compiled
+violations column is a streaming-compatible stateless expression, decode
+UDF included.
+
+Dataset-level checks need state and are therefore *windowed* on the
+stream (global exact uniqueness over an unbounded stream is unbounded
+state by definition):
+- :func:`windowed_unique_violations` — duplicates within an event-time
+  window, watermarked so state is bounded and late data is handled.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .errors import Code
+from .rules.base import violation_struct
+from .rules.object import ObjectRuleSet
+
+
+def stream_violations(stream_df: DataFrame, rules: ObjectRuleSet,
+                      row_key_cols: Sequence[str] = ()) -> DataFrame:
+    """Row-level violations on a streaming DataFrame — identical plan to
+    the batch path (stateless projection + explode), append-mode safe."""
+    return rules.violations(stream_df, row_key_cols=row_key_cols)
+
+
+def windowed_unique_violations(
+    stream_df: DataFrame, key_col: str, ts_col: str,
+    window: str = "10 minutes", watermark: str = "10 minutes",
+) -> DataFrame:
+    """Keys seen more than once within an event-time window.
+
+    Emits (window_start, window_end, key, dup_count, field_path, rule_id,
+    message, actual). State is bounded by the watermark; at 10^12-row
+    scale this is the correct streaming relaxation of the global
+    uniqueness check (the batch path gives the exact answer)."""
+    agg = (stream_df
+           .withWatermark(ts_col, watermark)
+           .groupBy(F.window(F.col(ts_col), window).alias("w"),
+                    F.col(key_col))
+           .agg(F.count(F.lit(1)).alias("dup_count"))
+           .filter(F.col("dup_count") > 1))
+    v = violation_struct(
+        f"/{key_col}", Code.UNIQUE,
+        f"value of {key_col!r} duplicated within {window}",
+        F.col(key_col))
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col(key_col), "dup_count",
+        v.alias("_v"),
+    ).select("window_start", "window_end", key_col, "dup_count",
+             "_v.field_path", "_v.rule_id", "_v.message", "_v.actual")
+
+
+def write_violations_stream(
+    violations: DataFrame, path: str, checkpoint: str,
+    output_mode: str = "append", trigger_available_now: bool = True,
+    fmt: str = "parquet",
+):
+    """writeStream with checkpointing — the streaming analog of the
+    batch runner's violation sink. ``availableNow`` drains the backlog
+    and stops (batch-like semantics for tests and backfills)."""
+    w = (violations.writeStream.format(fmt)
+         .option("path", path)
+         .option("checkpointLocation", checkpoint)
+         .outputMode(output_mode))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

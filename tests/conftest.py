@@ -4,15 +4,14 @@ from pyspark.sql import SparkSession
 
 @pytest.fixture(scope="session")
 def spark():
-    s = (
+    from protovalidate_spark.conf import apply_recommended
+    b = (
         SparkSession.builder.master("local[8]")
         .appName("protovalidate-spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    s = apply_recommended(b).getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()

@@ -1,0 +1,94 @@
+"""Structured Streaming validation (SURVEY.md §3 entry point C): the
+compiled rule plan applied over readStream micro-batches must produce
+the same violations as the batch path; windowed uniqueness is the
+streaming relaxation of the global check."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from protovalidate_spark import Int32, Object, String
+from protovalidate_spark.streaming import (
+    stream_violations,
+    windowed_unique_violations,
+    write_violations_stream,
+)
+
+
+def _rules():
+    return (Object().with_unknown()
+            .with_key("clip_id", String().with_required()
+                      .regex(r"^clip-[0-9]{10}$"))
+            .with_key("sr_hz", Int32().min(8000).max(192000)))
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream_src"))
+    rows = [
+        (0, "clip-0000000001", 16000, "2026-01-01 00:00:01"),
+        (1, "clip-0000000002", 4000, "2026-01-01 00:00:02"),   # sr MIN
+        (2, "bad-id", 16000, "2026-01-01 00:00:03"),           # PATTERN
+        (3, "clip-0000000001", 22050, "2026-01-01 00:00:04"),  # dup in window
+        (4, "clip-0000000009", 44100, "2026-01-01 02:00:00"),  # later window
+    ]
+    df = spark.createDataFrame(
+        rows, "row_idx long, clip_id string, sr_hz int, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return path, df
+
+
+def test_stream_matches_batch(spark, stream_src, tmp_path):
+    path, batch_df = stream_src
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    v = stream_violations(stream, _rules(), row_key_cols=["row_idx"])
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = write_violations_stream(v, out, ckpt)
+    q.awaitTermination(120)
+
+    got = {(r["row_idx"], r["field_path"], r["rule_id"])
+           for r in spark.read.parquet(out).collect()}
+    want = {(r["row_idx"], r["field_path"], r["rule_id"])
+            for r in stream_violations(batch_df, _rules(),
+                                       row_key_cols=["row_idx"]).collect()}
+    assert got == want and len(want) == 2
+
+
+def test_stream_resume_is_incremental(spark, stream_src, tmp_path):
+    """checkpointLocation makes re-runs skip already-processed files —
+    the streaming analog of the batch runner's manifest resume."""
+    path, batch_df = stream_src
+    out, ckpt = str(tmp_path / "o2"), str(tmp_path / "c2")
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    v = stream_violations(stream, _rules(), row_key_cols=["row_idx"])
+    write_violations_stream(v, out, ckpt).awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    # second run with same checkpoint: no new input ⇒ no new rows
+    stream2 = spark.readStream.schema(batch_df.schema).parquet(path)
+    v2 = stream_violations(stream2, _rules(), row_key_cols=["row_idx"])
+    write_violations_stream(v2, out, ckpt).awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_windowed_unique(spark, stream_src, tmp_path):
+    path, batch_df = stream_src
+    stream = spark.readStream.schema(batch_df.schema).parquet(path)
+    dups = windowed_unique_violations(stream, "clip_id", "ts",
+                                      window="1 hour", watermark="1 hour")
+    out, ckpt = str(tmp_path / "o3"), str(tmp_path / "c3")
+    # append mode emits only after watermark closes a window; availableNow
+    # + final watermark advance flushes the first window here
+    q = (dups.writeStream.format("memory").queryName("dups")
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select clip_id, dup_count, rule_id from dups").collect()
+    assert len(got) == 1
+    assert got[0]["clip_id"] == "clip-0000000001"
+    assert got[0]["dup_count"] == 2
+    assert got[0]["rule_id"] == "UNIQUE"

@@ -35,30 +35,50 @@ BENCH_QUERIES = [
     "simhash_documents",
 ]
 
-CLIPS_BENCH_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "_fixtures", "clips_bench")
+_FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "_fixtures")
+
+DRIFT_COLS = ("sr_hz", "dur_ms", "codec")
+STATS_COLS = ("clip_id", "sr_hz", "dur_ms", "codec", "transcript")
 
 
 def ensure_clips_bench(spark, n_rows: int):
+    """Deterministic clips table, one directory per size (sizes coexist —
+    bench and the scaling harness use different row counts)."""
     from protovalidate_spark.fixtures import Profile, write_clips
-    marker = os.path.join(CLIPS_BENCH_PATH, "_SUCCESS_N%d" % n_rows)
+    path = os.path.join(_FIXTURES, "clips_bench_N%d" % n_rows)
+    marker = os.path.join(path, "_BENCH_READY")
     if not os.path.exists(marker):
         import shutil
-        shutil.rmtree(CLIPS_BENCH_PATH, ignore_errors=True)
-        write_clips(spark, CLIPS_BENCH_PATH,
-                    Profile(n_rows=n_rows, dur_range_ms=800))
+        shutil.rmtree(path, ignore_errors=True)
+        write_clips(spark, path, Profile(n_rows=n_rows, dur_range_ms=800))
         open(marker, "w").close()
-    return CLIPS_BENCH_PATH
+    return path
 
 
-def run_clips_pass(spark, path: str) -> tuple:
-    """Full rule-set pass (stats+unique+ref+drift-less+decode) — returns
+def ensure_drift_baseline(spark, path: str):
+    """Baseline snapshot for the drift check, computed once beside the
+    fixture (in production this comes from a previous run's snapshot)."""
+    from protovalidate_spark.dataset.drift import load_snapshot, save_snapshot, snapshot
+    bpath = path.rstrip("/") + "_drift_baseline.json"
+    if not os.path.exists(bpath):
+        snap = snapshot(spark.read.parquet(path), list(DRIFT_COLS))
+        save_snapshot(snap, bpath)
+    return load_snapshot(bpath)
+
+
+def run_clips_pass(spark, path: str, baseline=None) -> tuple:
+    """The FULL metric pass — stats + uniqueness + referential + drift +
+    audio decode check (BASELINE.json .metric) — returns
     (rows, violations, seconds)."""
     from protovalidate_spark.clips import clips_suite
     df = spark.read.parquet(path)
+    baseline = baseline or ensure_drift_baseline(spark, path)
     t0 = time.time()
-    res = clips_suite(spark).run(df, persist=True)
+    res = clips_suite(spark, drift_baseline=baseline).run(
+        df, with_stats=True, persist=True)
     nv = res.violations.count()
+    res.stats.write.format("noop").mode("overwrite").save()
     n = df.count()
     dt = time.time() - t0
     res.violations.unpersist()

@@ -112,7 +112,9 @@ def main():
 and 4N executors. In-sandbox protocol (no real cluster): the same full
 clips validation job — row-level DSL rules + Arrow-batched WAV decode +
 consistency rules + uniqueness (salted two-phase agg) + referential
-anti-join — over the SAME deterministic {lo['rows']:,}-row clips table,
+anti-join + single-pass per-column stats + PSI/KS drift vs a baseline
+snapshot (the complete BASELINE.json metric) — over the SAME
+deterministic {lo['rows']:,}-row clips table,
 launched via `spark-submit --py-files` at `local[{n}]` (N) and
 `local[{n4}]` (4N).
 

@@ -37,17 +37,33 @@ def main():
     spark = apply_recommended(b, cores=args.cores).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    import os
+
     from protovalidate_spark.clips import clips_suite
+    from protovalidate_spark.dataset.drift import (
+        drift_violations, load_snapshot, save_snapshot, snapshot)
+    from protovalidate_spark.dataset.stats import column_stats
+
+    DRIFT_COLS = ["sr_hz", "dur_ms", "codec"]
+    STATS_COLS = ["clip_id", "sr_hz", "dur_ms", "codec", "transcript"]
 
     df = spark.read.parquet(args.table)
     suite = clips_suite(spark)
     n_rows = df.count()
 
-    # Build the full plan ONCE (persist=False so repeated executions
-    # recompute rather than read a cache). Plan construction + Catalyst
-    # optimization is a per-JOB driver cost — at the 10^12-row target it
-    # amortizes to ~0% of wall time, so the throughput measurement times
-    # plan EXECUTION; the one-time planning cost is reported separately.
+    # Drift baseline: produced by a previous run in production — computed
+    # once here beside the table, NOT part of the timed pass.
+    bpath = args.table.rstrip("/") + "_drift_baseline.json"
+    if not os.path.exists(bpath):
+        save_snapshot(snapshot(df, DRIFT_COLS), bpath)
+    baseline = load_snapshot(bpath)
+
+    # Build the violations plan ONCE (persist=False so repeated
+    # executions recompute rather than read a cache). Plan construction +
+    # Catalyst optimization is a per-JOB driver cost — at the 10^12-row
+    # target it amortizes to ~0% of wall time, so the throughput
+    # measurement times plan EXECUTION; the one-time planning cost is
+    # reported separately.
     t0 = time.time()
     res = suite.run(df, persist=False)
     violations = res.violations
@@ -55,8 +71,12 @@ def main():
     plan_sec = round(time.time() - t0, 3)
 
     def one_pass() -> float:
+        """One full metric pass: row rules + decode + uniqueness +
+        referential (violations plan) + per-column stats + drift."""
         t0 = time.time()
         violations.count()
+        column_stats(df, STATS_COLS)
+        drift_violations(df, baseline).count()
         return time.time() - t0
 
     one_pass()  # warm-up: python workers, JIT, page cache — untimed

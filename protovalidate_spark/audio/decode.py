@@ -38,15 +38,18 @@ DECODED_DDL = "struct<ok:boolean,sr:int,n_samples:bigint,dur_ms:int,rms:double>"
 
 
 def _decode_series(bs: pd.Series, want_pcm: bool) -> pd.DataFrame:
-    rows = []
+    # columnar accumulation (dict-of-lists): no per-row dict objects
+    ok, sr, ns, dm, rms, pcm = [], [], [], [], [], []
     for b in bs:
         d = decode_bytes(b if b is None else bytes(b), "wav", want_pcm)
-        row = {"ok": d.ok, "sr": d.sr, "n_samples": d.n_samples,
-               "dur_ms": d.dur_ms, "rms": d.rms}
+        ok.append(d.ok); sr.append(d.sr); ns.append(d.n_samples)
+        dm.append(d.dur_ms); rms.append(d.rms)
         if want_pcm:
-            row["pcm"] = None if d.pcm is None else d.pcm
-        rows.append(row)
-    return pd.DataFrame(rows)
+            pcm.append(d.pcm)
+    cols = {"ok": ok, "sr": sr, "n_samples": ns, "dur_ms": dm, "rms": rms}
+    if want_pcm:
+        cols["pcm"] = pcm
+    return pd.DataFrame(cols)
 
 
 def _make_udf(include_pcm: bool):

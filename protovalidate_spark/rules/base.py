@@ -147,6 +147,25 @@ class RuleSet:
     def with_error_meta(self, **meta) -> "RuleSet":
         return self._clone(err_meta={**self.err_meta, **meta})
 
+    def with_docs_uri(self, uri: str) -> "RuleSet":
+        """Attach a documentation URI to this rule set's violations
+        (reference WithDocsURI, string.go:285-307) — carried in err_meta
+        and available to report-time renderers (dictionary.localize)."""
+        return self.with_error_meta(docs_uri=uri)
+
+    def with_trace_uri(self, uri: str) -> "RuleSet":
+        """Attach a trace URI (reference WithTraceURI)."""
+        return self.with_error_meta(trace_uri=uri)
+
+    def with_error_callback(self, fn) -> "RuleSet":
+        """Report-time violation transform ``(violations_df) -> df``
+        (reference WithErrorCallback, applied at
+        errors/validation_error.go:59-96). Stored in err_meta; apply via
+        ``rs.err_meta['error_callback'](violations)`` after collection —
+        per-row Python callbacks have no place in the distributed hot
+        path."""
+        return self.with_error_meta(error_callback=fn)
+
     def with_rule(self, rule: Rule) -> "RuleSet":
         """Attach a custom rule (reference WithRule, string.go:246-257)."""
         return self._with_rule(rule)

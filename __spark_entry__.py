@@ -161,6 +161,91 @@ def q_clips_full_audio(spark, sf_dir):
     return res.violations.select("row_idx", "field_path", "rule_id")
 
 
+def q_array_embeddings(spark, sf_dir):
+    """Slice rules (reference pkg/rules/slice.go): per-item rule set with
+    per-index violation paths + array length bounds."""
+    from protovalidate_spark import Float64, Object, Slice
+    e = _t(spark, sf_dir, "embeddings")
+    e = e.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("vec"))
+    rs = (Object().with_unknown()
+          .with_key("vec", Slice().with_item_rule_set(Float64().max(0.25))
+                    .min_len(64)))
+    v = rs.violations(e, row_key_cols=["vec_id"])
+    return v.select("vec_id", "field_path", "rule_id")
+
+
+def q_coerce_str_int16(spark, sf_dir):
+    """Lossless-checked string→int16 coercion (reference
+    number_coerce.go:17-73): non-numeric and width-overflow ⇒ TYPE,
+    rules suppressed on coercion failure."""
+    from protovalidate_spark import Int16, Object
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    sval = (F.when(k % 7 == 3, F.lit("99999"))       # > int16 max
+             .when(k % 11 == 5, F.lit("12x4"))        # not a number
+             .otherwise((k % 100).cast("string")))
+    df = o.select("o_orderkey", sval.alias("sval"))
+    rs = Object().with_unknown().with_key("sval", Int16().min(0))
+    v = rs.violations(df, row_key_cols=["o_orderkey"])
+    return v.select("o_orderkey", "field_path", "rule_id")
+
+
+def q_time_layout_orders(spark, sf_dir):
+    """String→time with a cumulative layout list, first match wins
+    (reference time/time.go:134-152,205-224) + MAX bound."""
+    import datetime as dt
+    from protovalidate_spark import Object, Time
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    od = (F.when(k % 5 == 2, F.date_format("o_orderdate", "dd.MM.yyyy"))
+           .when(k % 7 == 3, F.lit("not-a-date"))
+           .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd")))
+    df = o.select("o_orderkey", od.alias("od"))
+    rs = (Object().with_unknown()
+          .with_key("od", Time().with_layouts("yyyy-MM-dd", "dd.MM.yyyy")
+                    .max(dt.datetime(1997, 1, 1))))
+    v = rs.violations(df, row_key_cols=["o_orderkey"])
+    return v.select("o_orderkey", "field_path", "rule_id")
+
+
+def q_unique_salted(spark, sf_dir):
+    """Salted two-phase uniqueness (north_rule: explicit skew salting) —
+    must produce byte-identical results to the unsalted path."""
+    from protovalidate_spark.dataset import unique_violations
+    o = _t(spark, sf_dir, "orders")
+    v = unique_violations(o, ["o_custkey"], row_key_cols=["o_orderkey"],
+                          salt_buckets=16)
+    return v.select("o_orderkey", "field_path", "rule_id")
+
+
+def q_json_props_events(spark, sf_dir):
+    """WithJson (reference object.go:818-846): parse a JSON string column
+    into declared keys, then per-key rules."""
+    from protovalidate_spark import Int64, Object
+    e = _t(spark, sf_dir, "events")
+    rs = (Object().with_json("props")
+          .with_key("k", Int64().min(10)))
+    v = rs.violations(e, row_key_cols=["event_id"])
+    return v.select("event_id", "field_path", "rule_id")
+
+
+def q_ip_customer(spark, sf_dir):
+    """net-package IP rule set: v4/v6 format + public-only classification
+    (reference net/rule_ip_public_private.go:12-99)."""
+    from protovalidate_spark import IP, Object
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ip = (F.when(k % 7 == 3, F.lit("10.0.0.5"))     # private v4
+           .when(k % 11 == 5, F.lit("256.1.2.3"))    # invalid
+           .when(k % 13 == 6, F.lit("fe80::1"))      # link-local v6
+           .otherwise(F.lit("8.8.8.8")))
+    df = c.select("c_custkey", ip.alias("ip"))
+    rs = Object().with_unknown().with_key("ip", IP().with_public_only())
+    v = rs.violations(df, row_key_cols=["c_custkey"])
+    return v.select("c_custkey", "field_path", "rule_id")
+
+
 def q_email_customer(spark, sf_dir):
     """net-package Email rule set (reference pkg/rules/net/email.go) over a
     deterministic derived email column: valid / bad-domain-label /
@@ -304,6 +389,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_returnflag": q_psi_returnflag,
         "email_customer": q_email_customer,
         "uri_orders": q_uri_orders,
+        "array_embeddings": q_array_embeddings,
+        "coerce_str_int16": q_coerce_str_int16,
+        "time_layout_orders": q_time_layout_orders,
+        "unique_salted": q_unique_salted,
+        "json_props_events": q_json_props_events,
+        "ip_customer": q_ip_customer,
         "clips_scalar_rules": q_clips_scalar_rules,
         "clips_unique": q_clips_unique,
         "clips_ref_codec": q_clips_ref_codec,
@@ -408,6 +499,59 @@ def oracle_sql() -> dict[str, str]:
                               GREATEST(COALESCE(b.p, 0), 1e-6) pb
                          FROM a FULL JOIN b ON a.v = b.v)
             SELECT ROUND(SUM((pb - pa) * LN(pb / pa)), 6) AS psi FROM j
+        """,
+        "array_embeddings": """
+            SELECT vec_id, '/vec/' || CAST(s.i - 1 AS VARCHAR) AS field_path,
+                   'MAX' AS rule_id
+              FROM (SELECT vec_id,
+                           unnest(list_transform(embedding,
+                                                 (x, i) -> {'x': x, 'i': i})) s
+                      FROM embeddings) t
+             WHERE CAST(s.x AS DOUBLE) > 0.25
+            UNION ALL
+            SELECT vec_id, '/vec', 'MIN_LEN' FROM embeddings
+             WHERE len(embedding) < 64
+        """,
+        "coerce_str_int16": """
+            SELECT o_orderkey, '/sval' AS field_path, 'TYPE' AS rule_id
+              FROM orders
+             WHERE o_orderkey % 7 = 3
+                OR (o_orderkey % 7 <> 3 AND o_orderkey % 11 = 5)
+        """,
+        "time_layout_orders": """
+            SELECT o_orderkey, '/od' AS field_path, 'TYPE' AS rule_id
+              FROM orders
+             WHERE o_orderkey % 5 <> 2 AND o_orderkey % 7 = 3
+            UNION ALL
+            SELECT o_orderkey, '/od', 'MAX' FROM orders
+             WHERE (o_orderkey % 5 = 2 OR o_orderkey % 7 <> 3)
+               AND o_orderdate > TIMESTAMP '1997-01-01 00:00:00'
+        """,
+        "unique_salted": """
+            SELECT o_orderkey, '/o_custkey' AS field_path, 'UNIQUE' AS rule_id
+              FROM orders
+             WHERE o_custkey IN (SELECT o_custkey FROM orders
+                                 WHERE o_custkey IS NOT NULL
+                                 GROUP BY 1 HAVING COUNT(*) > 1)
+        """,
+        "json_props_events": """
+            SELECT event_id, '/k' AS field_path, 'MIN' AS rule_id
+              FROM events
+             WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 10
+        """,
+        "ip_customer": """
+            SELECT c_custkey, '/ip' AS field_path, 'DENIED' AS rule_id
+              FROM customer WHERE c_custkey % 7 = 3
+            UNION ALL
+            SELECT c_custkey, '/ip', 'PATTERN' FROM customer
+             WHERE c_custkey % 7 <> 3 AND c_custkey % 11 = 5
+            UNION ALL
+            SELECT c_custkey, '/ip', 'DENIED' FROM customer
+             WHERE c_custkey % 7 <> 3 AND c_custkey % 11 = 5
+            UNION ALL
+            SELECT c_custkey, '/ip', 'DENIED' FROM customer
+             WHERE c_custkey % 7 <> 3 AND c_custkey % 11 <> 5
+               AND c_custkey % 13 = 6
         """,
         "email_customer": """
             SELECT c_custkey, '/email' AS field_path, 'PATTERN' AS rule_id

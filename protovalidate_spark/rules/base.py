@@ -271,6 +271,19 @@ class RuleSet:
             out = F.when(presence, out).otherwise(typed_empty_array())
         return out
 
+    def output(self, value: Column) -> Column:
+        """Output formatting applied by ``ObjectRuleSet.apply`` after
+        coercion (reference output assignment, e.g. WithOutputLayout /
+        WithFixedOutput). Default: identity."""
+        return value
+
+    def coerced(self, col: Column, input_type: str) -> Column:
+        """The typed output value for ``col``: coerced where the lossless
+        check passes, NULL otherwise (the reference never assigns on
+        coercion failure, string.go:149-174)."""
+        value, cast_ok, _ = self.coerce(col, input_type)
+        return F.when(cast_ok, self.output(value)).otherwise(F.lit(None))
+
     def compile_predicate(self, col: Column, input_type: Optional[str] = None) -> Column:
         """Evaluate-only form (reference Evaluate, string.go:182-203):
         boolean Column, True iff value passes all rules (ignoring coercion

@@ -111,6 +111,7 @@ class FloatRuleSet(RuleSet, ComparableMixin, MembershipMixin):
     width: str = "float64"
     rounding: Optional[str] = None
     precision: int = 0
+    fixed_output: Optional[int] = None
 
     SPARK_TYPE: str = "double"
 
@@ -118,6 +119,16 @@ class FloatRuleSet(RuleSet, ComparableMixin, MembershipMixin):
         if mode not in ROUND_FUNCS and mode != "none":
             raise CompileError(f"unknown rounding mode {mode!r}")
         return self._clone(rounding=mode, precision=precision)
+
+    def with_fixed_output(self, precision: int) -> "FloatRuleSet":
+        """Fixed-precision string output on assignment (reference
+        WithFixedOutput, rounding.go:71-78; format number_coerce.go:89-127)."""
+        return self._clone(fixed_output=precision)
+
+    def output(self, value: Column) -> Column:
+        if self.fixed_output is not None:
+            return F.format_number(value, self.fixed_output)
+        return value
 
     def coerce(self, col: Column, input_type: str):
         base_t = input_type.split("(")[0]

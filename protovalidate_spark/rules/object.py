@@ -213,6 +213,37 @@ class ObjectRuleSet(RuleSet):
         one projection appending the violations array."""
         return df.withColumn(violations_col, self.compile_violations_column(df))
 
+    def apply(self, df: DataFrame, violations_col: str = "violations") -> DataFrame:
+        """Full Apply semantics (reference object.go:711-876): coerce →
+        evaluate → ASSIGN. Declared key columns are replaced by their
+        coerced, typed, output-formatted values (NULL where the lossless
+        coercion check failed — the reference never assigns on coercion
+        failure, string.go:149-174); undeclared columns pass through;
+        the violations array (computed on the ORIGINAL values) is
+        appended. One projection, same scan."""
+        dtypes = dict(df.dtypes)
+        violations = self.compile_violations_column(df)
+        specs = {s.name: s for s in self._resolve_keys(df.columns, dtypes)
+                 if s.name in dtypes}
+        cols = []
+        for c in df.columns:
+            s = specs.get(c)
+            if s is not None and s.rule_set.SPARK_TYPE not in ("struct", "any"):
+                cols.append(s.rule_set.coerced(F.col(c), dtypes[c]).alias(c))
+            else:
+                cols.append(F.col(c))
+        if self.from_json:
+            # parsed keys appended as typed top-level columns
+            ddl = ", ".join(
+                f"{s.name} {s.rule_set.SPARK_TYPE}"
+                for s in self._resolve_keys(df.columns, dtypes)
+                if s.rule_set.SPARK_TYPE not in ("struct", "any", "array"))
+            parsed = F.from_json(F.col(self.json_source), ddl)
+            for s in self._resolve_keys(df.columns, dtypes):
+                if s.rule_set.SPARK_TYPE not in ("struct", "any", "array"):
+                    cols.append(parsed[s.name].alias(s.name))
+        return df.select(*cols, violations.alias(violations_col))
+
     def violations(self, df: DataFrame, row_key_cols=(), extra_cols=()) -> DataFrame:
         """Exploded violation rows: (row keys..., field_path, rule_id,
         message, actual) — the reference's ValidationErrorCollection

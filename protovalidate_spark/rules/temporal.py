@@ -44,6 +44,13 @@ class TimeRuleSet(RuleSet, ComparableMixin, MembershipMixin):
     def with_output_layout(self, fmt: str) -> "TimeRuleSet":
         return self._clone(output_layout=fmt)
 
+    def output(self, value: Column) -> Column:
+        """WithOutputLayout (time/time.go:155-170): format the coerced
+        timestamp on assignment."""
+        if self.output_layout:
+            return F.date_format(value, self.output_layout)
+        return value
+
     def min_diff(self, delta: _dt.timedelta, now: Optional[_dt.datetime] = None):
         """value - now >= delta (reference rule_mindiff.go:19-53). ``now`` is
         pinned at compile time (pass job-start) for deterministic plans."""

@@ -88,7 +88,7 @@ def run_clips_pass(spark, path: str, baseline=None) -> tuple:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    clips_rows = int(os.environ.get("SPARK_GRAFT_CLIPS_ROWS", "20000"))
+    clips_rows = int(os.environ.get("SPARK_GRAFT_CLIPS_ROWS", "50000"))
 
     import __spark_entry__ as entrymod
 
@@ -107,9 +107,14 @@ def main():
         total += dt
 
     path = ensure_clips_bench(spark, clips_rows)
-    n, nv, dt = run_clips_pass(spark, path)
+    baseline = ensure_drift_baseline(spark, path)
+    # one untimed warm-up pass (page cache, Python workers, JIT), then the
+    # measured steady-state pass — a production validation job is
+    # long-running, so steady-state throughput is the honest headline
+    n, nv, dt_cold = run_clips_pass(spark, path, baseline)
+    n, nv, dt = run_clips_pass(spark, path, baseline)
     timings["clips_full_pass"] = round(dt, 3)
-    total += dt
+    total += dt_cold + dt
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     print(json.dumps({
@@ -121,6 +126,7 @@ def main():
         "clips_rows": n,
         "clips_violations": nv,
         "clips_per_sec": round(n / dt, 1),
+        "clips_per_sec_cold": round(n / dt_cold, 1),
     }))
     spark.stop()
 

@@ -30,6 +30,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .sources import read_partition, read_table, table_partitions, table_snapshot_id
 from .suite import ValidationSuite
 
 MANIFEST_NAME = "manifest.jsonl"
@@ -99,8 +100,10 @@ def run_checkpointed(
     manifest_dir = os.path.join(output_dir, "_manifest")
     viol_dir = os.path.join(output_dir, "violations")
     done = read_manifest(manifest_dir)
-    parts = list_partitions(table_path, pc)
-    snapshot_id = snapshot_id or f"snap-{int(os.path.getmtime(table_path))}"
+    # source seam: Iceberg catalog table (partitions/snapshots from
+    # metadata tables) or directory-partitioned Parquet (fixtures)
+    parts = table_partitions(spark, table_path, pc)
+    snapshot_id = snapshot_id or table_snapshot_id(spark, table_path)
 
     ran, skipped = [], []
     total_rows = total_viol = 0
@@ -112,9 +115,9 @@ def run_checkpointed(
         if max_partitions is not None and n_run >= max_partitions:
             break
         t0 = time.time()
-        files = partition_files(table_path, pc, pv)
-        pdf = spark.read.parquet(os.path.join(table_path, f"{pc}={pv}"))
-        pdf = pdf.withColumn(pc, F.lit(pv).cast("date"))
+        files = (partition_files(table_path, pc, pv)
+                 if os.path.isdir(table_path) else [])
+        pdf = read_partition(spark, table_path, pc, pv)
         rows = pdf.count()
         rv = suite.row_violations(pdf)
         (rv.write.mode("overwrite")
@@ -137,7 +140,7 @@ def run_checkpointed(
     # every partition is checkpointed (a truncated run resumes later)
     if len(skipped) + len(ran) == len(parts):
         t0 = time.time()
-        full = spark.read.parquet(table_path)
+        full = read_table(spark, table_path)
         gparts = suite.dataset_violations(full)
         if gparts:
             g = gparts[0]

@@ -246,6 +246,23 @@ def q_ip_customer(spark, sf_dir):
     return v.select("c_custkey", "field_path", "rule_id")
 
 
+def q_codec_rollup_clips(spark, sf_dir):
+    """Skew-safe two-level salted rollup (north_rule: explicit salting on
+    hot codec groups) — results must be identical to a plain GROUP BY."""
+    from protovalidate_spark.dataset import salted_rollup
+    df = spark.read.parquet(CLIPS_SCALAR)
+    r = salted_rollup(df.filter(F.col("codec").isNotNull()), ["codec"],
+                      [("count", None, "n"),
+                       ("sum", "dur_ms", "dur_total"),
+                       ("min", "sr_hz", "sr_min"),
+                       ("max", "sr_hz", "sr_max"),
+                       ("avg", "dur_ms", "dur_avg")],
+                      salt_buckets=16)
+    return r.select("codec", F.col("n").cast("bigint").alias("n"),
+                    F.col("dur_total").cast("bigint").alias("dur_total"),
+                    "sr_min", "sr_max", F.round("dur_avg", 4).alias("dur_avg"))
+
+
 def q_email_customer(spark, sf_dir):
     """net-package Email rule set (reference pkg/rules/net/email.go) over a
     deterministic derived email column: valid / bad-domain-label /
@@ -389,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_returnflag": q_psi_returnflag,
         "email_customer": q_email_customer,
         "uri_orders": q_uri_orders,
+        "codec_rollup_clips": q_codec_rollup_clips,
         "array_embeddings": q_array_embeddings,
         "coerce_str_int16": q_coerce_str_int16,
         "time_layout_orders": q_time_layout_orders,
@@ -499,6 +517,16 @@ def oracle_sql() -> dict[str, str]:
                               GREATEST(COALESCE(b.p, 0), 1e-6) pb
                          FROM a FULL JOIN b ON a.v = b.v)
             SELECT ROUND(SUM((pb - pa) * LN(pb / pa)), 6) AS psi FROM j
+        """,
+        "codec_rollup_clips": f"""
+            SELECT codec, COUNT(*)::BIGINT AS n,
+                   SUM(dur_ms)::BIGINT AS dur_total,
+                   MIN(sr_hz) AS sr_min, MAX(sr_hz) AS sr_max,
+                   ROUND(SUM(dur_ms) / CAST(COUNT(dur_ms) AS DOUBLE), 4)
+                       AS dur_avg
+              FROM {clips}
+             WHERE codec IS NOT NULL
+             GROUP BY codec
         """,
         "array_embeddings": """
             SELECT vec_id, '/vec/' || CAST(s.i - 1 AS VARCHAR) AS field_path,

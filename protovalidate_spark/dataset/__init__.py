@@ -5,3 +5,4 @@ from .drift import (  # noqa: F401
     drift_violations, histogram, histogram_counts, ks_stat, load_snapshot,
     psi, save_snapshot, snapshot,
 )
+from .rollup import salted_rollup  # noqa: F401

@@ -35,6 +35,15 @@ def stream_violations(stream_df: DataFrame, rules: ObjectRuleSet,
     return rules.violations(stream_df, row_key_cols=row_key_cols)
 
 
+def stream_suite_violations(stream_df: DataFrame, suite) -> DataFrame:
+    """A ValidationSuite's ROW-LEVEL pass (rules + Arrow decode stage +
+    consistency rules) over a stream. The decode pandas UDF is stateless,
+    so the exact batch plan runs per micro-batch; dataset-level checks
+    need state → use :func:`windowed_unique_violations` or the batch
+    runner over closed partitions."""
+    return suite.row_violations(stream_df)
+
+
 def windowed_unique_violations(
     stream_df: DataFrame, key_col: str, ts_col: str,
     window: str = "10 minutes", watermark: str = "10 minutes",

@@ -92,3 +92,30 @@ def test_windowed_unique(spark, stream_src, tmp_path):
     assert got[0]["clip_id"] == "clip-0000000001"
     assert got[0]["dup_count"] == 2
     assert got[0]["rule_id"] == "UNIQUE"
+
+
+def test_stream_suite_row_pass_with_decode(spark, tmp_path):
+    """The full row-level suite pass (incl. the Arrow decode stage and
+    consistency rules) over a stream matches the batch pass."""
+    from protovalidate_spark.clips import clips_suite
+    from protovalidate_spark.fixtures import TINY, clips_df
+    from protovalidate_spark.streaming import stream_suite_violations
+
+    src = str(tmp_path / "clips_src")
+    batch = clips_df(spark, TINY)
+    batch.write.mode("overwrite").parquet(src)
+    suite = clips_suite(spark)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    v = stream_suite_violations(stream, suite)
+    out, ckpt = str(tmp_path / "o4"), str(tmp_path / "c4")
+    q = (v.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r["row_idx"], r["field_path"], r["rule_id"])
+           for r in spark.read.parquet(out).collect()}
+    want = {(r["row_idx"], r["field_path"], r["rule_id"])
+            for r in suite.row_violations(batch).collect()}
+    assert got == want and len(want) > 0

@@ -1,0 +1,71 @@
+"""Physical-plan regression tests — the scale-readiness properties the
+engine claims (SURVEY.md §4) asserted against `.explain` output:
+
+- ONE Arrow decode stage per pass (guards the InferFiltersFromGenerate
+  double-evaluation regression fixed in rules/object.py),
+- broadcast anti-join for referential checks (zero fact-side shuffle),
+- two-phase aggregation for uniqueness (map-side partials),
+- parquet column pruning: key-only checks must not read ``bytes``.
+"""
+
+from protovalidate_spark.clips import clips_suite
+from protovalidate_spark.dataset import ref_violations, unique_violations
+from protovalidate_spark.fixtures import TINY, write_clips
+
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def clips_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "clips")
+    write_clips(spark, path, TINY)
+    return path
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_row_pass_has_single_decode_stage(spark, clips_path):
+    df = spark.read.parquet(clips_path)
+    plan = _plan(clips_suite(spark).row_violations(df))
+    assert plan.count("ArrowEvalPython") == 1, (
+        "decode UDF must run exactly once per row — a second "
+        "ArrowEvalPython means an optimizer rule duplicated the "
+        "violations expression (see rules/object.py violations())")
+
+
+def test_referential_is_broadcast_anti_join(spark, clips_path):
+    df = spark.read.parquet(clips_path)
+    dim = spark.createDataFrame([("wav",), ("mp3",)], "codec string")
+    plan = _plan(ref_violations(df, "codec", dim, "codec",
+                                row_key_cols=["row_idx"]))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan  # no fact-side shuffle
+
+
+def test_unique_has_partial_aggregation(spark, clips_path):
+    df = spark.read.parquet(clips_path)
+    plan = _plan(unique_violations(df, ["clip_id"], row_key_cols=["row_idx"]))
+    # partial + final HashAggregate pair around one shuffle of counts
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan  # dup-keys join-back is broadcast
+
+
+def test_key_checks_prune_bytes_column(spark, clips_path):
+    df = spark.read.parquet(clips_path)
+    plan = _plan(unique_violations(df, ["clip_id"], row_key_cols=["row_idx"]))
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan and all("bytes" not in l for l in scan), (
+        "uniqueness reads only the key/row-key columns; scanning the "
+        "audio payload would multiply the check's I/O by ~1000x")
+
+
+def test_histogram_is_single_shuffle(spark, clips_path):
+    # the drift building block: partial-agg'd groupBy(bucket) — the only
+    # shuffle payload is (bucket, cnt), O(buckets) per partition
+    from protovalidate_spark.dataset import histogram_counts
+    df = spark.read.parquet(clips_path)
+    plan = _plan(histogram_counts(df, "dur_ms", 0, 2000, 32))
+    assert plan.count("Exchange") <= 1

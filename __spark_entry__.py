@@ -230,6 +230,20 @@ def q_json_props_events(spark, sf_dir):
     return v.select("event_id", "field_path", "rule_id")
 
 
+def q_map_props_events(spark, sf_dir):
+    """MapType-column validation (reference Map[K,V](), object.go:112-128):
+    dynamic-key rule set over every entry of a map<string,bigint>."""
+    from protovalidate_spark import Int64, Map, Object
+    e = _t(spark, sf_dir, "events")
+    df = e.select("event_id",
+                  F.from_json("props", "map<string,bigint>").alias("props"))
+    rs = (Object().with_unknown()
+          .with_key("props", Map().with_unknown()
+                    .with_dynamic_key(".*", Int64().min(10))))
+    v = rs.violations(df, row_key_cols=["event_id"])
+    return v.select("event_id", "field_path", "rule_id")
+
+
 def q_ip_customer(spark, sf_dir):
     """net-package IP rule set: v4/v6 format + public-only classification
     (reference net/rule_ip_public_private.go:12-99)."""
@@ -412,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_layout_orders": q_time_layout_orders,
         "unique_salted": q_unique_salted,
         "json_props_events": q_json_props_events,
+        "map_props_events": q_map_props_events,
         "ip_customer": q_ip_customer,
         "clips_scalar_rules": q_clips_scalar_rules,
         "clips_unique": q_clips_unique,
@@ -564,6 +579,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_props_events": """
             SELECT event_id, '/k' AS field_path, 'MIN' AS rule_id
+              FROM events
+             WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 10
+        """,
+        "map_props_events": """
+            SELECT event_id, '/props/k' AS field_path, 'MIN' AS rule_id
               FROM events
              WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 10
         """,

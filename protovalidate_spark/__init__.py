@@ -9,8 +9,9 @@ distribution drift, audio decode) per SURVEY.md / BASELINE.json.
 from .errors import Code, CompileError  # noqa: F401
 from .rules import (  # noqa: F401
     IP, URI, Any, Binary, Bool, Constant, Domain, Duration, Email,
-    Float32, Float64, Int, Int8, Int16, Int32, Int64, Object, ObjectRule,
-    Query, Slice, String, Time, Uint8, Uint16, Uint32, Uint64,
+    Float32, Float64, Int, Int8, Int16, Int32, Int64, Interface, Map,
+    MapOfStrings, Object, ObjectRule, Query, Slice, String, Time, Uint8,
+    Uint16, Uint32, Uint64,
 )
 
 __version__ = "0.1.0"

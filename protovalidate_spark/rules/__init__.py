@@ -10,7 +10,8 @@ from .boolean import Bool, BoolRuleSet  # noqa: F401
 from .temporal import Duration, DurationRuleSet, Time, TimeRuleSet  # noqa: F401
 from .binary import Binary, BinaryRuleSet  # noqa: F401
 from .array_ import ArrayRuleSet, Slice  # noqa: F401
-from .misc import Any, AnyRuleSet, Constant, ConstantRuleSet  # noqa: F401
+from .map_ import Map, MapOfStrings, MapRuleSet  # noqa: F401
+from .misc import Any, AnyRuleSet, Constant, ConstantRuleSet, Interface  # noqa: F401
 from .net import (  # noqa: F401
     IP, URI, Domain, DomainRuleSet, Email, EmailRuleSet, IPRuleSet,
     Query, QueryRuleSet, URIRuleSet,

@@ -1,0 +1,71 @@
+"""MapRuleSet — validation over MapType columns (reference Map[K,V](),
+object.go:112-128; WithKey/WithDynamicKey/WithUnknown over map keys)."""
+
+from pyspark.sql import functions as F
+
+from protovalidate_spark import Code, Int32, String
+from protovalidate_spark.rules import Map, MapOfStrings
+
+
+def triples(spark, rs, data, map_type="map<string,int>"):
+    df = spark.createDataFrame(data, f"i long, m {map_type}")
+    out = df.select("i", F.explode_outer(rs.compile_violations(
+        F.col("m"), "/m", map_type)).alias("e"))
+    return {(r["i"], r["e"]["field_path"], r["e"]["rule_id"])
+            for r in out.collect() if r["e"] is not None}
+
+
+def test_map_fixed_keys(spark):
+    rs = (Map().with_unknown()
+          .with_key("a", Int32().min(5))
+          .with_key("b", Int32().with_required()))
+    data = [(0, {"a": 7, "b": 1}),   # pass
+            (1, {"a": 2, "b": 1}),   # a MIN
+            (2, {"a": 9})]           # b missing -> REQUIRED
+    assert triples(spark, rs, data) == {
+        (1, "/m/a", Code.MIN), (2, "/m/b", Code.REQUIRED)}
+
+
+def test_map_missing_optional_key_passes(spark):
+    rs = Map().with_unknown().with_key("a", Int32().min(5))
+    assert triples(spark, rs, [(0, {"x": 1})]) == set()
+
+
+def test_map_dynamic_keys(spark):
+    rs = (Map().with_unknown()
+          .with_dynamic_key(r"^score_.*", Int32().min(0).max(100)))
+    data = [(0, {"score_a": 50, "other": -5}),   # other not matched
+            (1, {"score_b": 150}),               # MIN? no — MAX... first code is MIN
+            (2, {"score_c": -1})]
+    got = triples(spark, rs, data)
+    assert (1, "/m/score_b", Code.MIN) in got or \
+           (1, "/m/score_b", Code.MAX) in got
+    assert any(t[0] == 2 and t[1] == "/m/score_c" for t in got)
+    assert not any(t[0] == 0 for t in got)
+
+
+def test_map_unknown_keys_flagged(spark):
+    rs = Map().with_key("a", Int32())
+    got = triples(spark, rs, [(0, {"a": 1, "zzz": 2})])
+    assert got == {(0, "/m/zzz", Code.UNEXPECTED)}
+
+
+def test_map_unknown_with_dynamic_not_flagged(spark):
+    rs = (Map().with_key("a", Int32())
+          .with_dynamic_key(r"^x_.*", Int32()))
+    got = triples(spark, rs, [(0, {"a": 1, "x_q": 2, "boom": 3})])
+    assert got == {(0, "/m/boom", Code.UNEXPECTED)}
+
+
+def test_map_null_and_string_values(spark):
+    rs = (MapOfStrings()
+          .with_dynamic_key(r".*", String().min_len(2)))
+    data = [(0, {"k": "ab"}), (1, {"k": "a"}), (2, {"k": None})]
+    got = triples(spark, rs, data, "map<string,string>")
+    assert got == {(1, "/m/k", Code.MIN_LEN), (2, "/m/k", Code.NULL)}
+
+
+def test_map_null_map_column(spark):
+    rs = Map().with_key("a", Int32().with_required())
+    got = triples(spark, rs, [(0, None)])
+    assert got == {(0, "/m", Code.NULL)}

@@ -106,6 +106,19 @@ def q_hist_quantity(spark, sf_dir):
     return histogram_counts(li, "l_quantity", 0.0, 64.0, 32)
 
 
+def q_ks_quantity(spark, sf_dir):
+    """KS statistic between the bucketed l_quantity distributions of two
+    deterministic halves (dataset drift check, dataset/drift.py ks_stat)."""
+    from protovalidate_spark.dataset import histogram, ks_stat
+    li = _t(spark, sf_dir, "lineitem")
+    a = histogram(li.filter(F.col("l_orderkey") % 2 == 0), "l_quantity",
+                  lo=0.0, hi=64.0)
+    b = histogram(li.filter(F.col("l_orderkey") % 2 == 1), "l_quantity",
+                  lo=0.0, hi=64.0)
+    val = round(ks_stat(a, b), 6)
+    return spark.createDataFrame([(val,)], "ks double")
+
+
 def q_psi_returnflag(spark, sf_dir):
     from protovalidate_spark.dataset import histogram, psi
     li = _t(spark, sf_dir, "lineitem")
@@ -418,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ref_customer_nation": q_ref_customer_nation,
         "hist_quantity": q_hist_quantity,
         "psi_returnflag": q_psi_returnflag,
+        "ks_quantity": q_ks_quantity,
         "email_customer": q_email_customer,
         "uri_orders": q_uri_orders,
         "codec_rollup_clips": q_codec_rollup_clips,
@@ -532,6 +546,26 @@ def oracle_sql() -> dict[str, str]:
                               GREATEST(COALESCE(b.p, 0), 1e-6) pb
                          FROM a FULL JOIN b ON a.v = b.v)
             SELECT ROUND(SUM((pb - pa) * LN(pb / pa)), 6) AS psi FROM j
+        """,
+        "ks_quantity": """
+            WITH ha AS (SELECT CASE WHEN l_quantity < 0 THEN 0 WHEN l_quantity >= 64 THEN 33 ELSE FLOOR(l_quantity / 2)::BIGINT + 1 END bk,
+                               COUNT(*)::DOUBLE c
+                          FROM lineitem
+                         WHERE l_orderkey % 2 = 0 AND l_quantity IS NOT NULL
+                         GROUP BY 1),
+                 hb AS (SELECT CASE WHEN l_quantity < 0 THEN 0 WHEN l_quantity >= 64 THEN 33 ELSE FLOOR(l_quantity / 2)::BIGINT + 1 END bk,
+                               COUNT(*)::DOUBLE c
+                          FROM lineitem
+                         WHERE l_orderkey % 2 = 1 AND l_quantity IS NOT NULL
+                         GROUP BY 1),
+                 j AS (SELECT COALESCE(ha.bk, hb.bk) bk,
+                              COALESCE(ha.c, 0) / (SELECT SUM(c) FROM ha) pa,
+                              COALESCE(hb.c, 0) / (SELECT SUM(c) FROM hb) pb
+                         FROM ha FULL JOIN hb ON ha.bk = hb.bk),
+                 c AS (SELECT SUM(pa) OVER (ORDER BY bk) ca,
+                              SUM(pb) OVER (ORDER BY bk) cb
+                         FROM j)
+            SELECT ROUND(MAX(ABS(ca - cb)), 6) AS ks FROM c
         """,
         "codec_rollup_clips": f"""
             SELECT codec, COUNT(*)::BIGINT AS n,

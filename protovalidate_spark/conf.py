@@ -29,6 +29,12 @@ RECOMMENDED = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # audio payloads make rows ~30KB: bigger scan splits mean fewer task
+    # launches and fewer concurrent Arrow streams per executor for the
+    # same bytes (measured ~15% on the clips pass at 32 threads); at
+    # 100 TB this also keeps the task count in the low hundreds of
+    # thousands instead of millions
+    "spark.sql.files.maxPartitionBytes": "536870912",
 }
 
 

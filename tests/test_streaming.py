@@ -103,11 +103,16 @@ def test_stream_suite_row_pass_with_decode(spark, tmp_path):
 
     import shutil
 
+    from protovalidate_spark.fixtures import Profile
+
     for active in spark.streams.active:   # no cross-test stream leakage
         active.stop()
 
     src = str(tmp_path / "clips_src")
-    batch = clips_df(spark, TINY)
+    # 600 rows still hits every injection modulus (smallest hit at
+    # i=485) while keeping Arrow batches small — the full-size TINY
+    # payloads flaked python workers under whole-suite memory pressure
+    batch = clips_df(spark, Profile(n_rows=600, dur_range_ms=400))
     batch.write.mode("overwrite").parquet(src)
     suite = clips_suite(spark)
 

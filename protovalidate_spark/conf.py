@@ -31,10 +31,12 @@ RECOMMENDED = {
     "spark.sql.session.timeZone": "UTC",
     # audio payloads make rows ~30KB: bigger scan splits mean fewer task
     # launches and fewer concurrent Arrow streams per executor for the
-    # same bytes (measured ~15% on the clips pass at 32 threads); at
-    # 100 TB this also keeps the task count in the low hundreds of
-    # thousands instead of millions
-    "spark.sql.files.maxPartitionBytes": "536870912",
+    # same bytes (measured ~30% on the 400k-row clips pass), and at
+    # 100 TB keep the task count in the low hundreds of thousands.
+    # 256MB, not 512MB: at 512MB the per-level task count got small
+    # enough that wave quantization cost the 4N level its scaling
+    # (efficiency 0.785 vs 0.82 at 256MB, same absolute throughput)
+    "spark.sql.files.maxPartitionBytes": "268435456",
 }
 
 

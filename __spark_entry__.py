@@ -408,6 +408,20 @@ def q_simhash_documents(spark, sf_dir):
                              max_hamming=6)
 
 
+def q_ivf_topk_embeddings(spark, sf_dir):
+    """IVF ANN probe: driver-side k-means on a bounded sample, argmax
+    cell assignment, exact cosine within n_probe nearest cells —
+    approximate by design, rows-only."""
+    from protovalidate_spark.pipeline import ivf_topk, train_centroids
+    e = _t(spark, sf_dir, "embeddings")
+    e = e.withColumn("vec", F.transform("embedding",
+                                        lambda x: x.cast("double")))
+    qvec = e.orderBy("vec_id").first()["vec"]
+    C = train_centroids(e, "vec", n_cells=8, sample_rows=2000)
+    return ivf_topk(e, "vec_id", "vec", qvec, C, k=10, n_probe=2) \
+        .select("vec_id", F.round("cosine", 4).alias("cos4"))
+
+
 def q_lsh_topk_embeddings(spark, sf_dir):
     """Hyperplane-LSH ANN probe — approximate by design, rows-only."""
     from protovalidate_spark.pipeline import build_lsh_index, lsh_topk
@@ -456,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup_documents": q_minhash_neardup_documents,
         "simhash_documents": q_simhash_documents,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
     }
 
 

@@ -391,6 +391,19 @@ def q_neardup_embeddings(spark, sf_dir):
         .select("id_a", "id_b", F.round("cosine", 4).alias("cos4"))
 
 
+def q_neardup_embeddings_lsh(spark, sf_dir):
+    """Hyperplane-LSH near-dup (the 100 TB path): sign-bit signature
+    matmul → one shuffle on the bucket → in-bucket pairwise-cosine
+    matmul. Approximate by design (bucketed recall) — rows-only."""
+    from protovalidate_spark.pipeline import embedding_near_dups
+    e = _t(spark, sf_dir, "embeddings")
+    e = e.withColumn("vec", F.transform("embedding",
+                                        lambda x: x.cast("double")))
+    return embedding_near_dups(e, "vec_id", "vec", threshold=0.4,
+                               planes=8, seed=11) \
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cos4"))
+
+
 def q_minhash_neardup_documents(spark, sf_dir):
     """MinHash-LSH candidates verified by exact Jaccard — non-SQL
     (banded signature join), rows-only check."""
@@ -467,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_documents": q_langid_documents,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "neardup_embeddings": q_neardup_embeddings,
+        "neardup_embeddings_lsh": q_neardup_embeddings_lsh,
         "minhash_neardup_documents": q_minhash_neardup_documents,
         "simhash_documents": q_simhash_documents,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,

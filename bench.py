@@ -31,6 +31,9 @@ BENCH_QUERIES = [
     "langid_documents",
     "ann_topk_embeddings",
     "neardup_embeddings",
+    "neardup_embeddings_lsh",
+    "lsh_topk_embeddings",
+    "ivf_topk_embeddings",
     "minhash_neardup_documents",
     "simhash_documents",
 ]
@@ -54,6 +57,51 @@ def ensure_clips_bench(spark, n_rows: int):
         write_clips(spark, path, Profile(n_rows=n_rows, dur_range_ms=800))
         open(marker, "w").close()
     return path
+
+
+def ensure_embeddings_bench(n_rows: int = 20000, dim: int = 64,
+                            planted: int = 200) -> str:
+    """Deterministic embeddings fixture big enough that the O(n²) brute
+    path visibly loses to the bucketed LSH path (at the driver tables'
+    2k vectors both finish in ~1s of overhead). ``planted`` rows are
+    0.005-noise copies of earlier rows so the near-dup result is
+    non-trivial. Written once with pyarrow."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    path = os.path.join(_FIXTURES, "embeddings_bench_N%d.parquet" % n_rows)
+    if not os.path.exists(path):
+        rng = np.random.RandomState(0)
+        X = rng.randn(n_rows, dim)
+        for j in range(planted):
+            X[n_rows - planted + j] = X[j] + rng.randn(dim) * 0.005
+        ids = pa.array(["e%06d" % i for i in range(n_rows)])
+        vecs = pa.FixedSizeListArray.from_arrays(
+            pa.array(X.reshape(-1)), dim).cast(pa.list_(pa.float64()))
+        pq.write_table(pa.table({"vec_id": ids, "vec": vecs}), path)
+    return path
+
+
+def run_neardup_compare(spark, path: str) -> dict:
+    """LSH-vs-brute head-to-head on the same fixture + threshold (the
+    round-1 verdict asked for bench evidence that the bucketed path wins;
+    the LSH recall of planted 0.9999-cosine pairs is checked in
+    tests/test_pipeline.py)."""
+    from protovalidate_spark.pipeline import embedding_near_dups
+    df = spark.read.parquet(path).persist()
+    df.count()
+    out = {}
+    for name, kw in (("neardup_lsh_20k", dict(planes=10, seed=11)),
+                     ("neardup_brute_20k", dict(brute_force=True))):
+        embedding_near_dups(df, "vec_id", "vec", threshold=0.95,
+                            **kw).count()  # warm-up
+        t0 = time.time()
+        n_pairs = embedding_near_dups(df, "vec_id", "vec", threshold=0.95,
+                                      **kw).count()
+        out[name] = round(time.time() - t0, 3)
+        out[name + "_pairs"] = n_pairs
+    df.unpersist()
+    return out
 
 
 def ensure_drift_baseline(spark, path: str):
@@ -105,6 +153,11 @@ def main():
         dt = round(time.time() - t0, 3)
         timings[name] = dt
         total += dt
+
+    nd = run_neardup_compare(spark, ensure_embeddings_bench())
+    timings["neardup_lsh_20k"] = nd["neardup_lsh_20k"]
+    timings["neardup_brute_20k"] = nd["neardup_brute_20k"]
+    total += nd["neardup_lsh_20k"] + nd["neardup_brute_20k"]
 
     path = ensure_clips_bench(spark, clips_rows)
     baseline = ensure_drift_baseline(spark, path)

@@ -75,7 +75,10 @@ def main():
         referential (violations plan) + per-column stats + drift."""
         t0 = time.time()
         violations.count()
-        column_stats(df, STATS_COLS)
+        # noop write FORCES the stats aggregation (a bare call returns a
+        # lazy frame — round-1 discarded it, overstating the pass)
+        column_stats(df, STATS_COLS).write.format("noop") \
+            .mode("overwrite").save()
         drift_violations(df, baseline).count()
         return time.time() - t0
 

@@ -1,13 +1,19 @@
 """Distribution-drift checks: PSI and KS statistic against a baseline
 snapshot (SURVEY.md §2.9; BASELINE.json north_star).
 
-Scale design: drift is computed on HISTOGRAMS, never raw rows. One
-aggregation pass builds 32-bucket equi-width histograms for numeric
-columns (``width_bucket``) and value-frequency tables for categoricals
-(bounded by ``max_categories``) — the shuffle payload is O(buckets), the
-PSI/KS arithmetic runs driver-side on tiny arrays. Skewed categorical
-columns (hot ``codec`` values) are irrelevant here because counts are
-partially aggregated map-side.
+Scale design: drift is computed on HISTOGRAMS, never raw rows, and ALL
+columns' histograms come from ONE aggregation pass (round-1 ran 1-3
+driver actions per column — O(columns) scans of the table). The pass
+stacks (column, bucket-label) pairs row-side, group-counts them (partial
+agg map-side, shuffle payload O(columns x buckets)), and ranks
+categorical values with a window so the driver collects at most
+``max_categories`` rows per column while per-column totals — the
+denominator that also covers the pooled ``__other__`` mass — come from
+the same aggregation instead of a re-scan. Numeric bounds (needed to
+freeze bucket spaces) are a second single aggregation; a full
+``snapshot`` is therefore exactly 2 Spark actions and
+``drift_violations`` against a frozen baseline is 1
+(tests/test_dataset.py pins the action counts).
 """
 
 from __future__ import annotations
@@ -16,7 +22,7 @@ import json
 import math
 from typing import Dict, Optional, Sequence, Tuple
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..errors import Code
@@ -25,45 +31,104 @@ N_BUCKETS = 32
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
 
+def _fix_bounds(lo: Optional[float], hi: Optional[float]) -> Tuple[float, float]:
+    """Degenerate/missing bounds -> a 1-wide bucket space (all-null or
+    constant columns)."""
+    if lo is None or hi is None or not math.isfinite(lo) or lo >= hi:
+        lo = lo if lo is not None and math.isfinite(lo) else 0.0
+        hi = lo + 1.0
+    return float(lo), float(hi)
+
+
+def numeric_bounds(df: DataFrame, cols: Sequence[str]) -> Dict[str, Tuple[float, float]]:
+    """(lo, hi) per numeric column — ONE aggregation for all of them."""
+    dtypes = dict(df.dtypes)
+    num = [c for c in cols if dtypes[c].split("(")[0] in _NUMERIC]
+    if not num:
+        return {}
+    aggs = []
+    for c in num:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"{c}__lo"),
+                 F.max(F.col(c).cast("double")).alias(f"{c}__hi")]
+    r = df.agg(*aggs).collect()[0]
+    return {c: (r[f"{c}__lo"], r[f"{c}__hi"]) for c in num}
+
+
+def histograms(df: DataFrame, cols: Sequence[str],
+               bounds: Optional[Dict[str, Tuple[float, float]]] = None,
+               n_buckets: int = N_BUCKETS,
+               max_categories: int = 1000) -> Dict[str, Dict[str, float]]:
+    """Relative-frequency histograms for ALL ``cols`` in ONE Spark action.
+
+    Numeric columns (which must have frozen ``bounds``) bucket via
+    ``width_bucket`` into labels ``b<i>``; categoricals use the string
+    value, keep the top ``max_categories`` by count and pool the rest
+    into ``__other__`` — the pooled mass is derived from the same
+    aggregation's per-column total, not a second scan.
+    """
+    bounds = bounds or {}
+    dtypes = dict(df.dtypes)
+    entries = []
+    numeric_names = set()
+    for c in cols:
+        dt = dtypes[c].split("(")[0]
+        if dt in _NUMERIC:
+            lo, hi = _fix_bounds(*bounds.get(c, (None, None)))
+            label = F.concat(
+                F.lit("b"),
+                F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi),
+                               F.lit(n_buckets)).cast("bigint").cast("string"))
+            numeric_names.add(c)
+        else:
+            label = F.col(c).cast("string")
+        entries.append(F.struct(F.lit(c).alias("name"),
+                                F.when(F.col(c).isNotNull(), label)
+                                 .alias("label")))
+    pair = F.explode(F.array(*entries)).alias("p")
+    counts = (df.select(pair)
+              .select(F.col("p.name").alias("name"),
+                      F.col("p.label").alias("label"))
+              .filter(F.col("label").isNotNull())
+              .groupBy("name", "label")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("name")
+    ranked = counts.select(
+        "name", "label", "cnt",
+        F.sum("cnt").over(w).alias("total"),
+        F.row_number().over(
+            w.orderBy(F.desc("cnt"), F.col("label"))).alias("rn"))
+    keep = F.col("rn") <= max_categories
+    if numeric_names:  # numeric labels are <= n_buckets+2: keep them all
+        keep = keep | F.col("name").isin(*sorted(numeric_names))
+    kept = ranked.filter(keep)
+    out: Dict[str, Dict[str, float]] = {c: {} for c in cols}
+    totals: Dict[str, int] = {}
+    for r in kept.collect():
+        out[r["name"]][r["label"]] = r["cnt"] / r["total"]
+        totals[r["name"]] = r["total"]
+    for c in cols:
+        if c in numeric_names:
+            continue
+        rest = 1.0 - sum(out[c].values())
+        if rest > 1e-12:
+            out[c]["__other__"] = rest
+    return out
+
+
 def histogram(df: DataFrame, col: str, lo: Optional[float] = None,
               hi: Optional[float] = None, n_buckets: int = N_BUCKETS,
               max_categories: int = 1000) -> Dict[str, float]:
-    """Relative-frequency histogram: bucket-label -> fraction.
-
-    Numeric: ``width_bucket`` over [lo, hi] (bounds from the baseline so the
-    two histograms share buckets). Categorical: value -> fraction, top
-    ``max_categories`` by count, remainder pooled into ``__other__``.
-    """
+    """Single-column wrapper over :func:`histograms` (1 action with frozen
+    bounds / categoricals; +1 bounds pass when numeric bounds absent)."""
     dtype = dict(df.dtypes)[col].split("(")[0]
+    bounds = {}
     if dtype in _NUMERIC:
         if lo is None or hi is None:
-            b = df.agg(F.min(F.col(col).cast("double")),
-                       F.max(F.col(col).cast("double"))).collect()[0]
-            lo = lo if lo is not None else b[0]
-            hi = hi if hi is not None else b[1]
-        if lo is None or hi is None or not math.isfinite(lo) or lo >= hi:
-            hi = (lo or 0.0) + 1.0
-            lo = lo or 0.0
-        rows = (
-            df.filter(F.col(col).isNotNull())
-              .groupBy(F.width_bucket(F.col(col).cast("double"),
-                                      F.lit(float(lo)), F.lit(float(hi)),
-                                      F.lit(n_buckets)).alias("b"))
-              .count().collect()
-        )
-        total = sum(r["count"] for r in rows) or 1
-        return {f"b{int(r['b'])}": r["count"] / total for r in rows}
-    rows = (
-        df.filter(F.col(col).isNotNull())
-          .groupBy(F.col(col).cast("string").alias("v"))
-          .count().orderBy(F.desc("count")).limit(max_categories).collect()
-    )
-    total_all = df.filter(F.col(col).isNotNull()).count() or 1
-    out = {r["v"]: r["count"] / total_all for r in rows}
-    rest = 1.0 - sum(out.values())
-    if rest > 1e-12:
-        out["__other__"] = rest
-    return out
+            blo, bhi = numeric_bounds(df, [col]).get(col, (None, None))
+            lo = lo if lo is not None else blo
+            hi = hi if hi is not None else bhi
+        bounds[col] = (lo, hi)
+    return histograms(df, [col], bounds, n_buckets, max_categories)[col]
 
 
 def histogram_counts(df: DataFrame, col: str, lo: float, hi: float,
@@ -78,19 +143,6 @@ def histogram_counts(df: DataFrame, col: str, lo: float, hi: float,
                                     F.lit(n_buckets)).cast("bigint")
                      .alias("bucket"))
             .agg(F.count(F.lit(1)).alias("cnt")))
-
-
-def numeric_bounds(df: DataFrame, cols: Sequence[str]) -> Dict[str, Tuple[float, float]]:
-    dtypes = dict(df.dtypes)
-    num = [c for c in cols if dtypes[c].split("(")[0] in _NUMERIC]
-    if not num:
-        return {}
-    aggs = []
-    for c in num:
-        aggs += [F.min(F.col(c).cast("double")).alias(f"{c}__lo"),
-                 F.max(F.col(c).cast("double")).alias(f"{c}__hi")]
-    r = df.agg(*aggs).collect()[0]
-    return {c: (r[f"{c}__lo"], r[f"{c}__hi"]) for c in num}
 
 
 def psi(expected: Dict[str, float], actual: Dict[str, float],
@@ -125,12 +177,15 @@ def ks_stat(expected: Dict[str, float], actual: Dict[str, float]) -> float:
 
 def snapshot(df: DataFrame, cols: Sequence[str]) -> Dict[str, dict]:
     """Baseline snapshot: per-column histogram + numeric bounds (the bounds
-    freeze the bucket space for later comparisons). JSON-serializable."""
+    freeze the bucket space for later comparisons). JSON-serializable.
+    Exactly 2 Spark actions regardless of column count."""
     bounds = numeric_bounds(df, cols)
+    fixed = {c: _fix_bounds(*b) for c, b in bounds.items()}
+    hists = histograms(df, cols, fixed)
     out = {}
     for c in cols:
         lo, hi = bounds.get(c, (None, None))
-        out[c] = {"lo": lo, "hi": hi, "hist": histogram(df, c, lo, hi)}
+        out[c] = {"lo": lo, "hi": hi, "hist": hists[c]}
     return out
 
 
@@ -150,11 +205,17 @@ def drift_violations(
 ) -> DataFrame:
     """Dataset-level violation rows (one per drifted column): field_path,
     rule_id=DRIFT, message, actual='psi=..,ks=..'. Not attributable to a
-    single row — row keys are NULL."""
+    single row — row keys are NULL. ONE Spark action for all columns
+    (bucket spaces are frozen by the baseline's stored bounds)."""
     spark = df.sparkSession
+    cols = list(baseline.keys())
+    bounds = {c: _fix_bounds(s.get("lo"), s.get("hi"))
+              for c, s in baseline.items()
+              if dict(df.dtypes)[c].split("(")[0] in _NUMERIC}
+    hists = histograms(df, cols, bounds)
     rows = []
     for c, snap in baseline.items():
-        cur = histogram(df, c, snap.get("lo"), snap.get("hi"))
+        cur = hists[c]
         p = psi(snap["hist"], cur)
         k = ks_stat(snap["hist"], cur)
         if p > psi_threshold or k > ks_threshold:

@@ -192,12 +192,22 @@ def ngram_jaccard_dedup(df: DataFrame, id_col: str, text_col: str,
     The shingle stage (normalize + tokenize + n-gram assembly, the
     expensive Arrow kernel) is computed ONCE and persisted — candidate
     generation and both sides of the verification join read the cached
-    frame instead of re-shingling the corpus (4 passes → 1)."""
+    frame instead of re-shingling the corpus (4 passes → 1).
+
+    The verified-pairs result (tiny vs the corpus) is eagerly
+    materialized via ``localCheckpoint`` so the shingle cache can be
+    unpersisted HERE instead of leaking for the session lifetime;
+    checkpoint blocks are GC-cleaned with the returned frame."""
     sh = shingles_frame(df, id_col, text_col, shingle_n).persist()
-    cand = minhash_lsh_candidates(df, id_col, text_col,
-                                  shingle_n=shingle_n, shingles=sh, **lsh_kw)
-    return jaccard_pairs(df, id_col, text_col, cand, shingle_n, threshold,
-                         shingles=sh)
+    try:
+        cand = minhash_lsh_candidates(df, id_col, text_col,
+                                      shingle_n=shingle_n, shingles=sh,
+                                      **lsh_kw)
+        out = jaccard_pairs(df, id_col, text_col, cand, shingle_n, threshold,
+                            shingles=sh)
+        return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -260,7 +270,13 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
 
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float> columns, JVM-side
-    (zip_with dot product + aggregate norms)."""
+    (zip_with dot product + aggregate norms).
+
+    Utility for ad-hoc expressions over a handful of rows ONLY —
+    higher-order functions are interpreted per element outside
+    whole-stage codegen, so every hot path (signatures, in-bucket
+    verification, query probes) uses the Arrow-batched matmul kernels in
+    this module / pipeline.similarity instead (measured 40x gap)."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
@@ -329,35 +345,38 @@ def embedding_near_dups(df: DataFrame, id_col: str, vec_col: str,
     within buckets only (the 100 TB path)."""
     if brute_force:
         return _brute_force_near_dups(df, id_col, vec_col, threshold)
+    from .similarity import hyperplane_signature
+
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     dim = len(base.select("__v").first()[0])
     rng = np.random.RandomState(seed)
     hp = rng.randn(planes, dim)
-    sig = F.concat(*[
-        F.when(F.aggregate(
-            F.zip_with(F.col("__v"),
-                       F.array(*[F.lit(float(x)) for x in hp[p]]),
-                       lambda u, w: u * w),
-            F.lit(0.0), lambda acc, v: acc + v) >= 0,
-            F.lit("1")).otherwise(F.lit("0"))
-        for p in range(planes)])
-    # norm computed ONCE per row before the join (2n array traversals),
-    # not per pair (2n² with the naive form) — per-pair work is one dot
-    norm1 = F.sqrt(F.aggregate(F.transform(F.col("__v"), lambda x: x * x),
-                               F.lit(0.0), lambda acc, v: acc + v))
-    bucketed = base.select("__id", "__v", sig.alias("bucket"),
-                           norm1.alias("__n"))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    pairs = a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.__id") < F.col("b.__id")))
-    dot = F.aggregate(F.zip_with(F.col("a.__v"), F.col("b.__v"),
-                                 lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    sim = F.when((F.col("a.__n") > 0) & (F.col("b.__n") > 0),
-                 dot / (F.col("a.__n") * F.col("b.__n"))) \
-           .otherwise(F.lit(0.0))
-    return (pairs.withColumn("__sim", sim)
-            .filter(F.col("__sim") >= threshold)  # threshold on UNrounded
-            .select(F.col("a.__id").alias("id_a"),
-                    F.col("b.__id").alias("id_b"),
-                    F.round("__sim", 6).alias("cosine")))
+    bucketed = base.select(
+        "__id", "__v",
+        hyperplane_signature(base, "__v", hp).alias("bucket"),
+    ).filter(F.col("bucket").isNotNull())
+
+    # In-bucket verification: ONE shuffle on the signature, then each
+    # bucket computes its pairwise-cosine block with a single float64
+    # matmul (Arrow-batched applyInPandas). Replaces the self-join whose
+    # per-pair dot was an interpreted aggregate/zip_with lambda — and
+    # shuffles each vector once instead of twice (no a/b join sides).
+    id_t = dict(df.dtypes)[id_col]
+    schema = f"id_a {id_t}, id_b {id_t}, cosine double"
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        X = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        ids = pdf["__id"].to_numpy()
+        n = np.linalg.norm(X, axis=1)
+        denom = n[:, None] * n[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom > 0, (X @ X.T) / denom, 0.0)
+        mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(mask)
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi],
+                             "cosine": sims[ai, bi]})
+
+    return (bucketed.groupBy("bucket").applyInPandas(bucket_pairs, schema)
+            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))

@@ -1,5 +1,15 @@
 """Approximate-nearest-neighbor search over an embedding column
 (driver brief: brute-force cosine top-k baseline + LSH/IVF scale path).
+
+Kernel design (100 TB): every per-vector computation — cosine against a
+query, hyperplane sign-bit signatures, IVF cell assignment — is ONE
+Arrow-batched numpy matmul per batch against a small broadcast matrix.
+Higher-order Column functions (``aggregate``/``zip_with``) are evaluated
+per element outside whole-stage codegen and build O(planes|cells) plan
+nodes; measured 40x slower than the matmul on round-1 fixtures
+(pipeline/dedup.py brute-force notes), and at realistic IVF sizes
+(1k-64k cells) the expression-per-centroid plan does not even compile
+sensibly. tests/test_pipeline.py pins the physical plans HOF-free.
 """
 
 from __future__ import annotations
@@ -7,40 +17,104 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
-from pyspark.sql import DataFrame
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
-from .dedup import cosine_sim
+
+def _matrix(batch: pd.Series, dim: int) -> tuple:
+    """(X, valid): stack an Arrow batch of array<double> into an (n, dim)
+    float64 matrix. Fast path is one ``np.stack`` (null-free, equal-dim —
+    the overwhelmingly common case); ragged/null batches fall back to a
+    guarded row loop with invalid rows zeroed + masked."""
+    vals = batch.values
+    try:
+        X = np.stack(vals).astype(np.float64, copy=False)
+        if X.ndim == 2 and X.shape[1] == dim:
+            return X, np.ones(len(vals), dtype=bool)
+    except (ValueError, TypeError):
+        pass
+    X = np.zeros((len(vals), dim), dtype=np.float64)
+    valid = np.zeros(len(vals), dtype=bool)
+    for i, v in enumerate(vals):
+        if v is not None and len(v) == dim:
+            X[i] = v
+            valid[i] = True
+    return X, valid
 
 
-def _query_lit(query_vec: Sequence[float]):
-    return F.array(*[F.lit(float(x)) for x in query_vec])
+def cosine_to_query(df: DataFrame, vec_col: str,
+                    query_vec: Sequence[float]) -> Column:
+    """Cosine similarity of ``vec_col`` against a fixed query vector as a
+    vectorized Arrow kernel: one ``X @ q`` per batch. The query is tiny
+    (one row) so it rides the task closure; invalid/null vectors → 0.0."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    dim = len(q)
+
+    def _cos(batch: pd.Series) -> pd.Series:
+        X, valid = _matrix(batch, dim)
+        nx = np.linalg.norm(X, axis=1)
+        denom = nx * qn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where((denom > 0) & valid, (X @ q) / denom, 0.0)
+        return pd.Series(sims)
+
+    return pandas_udf(_cos, T.DoubleType())(F.col(vec_col))
 
 
 def cosine_topk(df: DataFrame, id_col: str, vec_col: str,
                 query_vec: Sequence[float], k: int = 10) -> DataFrame:
-    """Brute-force cosine top-k: one map stage (JVM-side zip_with dot
-    product) + a global top-k (Spark's orderBy+limit compiles to
+    """Brute-force cosine top-k: one vectorized map stage (Arrow-batched
+    matmul against the query) + a global top-k (orderBy+limit compiles to
     TakeOrderedAndProject — per-partition heaps, O(k) shuffle, no full
     sort). The scan-everything baseline."""
-    sim = cosine_sim(F.col(vec_col), _query_lit(query_vec))
+    sim = cosine_to_query(df, vec_col, query_vec)
     return (df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
               .orderBy(F.desc("cosine"), F.col(id_col))
               .limit(k))
 
 
-def hyperplane_signature(vec_col, planes: np.ndarray):
-    return F.concat(*[
-        F.when(F.aggregate(
-            F.zip_with(vec_col, F.array(*[F.lit(float(x)) for x in p]),
-                       lambda u, w: u * w),
-            F.lit(0.0), lambda acc, v: acc + v) >= 0,
-            F.lit("1")).otherwise(F.lit("0"))
-        for p in planes])
+def hyperplane_signature(df: DataFrame, vec_col: str,
+                         planes: np.ndarray) -> Column:
+    """Sign-bit LSH signature packed into ONE bigint: bit i set iff
+    ``v @ planes[i] >= 0``. One ``X @ H.T`` matmul per Arrow batch against
+    the broadcast plane matrix; an int bucket shuffles/joins cheaper than
+    the equivalent '0101' string and probes are plain XOR bit flips.
+    Requires planes <= 62. NULL/ragged vectors → NULL signature."""
+    n_planes, dim = planes.shape
+    if n_planes > 62:
+        raise ValueError("at most 62 hyperplanes per signature")
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(planes, dtype=np.float64))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def _sig(batch: pd.Series) -> pd.Series:
+        H = bc.value
+        X, valid = _matrix(batch, dim)
+        bits = (X @ H.T) >= 0.0          # (n, planes) bool
+        sig = bits.astype(np.int64) @ weights
+        out = pd.Series(sig)
+        if not valid.all():
+            out = out.astype("Int64")
+            out[~valid] = None
+        return out
+
+    return pandas_udf(_sig, T.LongType())(F.col(vec_col))
+
+
+def signature_of(vec: Sequence[float], planes: np.ndarray) -> int:
+    """Driver-side signature of a single (query) vector — same packing as
+    :func:`hyperplane_signature`."""
+    bits = (planes @ np.asarray(vec, dtype=np.float64)) >= 0.0
+    return int(bits.astype(np.int64)
+               @ (1 << np.arange(len(planes), dtype=np.int64)))
 
 
 def build_lsh_index(df: DataFrame, id_col: str, vec_col: str,
-                    planes: int = 10, seed: int = 11) -> DataFrame:
+                    planes: int = 10, seed: int = 11):
     """Materializable LSH 'index': rows bucketed by hyperplane signature.
     At scale, write this out partitioned/bucketed by `bucket` so probes
     prune to one partition."""
@@ -49,7 +123,7 @@ def build_lsh_index(df: DataFrame, id_col: str, vec_col: str,
     hp = rng.randn(planes, dim)
     return df.select(
         F.col(id_col), F.col(vec_col),
-        hyperplane_signature(F.col(vec_col), hp).alias("bucket"),
+        hyperplane_signature(df, vec_col, hp).alias("bucket"),
     ), hp
 
 
@@ -59,38 +133,50 @@ def lsh_topk(index_df: DataFrame, hp: np.ndarray, id_col: str, vec_col: str,
     """ANN probe: scan only buckets whose signature is within
     ``probe_hamming`` bit-flips of the query's bucket (multi-probe LSH),
     then exact cosine within the candidate set."""
-    q = np.asarray(query_vec, dtype=float)
-    qsig = "".join("1" if float(np.dot(p, q)) >= 0 else "0" for p in hp)
+    qsig = signature_of(query_vec, hp)
     probes = {qsig}
     if probe_hamming >= 1:
-        for i in range(len(qsig)):
-            flipped = qsig[:i] + ("0" if qsig[i] == "1" else "1") + qsig[i + 1:]
-            probes.add(flipped)
-    cand = index_df.filter(F.col("bucket").isin(*probes))
-    sim = cosine_sim(F.col(vec_col), _query_lit(query_vec))
+        for i in range(len(hp)):
+            probes.add(qsig ^ (1 << i))
+    cand = index_df.filter(F.col("bucket").isin(*sorted(probes)))
+    sim = cosine_to_query(cand, vec_col, query_vec)
     return (cand.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
             .orderBy(F.desc("cosine"), F.col(id_col)).limit(k))
 
 
 def ivf_assign(df: DataFrame, vec_col: str, centroids: np.ndarray) -> DataFrame:
-    """IVF cell assignment: argmax cosine against a (small, broadcast as
-    literals) centroid table — one map stage. Centroids come from a sample
-    (driver-side numpy k-means on .sample(); the 100 TB path trains on a
-    bounded sample, standard IVF practice)."""
-    sims = [cosine_sim(F.col(vec_col), _query_lit(c)) for c in centroids]
-    best = F.greatest(*sims) if len(sims) > 1 else sims[0]
-    cell = F.lit(0)
-    for i, s in enumerate(sims):
-        cell = F.when(s == best, F.lit(i)).otherwise(cell)
-    return df.withColumn("ivf_cell", cell)
+    """IVF cell assignment: argmax cosine against the BROADCAST centroid
+    matrix — one ``X @ C.T`` matmul per Arrow batch, O(1) plan nodes
+    regardless of cell count (the expression-per-centroid alternative
+    compiles O(n_cells) interpreted cosines + an O(n_cells) when-chain and
+    collapses at the realistic 1k-64k cells)."""
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    dim = C.shape[1]
+    bc = df.sparkSession.sparkContext.broadcast(Cn)
+
+    def _assign(batch: pd.Series) -> pd.Series:
+        Cm = bc.value
+        X, _ = _matrix(batch, dim)
+        # row norm is constant per row => argmax over dot == argmax cosine
+        return pd.Series(np.argmax(X @ Cm.T, axis=1).astype(np.int32))
+
+    return df.withColumn(
+        "ivf_cell", pandas_udf(_assign, T.IntegerType())(F.col(vec_col)))
 
 
 def train_centroids(df: DataFrame, vec_col: str, n_cells: int = 16,
                     sample_rows: int = 10000, iters: int = 10,
                     seed: int = 3) -> np.ndarray:
-    """Driver-side mini k-means on a bounded sample."""
-    rows = df.select(vec_col).limit(sample_rows).collect()
-    X = np.array([r[0] for r in rows], dtype=float)
+    """Driver-side mini k-means on a bounded RANDOM sample.
+
+    ``orderBy(rand(seed)).limit(n)`` compiles to TakeOrderedAndProject —
+    per-partition top-n heaps over a uniform draw, O(n) driver collect —
+    so the sample is unbiased even on sorted/clustered input (a plain
+    ``.limit`` would take head-of-table rows and skew the centroids)."""
+    rows = (df.select(vec_col).filter(F.col(vec_col).isNotNull())
+            .orderBy(F.rand(seed)).limit(sample_rows).collect())
+    X = np.array([r[0] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
@@ -108,11 +194,13 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
              query_vec: Sequence[float], centroids: np.ndarray,
              k: int = 10, n_probe: int = 2) -> DataFrame:
     """IVF probe: exact cosine within the ``n_probe`` nearest cells only."""
-    q = np.asarray(query_vec, dtype=float)
+    q = np.asarray(query_vec, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
-    order = np.argsort(-(centroids @ q))[:n_probe]
+    Cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(Cn @ q))[:n_probe]
     assigned = ivf_assign(df, vec_col, centroids)
     cand = assigned.filter(F.col("ivf_cell").isin(*[int(i) for i in order]))
-    sim = cosine_sim(F.col(vec_col), _query_lit(query_vec))
+    sim = cosine_to_query(cand, vec_col, query_vec)
     return (cand.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
             .orderBy(F.desc("cosine"), F.col(id_col)).limit(k))

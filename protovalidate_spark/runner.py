@@ -27,7 +27,7 @@ import time
 from dataclasses import dataclass
 from typing import List, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .sources import read_partition, read_table, table_partitions, table_snapshot_id
@@ -118,11 +118,28 @@ def run_checkpointed(
         files = (partition_files(table_path, pc, pv)
                  if os.path.isdir(table_path) else [])
         pdf = read_partition(spark, table_path, pc, pv)
+        if pdf is None:
+            # partition vanished between the listing and the read
+            # (compaction/expiry race) — record an empty completion so the
+            # run continues and a resume doesn't retry it forever
+            append_manifest(manifest_dir, {
+                "part": pv, "snapshot_id": snapshot_id, "file_list": [],
+                "rows_scanned": 0, "violations": 0, "wall_ms": 0,
+                "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                              time.gmtime()),
+            })
+            ran.append(pv)
+            n_run += 1
+            continue
         rows = pdf.count()
         rv = suite.row_violations(pdf)
-        (rv.write.mode("overwrite")
+        # Observation rides the write action — no second job / re-read
+        # of the written files just to count them
+        obs = Observation()
+        (rv.observe(obs, F.count(F.lit(1)).alias("n"))
+           .write.mode("overwrite")
            .parquet(os.path.join(viol_dir, f"{pc}={pv}")))
-        nv = spark.read.parquet(os.path.join(viol_dir, f"{pc}={pv}")).count()
+        nv = obs.get["n"]
         wall_ms = int((time.time() - t0) * 1000)
         append_manifest(manifest_dir, {
             "part": pv, "snapshot_id": snapshot_id, "file_list": files,

@@ -74,3 +74,63 @@ def test_histogram_categorical(spark):
     df = spark.createDataFrame([("a",)] * 7 + [("b",)] * 3, "v string")
     h = histogram(df, "v")
     assert abs(h["a"] - 0.7) < 1e-9 and abs(h["b"] - 0.3) < 1e-9
+
+
+def _count_actions(monkeypatch):
+    """Count driver actions (collect/count/toPandas) fired on any
+    DataFrame — the O(columns)-scans regression guard for drift."""
+    from pyspark.sql import DataFrame
+    calls = {"n": 0}
+    orig_collect, orig_count = DataFrame.collect, DataFrame.count
+    orig_topandas = DataFrame.toPandas
+
+    def wrap(orig):
+        def inner(self, *a, **k):
+            calls["n"] += 1
+            return orig(self, *a, **k)
+        return inner
+
+    monkeypatch.setattr(DataFrame, "collect", wrap(orig_collect))
+    monkeypatch.setattr(DataFrame, "count", wrap(orig_count))
+    monkeypatch.setattr(DataFrame, "toPandas", wrap(orig_topandas))
+    return calls
+
+
+def test_snapshot_is_two_actions(spark, monkeypatch):
+    df = spark.createDataFrame(
+        [(i, float(i % 7), "c%d" % (i % 3)) for i in range(100)],
+        "a int, b double, c string")
+    calls = _count_actions(monkeypatch)
+    snapshot(df, ["a", "b", "c"])
+    assert calls["n"] <= 2, f"snapshot ran {calls['n']} actions for 3 cols"
+
+
+def test_drift_violations_is_single_action(spark, monkeypatch):
+    df = spark.createDataFrame(
+        [(i, float(i % 7), "c%d" % (i % 3)) for i in range(100)],
+        "a int, b double, c string")
+    base = snapshot(df, ["a", "b", "c"])
+    calls = _count_actions(monkeypatch)
+    drift_violations(df, base).count()
+    # histograms(all cols) + the final .count() on the local result frame
+    assert calls["n"] <= 2, f"drift ran {calls['n']} actions for 3 cols"
+
+
+def test_histograms_match_per_column_path(spark):
+    """The batched one-pass histograms must agree with the single-column
+    wrapper (which oracle queries hash-check against DuckDB)."""
+    from protovalidate_spark.dataset.drift import histograms, numeric_bounds
+    df = spark.createDataFrame(
+        [(i % 13, "v%d" % (i % 5)) for i in range(200)], "n int, s string")
+    bounds = numeric_bounds(df, ["n"])
+    batch = histograms(df, ["n", "s"], bounds)
+    assert batch["n"] == histogram(df, "n", *bounds["n"])
+    assert batch["s"] == histogram(df, "s")
+
+
+def test_histogram_pools_overflow_categories(spark):
+    df = spark.createDataFrame(
+        [("v%02d" % (i % 20),) for i in range(200)], "s string")
+    h = histogram(df, "s", max_categories=5)
+    assert len(h) == 6 and abs(sum(h.values()) - 1.0) < 1e-9
+    assert abs(h["__other__"] - 0.75) < 1e-9

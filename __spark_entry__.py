@@ -84,6 +84,23 @@ def q_stats_lineitem(spark, sf_dir):
         F.col("approx_distinct").alias("distinct_cnt"))
 
 
+def q_stats_quantiles(spark, sf_dir):
+    """Quantile-bearing stats contract (ADVICE r1: keep the quantile path
+    end-to-end oracle-verified): exact interpolated percentiles — the
+    quantile_cont analog — through the same single-pass aggregation; the
+    approx-sketch path is tolerance-pinned against this in pytest."""
+    from protovalidate_spark.dataset import column_stats
+    li = _t(spark, sf_dir, "lineitem")
+    st = column_stats(li, ["l_quantity", "l_extendedprice"],
+                     quantiles=(0.25, 0.5, 0.9), exact_distinct=True,
+                     exact_quantiles=True)
+    return st.select(
+        F.col("column").alias("col_name"),
+        F.round(F.element_at("quantiles", 1), 6).alias("q25"),
+        F.round(F.element_at("quantiles", 2), 6).alias("q50"),
+        F.round(F.element_at("quantiles", 3), 6).alias("q90"))
+
+
 def q_unique_orders_custkey(spark, sf_dir):
     from protovalidate_spark.dataset import unique_violations
     o = _t(spark, sf_dir, "orders")
@@ -176,13 +193,21 @@ def q_clips_full_audio(spark, sf_dir):
 
 def q_array_embeddings(spark, sf_dir):
     """Slice rules (reference pkg/rules/slice.go): per-item rule set with
-    per-index violation paths + array length bounds."""
+    per-index violation paths + array length bounds + ACCUMULATE-ALL —
+    a 9.5 sentinel injected at index 0 of every 5th vector fails BOTH
+    item rules (MAX and DENIED), producing two violation rows for one
+    item (reference item loop slice.go:311-344 appends every rule's
+    error)."""
     from protovalidate_spark import Float64, Object, Slice
-    e = _t(spark, sf_dir, "embeddings")
-    e = e.select("vec_id", F.transform(
-        "embedding", lambda x: x.cast("double")).alias("vec"))
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    vec = F.when(F.col("vec_id") % 5 == 0,
+                 F.concat(F.array(F.lit(9.5)),
+                          F.slice(vec, 2, F.size(vec) - 1))).otherwise(vec)
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", vec.alias("vec"))
     rs = (Object().with_unknown()
-          .with_key("vec", Slice().with_item_rule_set(Float64().max(0.25))
+          .with_key("vec", Slice()
+                    .with_item_rule_set(
+                        Float64().max(0.25).rejected_values(9.5))
                     .min_len(64)))
     v = rs.violations(e, row_key_cols=["vec_id"])
     return v.select("vec_id", "field_path", "rule_id")
@@ -257,6 +282,44 @@ def q_map_props_events(spark, sf_dir):
     return v.select("event_id", "field_path", "rule_id")
 
 
+def q_map_bucket_events(spark, sf_dir):
+    """Dynamic buckets on a MapType column (reference WithDynamicBucket /
+    WithConditionalDynamicBucket, object.go:237-279): a synthesized map
+    per event carries a fixed key `k`, an `x_*` key routed to bucket
+    `xs`, and a `y_b` key routed to conditional bucket `ys` only when
+    k >= 50 — otherwise it stays unknown (UNEXPECTED). Buckets rendered
+    as sorted `key=value` strings so DuckDB can build the same rows."""
+    from protovalidate_spark import Int64, Map
+    e = _t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    m = F.create_map(
+        F.lit("k"), (k % 100).cast("bigint"),
+        F.lit("x_a"), (k % 7).cast("bigint"),
+        F.when(k % 3 == 0, F.lit("x_b")).otherwise(F.lit("y_b")),
+        (k % 5).cast("bigint"))
+    df = e.select("event_id", m.alias("props"))
+    rs = (Map().with_key("k", Int64())
+          .with_dynamic_bucket("^x_", "xs")
+          .with_conditional_dynamic_bucket(
+              "^y_", lambda mm: F.element_at(mm, "k") >= 50, "ys"))
+    buckets = rs.bucket_output(F.col("props"))
+    viols = rs.compile_violations(F.col("props"), "/props",
+                                  "map<string,bigint>")
+
+    def render(mc):
+        return F.concat_ws(",", F.transform(
+            F.array_sort(F.map_keys(mc)),
+            lambda kk: F.concat(kk, F.lit("="),
+                                F.element_at(mc, kk).cast("string"))))
+
+    return df.select(
+        "event_id",
+        F.coalesce(render(F.element_at(buckets, "xs")), F.lit("")).alias("xs"),
+        F.coalesce(render(F.element_at(buckets, "ys")), F.lit("")).alias("ys"),
+        F.size(F.filter(viols, lambda v: v["rule_id"] == "UNEXPECTED"))
+         .alias("n_unexpected"))
+
+
 def q_ip_customer(spark, sf_dir):
     """net-package IP rule set: v4/v6 format + public-only classification
     (reference net/rule_ip_public_private.go:12-99)."""
@@ -269,6 +332,26 @@ def q_ip_customer(spark, sf_dir):
            .otherwise(F.lit("8.8.8.8")))
     df = c.select("c_custkey", ip.alias("ip"))
     rs = Object().with_unknown().with_key("ip", IP().with_public_only())
+    v = rs.violations(df, row_key_cols=["c_custkey"])
+    return v.select("c_custkey", "field_path", "rule_id")
+
+
+def q_ip_cidr_customer(spark, sf_dir):
+    """IP CIDR membership across versions (reference rule_ip_cidr.go +
+    rule_ip_subnet_mask.go round-2 parity): v4 blocks on the codegen'd
+    int64 BETWEEN path, v6 blocks on the 128-bit pair path (one Arrow
+    parse kernel)."""
+    from protovalidate_spark import IP, Object
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ip = (F.when(k % 7 == 3, F.lit("10.1.2.3"))       # v4 in 10/8
+           .when(k % 11 == 5, F.lit("11.1.2.3"))       # v4 outside
+           .when(k % 13 == 6, F.lit("2001:db8::1"))    # v6 in db8::/32
+           .when(k % 17 == 8, F.lit("2001:db9::1"))    # v6 outside
+           .otherwise(F.lit("10.200.0.1")))
+    df = c.select("c_custkey", ip.alias("ip"))
+    rs = (Object().with_unknown()
+          .with_key("ip", IP().with_cidr("10.0.0.0/8", "2001:db8::/32")))
     v = rs.violations(df, row_key_cols=["c_custkey"])
     return v.select("c_custkey", "field_path", "rule_id")
 
@@ -323,7 +406,8 @@ def q_uri_orders(spark, sf_dir):
          .otherwise(F.lit("?page=3")))
     df = o.select("o_orderkey", url.alias("url"))
     rs = (Object().with_unknown()
-          .with_key("url", URI().with_allowed_schemes("http", "https")
+          .with_key("url", URI().with_deep_errors()
+                    .with_allowed_schemes("http", "https")
                     .with_max_port(65535)
                     .with_query_param("page", Int32().min(1).max(100))))
     v = rs.violations(df, row_key_cols=["o_orderkey"])
@@ -454,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_orders": q_conditional_orders,
         "cross_column_lineitem": q_cross_column_lineitem,
         "stats_lineitem": q_stats_lineitem,
+        "stats_quantiles": q_stats_quantiles,
         "unique_orders_custkey": q_unique_orders_custkey,
         "ref_customer_nation": q_ref_customer_nation,
         "hist_quantity": q_hist_quantity,
@@ -468,7 +553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_salted": q_unique_salted,
         "json_props_events": q_json_props_events,
         "map_props_events": q_map_props_events,
+        "map_bucket_events": q_map_bucket_events,
         "ip_customer": q_ip_customer,
+        "ip_cidr_customer": q_ip_cidr_customer,
         "clips_scalar_rules": q_clips_scalar_rules,
         "clips_unique": q_clips_unique,
         "clips_ref_codec": q_clips_ref_codec,
@@ -541,6 +628,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT l_returnflag)::BIGINT
               FROM lineitem
         """,
+        "stats_quantiles": """
+            SELECT 'l_quantity' AS col_name,
+                   ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+                   ROUND(quantile_cont(l_quantity, 0.5), 6) AS q50,
+                   ROUND(quantile_cont(l_quantity, 0.9), 6) AS q90
+              FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice',
+                   ROUND(quantile_cont(l_extendedprice, 0.25), 6),
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 6),
+                   ROUND(quantile_cont(l_extendedprice, 0.9), 6)
+              FROM lineitem
+        """,
         "unique_orders_custkey": """
             SELECT o_orderkey, '/o_custkey' AS field_path, 'UNIQUE' AS rule_id
               FROM orders
@@ -607,13 +707,20 @@ def oracle_sql() -> dict[str, str]:
              GROUP BY codec
         """,
         "array_embeddings": """
-            SELECT vec_id, '/vec/' || CAST(s.i - 1 AS VARCHAR) AS field_path,
+            WITH items AS (
+              SELECT vec_id, s.i,
+                     CASE WHEN vec_id % 5 = 0 AND s.i = 1 THEN 9.5
+                          ELSE CAST(s.x AS DOUBLE) END AS x
+                FROM (SELECT vec_id,
+                             unnest(list_transform(embedding,
+                                                   (x, i) -> {'x': x, 'i': i})) s
+                        FROM embeddings) t)
+            SELECT vec_id, '/vec/' || CAST(i - 1 AS VARCHAR) AS field_path,
                    'MAX' AS rule_id
-              FROM (SELECT vec_id,
-                           unnest(list_transform(embedding,
-                                                 (x, i) -> {'x': x, 'i': i})) s
-                      FROM embeddings) t
-             WHERE CAST(s.x AS DOUBLE) > 0.25
+              FROM items WHERE x > 0.25
+            UNION ALL
+            SELECT vec_id, '/vec/' || CAST(i - 1 AS VARCHAR), 'DENIED'
+              FROM items WHERE x = 9.5
             UNION ALL
             SELECT vec_id, '/vec', 'MIN_LEN' FROM embeddings
              WHERE len(embedding) < 64
@@ -650,6 +757,19 @@ def oracle_sql() -> dict[str, str]:
               FROM events
              WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) < 10
         """,
+        "map_bucket_events": """
+            SELECT event_id,
+                   'x_a=' || CAST(event_id % 7 AS VARCHAR) ||
+                   CASE WHEN event_id % 3 = 0
+                        THEN ',x_b=' || CAST(event_id % 5 AS VARCHAR)
+                        ELSE '' END AS xs,
+                   CASE WHEN event_id % 3 <> 0 AND event_id % 100 >= 50
+                        THEN 'y_b=' || CAST(event_id % 5 AS VARCHAR)
+                        ELSE '' END AS ys,
+                   CASE WHEN event_id % 3 <> 0 AND event_id % 100 < 50
+                        THEN 1 ELSE 0 END AS n_unexpected
+              FROM events
+        """,
         "ip_customer": """
             SELECT c_custkey, '/ip' AS field_path, 'DENIED' AS rule_id
               FROM customer WHERE c_custkey % 7 = 3
@@ -664,6 +784,15 @@ def oracle_sql() -> dict[str, str]:
              WHERE c_custkey % 7 <> 3 AND c_custkey % 11 <> 5
                AND c_custkey % 13 = 6
         """,
+        "ip_cidr_customer": """
+            SELECT c_custkey, '/ip' AS field_path, 'RANGE' AS rule_id
+              FROM customer
+             WHERE c_custkey % 7 <> 3 AND c_custkey % 11 = 5
+            UNION ALL
+            SELECT c_custkey, '/ip', 'RANGE' FROM customer
+             WHERE c_custkey % 7 <> 3 AND c_custkey % 11 <> 5
+               AND c_custkey % 13 <> 6 AND c_custkey % 17 = 8
+        """,
         "email_customer": """
             SELECT c_custkey, '/email' AS field_path, 'PATTERN' AS rule_id
               FROM customer WHERE c_custkey % 7 = 3
@@ -676,17 +805,18 @@ def oracle_sql() -> dict[str, str]:
                AND c_custkey % 13 = 6
         """,
         "uri_orders": """
-            SELECT o_orderkey, '/url' AS field_path, 'NOTALLOWED' AS rule_id
+            SELECT o_orderkey, '/url/scheme' AS field_path,
+                   'NOTALLOWED' AS rule_id
               FROM orders WHERE o_orderkey % 7 = 3
             UNION ALL
-            SELECT o_orderkey, '/url', 'MAX' FROM orders
+            SELECT o_orderkey, '/url/port', 'MAX' FROM orders
              WHERE o_orderkey % 7 <> 3 AND o_orderkey % 11 = 5
             UNION ALL
             SELECT o_orderkey, '/url', 'ENCODING' FROM orders
              WHERE o_orderkey % 7 <> 3 AND o_orderkey % 11 <> 5
                AND o_orderkey % 13 = 6
             UNION ALL
-            SELECT o_orderkey, '/url', 'MAX' FROM orders
+            SELECT o_orderkey, '/url/query', 'MAX' FROM orders
              WHERE o_orderkey % 17 = 8
         """,
         "clips_scalar_rules": f"""

@@ -161,12 +161,18 @@ def main():
 
     path = ensure_clips_bench(spark, clips_rows)
     baseline = ensure_drift_baseline(spark, path)
-    # one untimed warm-up pass (page cache, Python workers, JIT), then the
-    # measured steady-state pass — a production validation job is
-    # long-running, so steady-state throughput is the honest headline
+    # one untimed warm-up pass (page cache, Python workers, JIT), then
+    # MEDIAN OF 3 measured steady-state passes — this box swings ±50%
+    # run-to-run at high core counts (BENCH.md), so a single-pass
+    # headline would make round-over-round deltas noise, not signal
     n, nv, dt_cold = run_clips_pass(spark, path, baseline)
-    n, nv, dt = run_clips_pass(spark, path, baseline)
+    passes = []
+    for _ in range(3):
+        n, nv, dt_i = run_clips_pass(spark, path, baseline)
+        passes.append(dt_i)
+    dt = sorted(passes)[1]
     timings["clips_full_pass"] = round(dt, 3)
+    # suite_total stays comparable to round 1 (warm-up + one pass worth)
     total += dt_cold + dt
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -180,6 +186,9 @@ def main():
         "clips_violations": nv,
         "clips_per_sec": round(n / dt, 1),
         "clips_per_sec_cold": round(n / dt_cold, 1),
+        "clips_pass_secs": [round(x, 3) for x in passes],
+        "neardup_pairs": {"lsh": nd["neardup_lsh_20k_pairs"],
+                          "brute": nd["neardup_brute_20k_pairs"]},
     }))
     spark.stop()
 

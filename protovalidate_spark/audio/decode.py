@@ -12,6 +12,7 @@ computed once and reused by every downstream consistency rule
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -20,7 +21,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..errors import Code
 from ..rules.object import ObjectRule
-from .wav import decode_bytes
+from .wav import _DATA, _FMT, _RIFF, _WAVE, decode_bytes
 
 # Programmatic DataTypes (not DDL strings): pandas_udf must be creatable on
 # executors at module import where no SparkSession exists to parse DDL.
@@ -37,19 +38,78 @@ DECODED_PCM_TYPE = T.StructType(
 DECODED_DDL = "struct<ok:boolean,sr:int,n_samples:bigint,dur_ms:int,rms:double>"
 
 
+_LE32 = np.array([1, 1 << 8, 1 << 16, 1 << 24], dtype=np.int64)
+
+
 def _decode_series(bs: pd.Series, want_pcm: bool) -> pd.DataFrame:
-    # columnar accumulation (dict-of-lists): no per-row dict objects
-    ok, sr, ns, dm, rms, pcm = [], [], [], [], [], []
-    for b in bs:
-        d = decode_bytes(b if b is None else bytes(b), "wav", want_pcm)
-        ok.append(d.ok); sr.append(d.sr); ns.append(d.n_samples)
-        dm.append(d.dur_ms); rms.append(d.rms)
+    """Batched WAV decode: ONE vectorized header parse for the whole
+    Arrow batch (44-byte headers gathered into an (n, 44) uint8 matrix,
+    field extraction as column arithmetic — no per-row struct.unpack or
+    chunk-walk branches on the standard canonical layout), then per-row
+    zero-copy int16 views + one BLAS dot each for RMS (no payload slice
+    copy). Rows with a non-canonical chunk layout (extra LIST/fact
+    chunks) fall back to the exact chunk-walking parser in wav.py."""
+    n_rows = len(bs)
+    bufs = bs.to_numpy()
+    lens = np.fromiter(
+        (0 if b is None else len(b) for b in bufs), dtype=np.int64,
+        count=n_rows)
+    has_hdr = lens >= 44
+
+    H = np.zeros((n_rows, 44), dtype=np.uint8)
+    for i in np.nonzero(has_hdr)[0]:
+        H[i] = np.frombuffer(bufs[i], dtype=np.uint8, count=44)
+
+    def tag_eq(sl, tag):
+        return (H[:, sl] == np.frombuffer(tag, np.uint8)).all(axis=1)
+
+    sr = H[:, 24:28].astype(np.int64) @ _LE32
+    fmt_size = H[:, 16:20].astype(np.int64) @ _LE32
+    audio_fmt = H[:, 20].astype(np.int64) + (H[:, 21].astype(np.int64) << 8)
+    channels = H[:, 22].astype(np.int64) + (H[:, 23].astype(np.int64) << 8)
+    bits = H[:, 34].astype(np.int64) + (H[:, 35].astype(np.int64) << 8)
+    dsize = H[:, 40:44].astype(np.int64) @ _LE32
+    canonical = (has_hdr & tag_eq(slice(0, 4), _RIFF)
+                 & tag_eq(slice(8, 12), _WAVE) & tag_eq(slice(12, 16), _FMT)
+                 & (fmt_size == 16) & (audio_fmt == 1) & (channels == 1)
+                 & (bits == 16) & tag_eq(slice(36, 40), _DATA)
+                 & (sr > 0) & (dsize % 2 == 0) & (44 + dsize <= lens))
+
+    ok = canonical.copy()
+    n_samp = np.where(canonical, dsize // 2, 0)
+    sr_out = np.where(canonical, sr, 0).astype(np.int64)
+    dur = np.zeros(n_rows, dtype=np.int64)
+    dur[canonical] = np.round(
+        n_samp[canonical] * 1000.0 / sr[canonical]).astype(np.int64)
+    rms = np.zeros(n_rows, dtype=np.float64)
+    pcm = [None] * n_rows if want_pcm else None
+
+    for i in np.nonzero(canonical)[0]:
+        n = int(n_samp[i])
+        if n:
+            x16 = np.frombuffer(bufs[i], dtype="<i2", count=n, offset=44)
+            x = x16.astype(np.float32)
+            rms[i] = float(np.sqrt(np.dot(x, x) / n) / 32768.0)
+            if want_pcm:
+                pcm[i] = x / np.float32(32768.0)
+        elif want_pcm:
+            pcm[i] = np.array([], dtype=np.float32)
+
+    # exact fallback for non-canonical-but-maybe-valid layouts
+    for i in np.nonzero(has_hdr & ~canonical)[0]:
+        d = decode_bytes(bytes(bufs[i]), "wav", want_pcm)
+        ok[i] = d.ok
+        sr_out[i], n_samp[i], dur[i], rms[i] = d.sr, d.n_samples, d.dur_ms, d.rms
         if want_pcm:
-            pcm.append(d.pcm)
-    cols = {"ok": ok, "sr": sr, "n_samples": ns, "dur_ms": dm, "rms": rms}
+            pcm[i] = d.pcm
+
+    cols = {"ok": ok, "sr": sr_out.astype(np.int32),
+            "n_samples": n_samp.astype(np.int64),
+            "dur_ms": dur.astype(np.int32), "rms": rms}
+    out = pd.DataFrame(cols)
     if want_pcm:
-        cols["pcm"] = pcm
-    return pd.DataFrame(cols)
+        out["pcm"] = pcm
+    return out
 
 
 def _make_udf(include_pcm: bool):

@@ -28,6 +28,7 @@ def column_stats(
     accuracy: int = 2500,
     exact_distinct: bool = False,
     rsd: float = 0.05,
+    exact_quantiles: bool = False,
 ) -> DataFrame:
     """One aggregation pass → one row per column:
     (column, n_rows, null_rate, min, max, approx_distinct, quantiles).
@@ -35,7 +36,10 @@ def column_stats(
     ``exact_distinct`` switches HLL++ to exact count(distinct) — used by the
     DuckDB oracle comparisons; default approx for scale. ``rsd`` stays at
     Spark's 0.05 default: tightening to 0.01 grows the HLL register file
-    ~25× and measured 10× slower on string columns.
+    ~25× and measured 10× slower on string columns. ``exact_quantiles``
+    switches the GK sketch to exact interpolated ``percentile`` (the
+    quantile_cont analog) — oracle mode only; the approx path is pinned
+    within tolerance of it in tests/test_dataset.py.
     """
     dtypes = dict(df.dtypes)
     cols = list(cols or df.columns)
@@ -50,9 +54,15 @@ def column_stats(
         else:
             aggs.append(F.approx_count_distinct(c, rsd).alias(f"{c}__distinct"))
         if base in _NUMERIC and quantiles:
-            aggs.append(F.percentile_approx(
-                F.col(c).cast("double"), list(quantiles), accuracy
-            ).alias(f"{c}__q"))
+            if exact_quantiles:
+                aggs.append(F.percentile(
+                    F.col(c).cast("double"),
+                    F.array(*[F.lit(float(q)) for q in quantiles])
+                ).alias(f"{c}__q"))
+            else:
+                aggs.append(F.percentile_approx(
+                    F.col(c).cast("double"), list(quantiles), accuracy
+                ).alias(f"{c}__q"))
         else:
             aggs.append(F.lit(None).cast("array<double>").alias(f"{c}__q"))
     row: Row = df.agg(*aggs).collect()[0]

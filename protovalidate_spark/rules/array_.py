@@ -58,38 +58,33 @@ class ArrayRuleSet(RuleSet):
             return base
         irs = self.item_rule_set
 
-        # Per-item: one violation per failing item, path `<field>/<index>`
-        # (reference item loop slice.go:311-344, per-index paths 321-327).
-        def item_viol(x: Column, i: Column) -> Column:
-            ok = F.coalesce(
-                F.lit(True) if not irs.rules else
-                _all_pass(irs, x), F.lit(False))
+        # Per-item ACCUMULATE-ALL: one violation per failing rule per item
+        # (reference item loop slice.go:311-344 appends every rule's error;
+        # per-index paths 321-327). Each item yields an array of violation
+        # structs which the outer flatten collapses.
+        def item_viols(x: Column, i: Column) -> Column:
+            path = F.concat(F.lit(field_path + "/"), i.cast("string"))
+            actual = F.substring(x.cast("string"), 1, ACTUAL_TRUNCATE)
             null_bad = x.isNull() & F.lit(not (irs.allow_nil and not irs.required))
-            fail = null_bad | (~x.isNull() & ~ok)
-            return F.when(fail, violation_struct(
-                F.concat(F.lit(field_path + "/"), i.cast("string")),
-                F.when(x.isNull(),
-                       F.lit(Code.REQUIRED if irs.required else Code.NULL))
-                 .otherwise(F.lit(_first_fail_code(irs))),
-                "item failed item rule set",
-                F.substring(x.cast("string"), 1, ACTUAL_TRUNCATE),
-            ))
-
-        def _all_pass(rs: RuleSet, x: Column) -> Column:
-            acc = F.lit(True)
-            for r in rs.rules:
-                acc = acc & F.coalesce(r.predicate(x), F.lit(False))
-            return acc
-
-        def _first_fail_code(rs: RuleSet) -> str:
-            return rs.rules[0].rule_id if rs.rules else Code.UNKNOWN
+            entries = [F.when(null_bad, violation_struct(
+                path,
+                F.lit(Code.REQUIRED if irs.required else Code.NULL),
+                "item is required" if irs.required
+                else "item may not be null",
+                actual))]
+            for r in irs.rules:
+                fail = ~x.isNull() & ~F.coalesce(r.predicate(x), F.lit(False))
+                entries.append(F.when(fail, violation_struct(
+                    path, F.lit(irs.err_code or r.rule_id),
+                    irs.err_message or r.message, actual)))
+            return F.array_compact(F.array(*entries))
 
         max_rules = [r for r in self.rules if r.conflict_key == "max_len"]
-        items = F.array_compact(
+        items = F.flatten(
             F.zip_with(
                 col,
                 F.sequence(F.lit(0), F.greatest(F.size(col) - 1, F.lit(0))),
-                item_viol,
+                item_viols,
             )
         )
         if max_rules:

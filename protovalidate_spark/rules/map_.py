@@ -19,7 +19,7 @@ Column; ``violation_struct`` accepts Columns).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
+from typing import Callable, Optional
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -33,6 +33,17 @@ class MapKeySpec:
     name: str
     rule_set: RuleSet
     pattern: Optional[str] = None   # dynamic key regex
+
+
+@dataclass(frozen=True)
+class MapBucketSpec:
+    """Dynamic-bucket routing rule (reference WithDynamicBucket /
+    WithConditionalDynamicBucket, object.go:237-279): entries whose key
+    matches ``pattern`` (and pass ``condition``, if any) are routed into
+    the output bucket map named ``bucket``."""
+    pattern: str
+    bucket: str
+    condition: Optional[Callable[[Column], Column]] = None
 
 
 def _value_type(input_type: str) -> str:
@@ -55,6 +66,7 @@ def _value_type(input_type: str) -> str:
 class MapRuleSet(RuleSet):
     map_keys: tuple = ()
     allow_unknown: bool = False
+    bucket_specs: tuple = ()
 
     SPARK_TYPE: str = "map"
 
@@ -67,11 +79,61 @@ class MapRuleSet(RuleSet):
         return self._clone(map_keys=self.map_keys + (
             MapKeySpec(f"~{pattern}", rs, pattern=pattern),))
 
+    def with_dynamic_bucket(self, pattern: str, bucket: str) -> "MapRuleSet":
+        """Route entries whose key matches ``pattern`` into the output
+        bucket map ``bucket`` (reference WithDynamicBucket,
+        object.go:237-264). Matching keys are no longer "unknown"; keys
+        with explicit ``with_key`` rules are never bucketed; a key
+        matching several buckets lands in all of them. Retrieve the
+        routed maps with :meth:`bucket_output`."""
+        return self._clone(bucket_specs=self.bucket_specs + (
+            MapBucketSpec(pattern, bucket),))
+
+    def with_conditional_dynamic_bucket(
+            self, pattern: str, condition: Callable[[Column], Column],
+            bucket: str) -> "MapRuleSet":
+        """Like :meth:`with_dynamic_bucket` but routes only when
+        ``condition(map_col)`` holds (reference
+        WithConditionalDynamicBucket, object.go:266-279). When no
+        condition matches, the key stays "unknown" and trips UNEXPECTED
+        (unless :meth:`with_unknown`)."""
+        return self._clone(bucket_specs=self.bucket_specs + (
+            MapBucketSpec(pattern, bucket, condition),))
+
     def with_unknown(self) -> "MapRuleSet":
         return self._clone(allow_unknown=True)
 
     def key_rules(self):
         return {k.name: k.rule_set for k in self.map_keys}
+
+    def bucket_output(self, col: Column) -> Column:
+        """The routed buckets for a map column, as
+        ``map<bucket_name, map<key, value>>`` — computed with
+        ``map_filter`` per bucket, all JVM-side. Mirrors the reference's
+        setter semantics (setter.go SetBucket): a bucket key exists only
+        once at least one entry matched."""
+        fixed = [s.name for s in self.map_keys if s.pattern is None]
+
+        def matcher(spec):
+            def fn(k, v):
+                m = k.rlike(spec.pattern)
+                for name in fixed:
+                    m = m & (k != F.lit(name))
+                if spec.condition is not None:
+                    m = m & F.coalesce(spec.condition(col), F.lit(False))
+                return m
+            return fn
+
+        entries = [
+            F.struct(F.lit(spec.bucket).alias("key"),
+                     F.map_filter(col, matcher(spec)).alias("value"))
+            for spec in self.bucket_specs
+        ]
+        if not entries:
+            return F.map_from_entries(F.array().cast(
+                "array<struct<key:string,value:map<string,string>>>"))
+        arr = F.filter(F.array(*entries), lambda e: F.size(e["value"]) > 0)
+        return F.map_from_entries(arr)
 
     def coerce(self, col: Column, input_type: str):
         if input_type.startswith("map"):
@@ -140,6 +202,14 @@ class MapRuleSet(RuleSet):
                     cond = cond & (e["key"] != F.lit(k))
                 for spec in dynamic:
                     cond = cond & ~e["key"].rlike(spec.pattern)
+                # bucket-routed keys are not unknown (object.go:246-249);
+                # a conditional bucket only claims the key when its
+                # condition holds (object.go:277-279)
+                for bspec in self.bucket_specs:
+                    m = e["key"].rlike(bspec.pattern)
+                    if bspec.condition is not None:
+                        m = m & F.coalesce(bspec.condition(col), F.lit(False))
+                    cond = cond & ~m
                 return cond
             unexpected = F.transform(
                 F.filter(F.map_entries(col), is_unknown),

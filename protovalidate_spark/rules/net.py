@@ -10,13 +10,13 @@ format failures are ``PATTERN`` with granular messages
 percent-encoding is ``ENCODING`` (net/uri.go:38-55).
 
 Scope notes vs the reference:
+- ``with_tld()`` defaults to the full vendored IANA registry list
+  (rules/tlds.py — the same data the reference generates into
+  net/tlds.go; regenerate with scripts/gen_tlds.py).
 - Domain punycode normalization (net/domain.go:174-204 via
-  ``idna.ToASCII``) is not applied inline — ASCII domains are validated
-  natively; IDN inputs should be pre-normalized upstream (one
-  ``F.transform``/UDF stage) before validation.
-- ``with_tld()`` ships a representative TLD allow-list
-  (the reference generates the full IANA list into net/tlds.go:7;
-  at deploy time pass the current IANA list to ``with_tld(*tlds)``).
+  ``idna.ToASCII``) is opt-in via ``Domain().with_punycode()`` — one
+  Arrow-batched stdlib-idna kernel ahead of the codegen'd label checks,
+  so the default ASCII path stays UDF-free.
 """
 
 from __future__ import annotations
@@ -27,7 +27,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..errors import Code
-from .base import Rule, RuleSet
+from .base import Rule, RuleSet, violation_struct
 from .string import StringRuleSet
 
 # ---------------------------------------------------------------------------
@@ -37,16 +37,34 @@ from .string import StringRuleSet
 _LABEL = r"[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
 DOMAIN_RE = rf"^{_LABEL}(\.{_LABEL})*$"
 
-#: Representative TLD set for with_tld() without arguments. The reference
-#: embeds the full generated IANA list (net/tlds.go, _scripts/get-tlds.go);
-#: production callers pass the current list explicitly.
-COMMON_TLDS = (
-    "com", "org", "net", "edu", "gov", "mil", "int", "io", "co", "ai",
-    "dev", "app", "info", "biz", "me", "tv", "us", "uk", "de", "fr",
-    "jp", "cn", "in", "br", "ru", "nl", "se", "no", "es", "it", "ca",
-    "au", "ch", "at", "be", "dk", "fi", "pl", "pt", "gr", "cz", "eu",
-    "nz", "kr", "mx", "ar", "za", "xyz", "site", "online", "cloud",
-)
+from .tlds import IANA_TLDS
+
+
+def punycode_normalize(col: Column) -> Column:
+    """IDN → ASCII (punycode) normalization, one Arrow-batched kernel
+    over stdlib IDNA (the Python analog of the reference's
+    ``idna.ToASCII``, net/domain.go:174-204). Values that cannot be
+    encoded pass through unchanged and fail the downstream label regex,
+    mirroring the reference's error-on-invalid behavior."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm(batch):  # Series -> Series
+        out = []
+        for s in batch:
+            if s is None:
+                out.append(None)
+                continue
+            try:
+                out.append(".".join(
+                    lbl.encode("idna").decode("ascii") if lbl else lbl
+                    for lbl in str(s).split(".")))
+            except UnicodeError:
+                out.append(s)
+        return pd.Series(out)
+
+    return pandas_udf(_norm, T.StringType())(col)
 
 
 def _tld(col: Column) -> Column:
@@ -58,6 +76,20 @@ class DomainRuleSet(StringRuleSet):
     """Hostname validation: per-label charset/length + total length
     (reference net/domain.go:174-204; label pattern domain.go:21)."""
 
+    punycode: bool = False
+
+    def with_punycode(self) -> "DomainRuleSet":
+        """Normalize IDN inputs to punycode ASCII before validation
+        (reference domain.go:174-204 idna.ToASCII). Off by default so
+        the ASCII path carries no UDF."""
+        return self._clone(punycode=True)
+
+    def coerce(self, col: Column, input_type: str):
+        value, ok, code = super().coerce(col, input_type)
+        if self.punycode:
+            value = punycode_normalize(value)
+        return value, ok, code
+
     def _structural(self) -> "DomainRuleSet":
         out = self._with_rule(Rule(
             Code.PATTERN, lambda c: c.rlike(DOMAIN_RE),
@@ -68,9 +100,10 @@ class DomainRuleSet(StringRuleSet):
             conflict_key="domain_len"))
 
     def with_tld(self, *tlds: str) -> "DomainRuleSet":
-        """Require the final label to be a known TLD (reference
-        WithTLD, net/rule_domain_suffix.go:22-134 over net/tlds.go)."""
-        allowed = tuple(sorted({t.lower() for t in (tlds or COMMON_TLDS)}))
+        """Require the final label to be a known TLD (reference WithTLD
+        over the generated IANA list, net/tlds.go). Defaults to the full
+        vendored registry; compiles to one Catalyst InSet."""
+        allowed = tuple(sorted({t.lower() for t in (tlds or IANA_TLDS)}))
         return self._with_rule(Rule(
             Code.NOTALLOWED, lambda c: _tld(c).isin(*allowed),
             "top-level domain is not recognized",
@@ -171,8 +204,11 @@ def Email() -> EmailRuleSet:
 # ---------------------------------------------------------------------------
 
 _V4_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
-IPV4_RE = rf"^({_V4_OCTET}\.){{3}}{_V4_OCTET}$"
-# structural IPv6: full, compressed (::), and trailing-v4 forms
+_V4_BODY = rf"({_V4_OCTET}\.){{3}}{_V4_OCTET}"
+IPV4_RE = rf"^{_V4_BODY}$"
+# structural IPv6: full, compressed (::), and IPv4-embedded tails
+# (::ffff:192.0.2.1 / 64:ff9b::1.2.3.4 — Go netip accepts these, so the
+# structural gate must too)
 _H = r"[0-9A-Fa-f]{1,4}"
 IPV6_RE = (
     rf"^({_H}:){{7}}{_H}$"
@@ -184,6 +220,9 @@ IPV6_RE = (
     rf"|^({_H}:){{1,2}}(:{_H}){{1,5}}$"
     rf"|^{_H}:(:{_H}){{1,6}}$"
     rf"|^:((:{_H}){{1,7}}|:)$"
+    rf"|^({_H}:){{6}}{_V4_BODY}$"          # full with dotted-quad tail
+    rf"|^({_H}:){{1,5}}:({_H}:)*{_V4_BODY}$"  # compressed, v4 tail
+    rf"|^::({_H}:){{0,5}}{_V4_BODY}$"      # leading ::, v4 tail
 )
 
 
@@ -224,6 +263,98 @@ def _in_cidrs(col: Column, cidrs) -> Column:
         lo, hi = _cidr_bounds(c)
         out = out | n.between(F.lit(lo), F.lit(hi))
     return out
+
+
+_I64_MIN = -(1 << 63)
+
+
+def _int128_pair(n: int) -> tuple:
+    """128-bit int → (hi, lo) signed-int64 BIT PATTERNS (two's
+    complement). Bitwise ops work directly; ordered compares go through
+    the sign-flip XOR (see ``_unsigned``)."""
+    def signed(x):
+        return x - (1 << 64) if x >= (1 << 63) else x
+    return signed(n >> 64), signed(n & ((1 << 64) - 1))
+
+
+def _parse_ip_128(s: str) -> int:
+    """Driver-side: any textual IP → 128-bit integer, IPv4 embedded at
+    the IPv4-mapped offset (::ffff:a.b.c.d) so v4 and v6 share one
+    ordered space — the same normalization Go's net.ParseIP applies by
+    always returning 16-byte addresses."""
+    import ipaddress
+    ip = ipaddress.ip_address(s.strip())
+    if ip.version == 4:
+        return 0xFFFF00000000 + int(ip)
+    return int(ip)
+
+
+def ip_to_pair(col: Column) -> Column:
+    """Any textual IP → ``struct<hi:bigint, lo:bigint>`` (128-bit value
+    split into signed-int64 bit patterns; NULL on parse failure). One
+    Arrow-batched kernel (stdlib ``ipaddress`` handles every compressed /
+    IPv4-embedded form exactly — the 16-byte analog of Go netip); the
+    comparisons/bitmasks downstream stay JVM-side."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    schema = T.StructType([T.StructField("hi", T.LongType()),
+                           T.StructField("lo", T.LongType())])
+
+    def _pair(batch):  # Series -> DataFrame (struct rows)
+        his, los = [], []
+        for s in batch:
+            try:
+                hi, lo = _int128_pair(_parse_ip_128(s))
+            except (ValueError, AttributeError):
+                hi = lo = None
+            his.append(hi)
+            los.append(lo)
+        return pd.DataFrame({"hi": his, "lo": los})
+
+    return pandas_udf(_pair, schema)(col)
+
+
+def _unsigned(c: Column) -> Column:
+    """Sign-flip so signed int64 compares in unsigned bit order."""
+    return c.bitwiseXOR(F.lit(_I64_MIN))
+
+
+def _pair_between(pair: Column, lo: tuple, hi: tuple) -> Column:
+    def ge(p, b):
+        return (_unsigned(p["hi"]) > _unsigned(F.lit(b[0]))) | (
+            (p["hi"] == F.lit(b[0]))
+            & (_unsigned(p["lo"]) >= _unsigned(F.lit(b[1]))))
+
+    def le(p, b):
+        return (_unsigned(p["hi"]) < _unsigned(F.lit(b[0]))) | (
+            (p["hi"] == F.lit(b[0]))
+            & (_unsigned(p["lo"]) <= _unsigned(F.lit(b[1]))))
+
+    return pair["hi"].isNotNull() & ge(pair, lo) & le(pair, hi)
+
+
+def _pair_masked_eq(pair: Column, net: tuple, mask: tuple) -> Column:
+    """(ip & mask) == (network & mask) — byte-wise Contains, the Go
+    net.IPNet.Contains semantics (works for non-contiguous masks too)."""
+    net_hi, net_lo = net[0] & mask[0], net[1] & mask[1]
+    return (pair["hi"].isNotNull()
+            & (pair["hi"].bitwiseAND(F.lit(mask[0])) == F.lit(net_hi))
+            & (pair["lo"].bitwiseAND(F.lit(mask[1])) == F.lit(net_lo)))
+
+
+def _cidr_pair_bounds(cidr: str) -> tuple:
+    """v6 (or v4-embedded) CIDR → ((lo_hi, lo_lo), (hi_hi, hi_lo))."""
+    ip, bits = cidr.split("/")
+    bits = int(bits)
+    base = _parse_ip_128(ip)
+    if ":" not in cidr:
+        bits += 96  # v4 prefix length inside the mapped /96
+    keep = ((1 << 128) - 1) ^ ((1 << (128 - bits)) - 1)
+    lo = base & keep
+    hi = lo | ((1 << (128 - bits)) - 1)
+    return _int128_pair(lo), _int128_pair(hi)
 
 
 def _private_v6(col: Column) -> Column:
@@ -291,23 +422,77 @@ class IPRuleSet(StringRuleSet):
             "IP must be public", conflict_key="ip_pub_priv"))
 
     def with_range(self, start: str, end: str) -> "IPRuleSet":
-        """IPv4 numeric range membership (reference rule_ip_range.go)."""
-        lo = _cidr_bounds(start + "/32")[0]
-        hi = _cidr_bounds(end + "/32")[0]
+        """Numeric range membership, v4 AND v6 (reference
+        rule_ip_range.go — Go compares the 16-byte forms, so mixed-version
+        ranges work through the IPv4-mapped space). Pure-v4 ranges stay on
+        the codegen'd int64 BETWEEN fast path; v6 ranges compare the
+        128-bit (hi, lo) pair from one Arrow parse kernel."""
+        if ":" not in start and ":" not in end:
+            lo = _cidr_bounds(start + "/32")[0]
+            hi = _cidr_bounds(end + "/32")[0]
+            pred = lambda c: _is_v4(c) & ip4_to_long(c).between(  # noqa: E731
+                F.lit(lo), F.lit(hi))
+        else:
+            lo_p = _int128_pair(_parse_ip_128(start))
+            hi_p = _int128_pair(_parse_ip_128(end))
+            pred = lambda c: _pair_between(ip_to_pair(c), lo_p, hi_p)  # noqa: E731
         return self._with_rule(Rule(
-            Code.RANGE,
-            lambda c: _is_v4(c) & ip4_to_long(c).between(F.lit(lo), F.lit(hi)),
+            Code.RANGE, pred,
             f"IP must be between {start} and {end}",
             conflict_key=None, params={"start": start, "end": end}))
 
     def with_cidr(self, *cidrs: str) -> "IPRuleSet":
-        """IPv4 CIDR membership, cumulative (reference rule_ip_cidr.go)."""
+        """CIDR membership, cumulative, v4 AND v6 (reference
+        rule_ip_cidr.go). v4 blocks compile to int64 BETWEENs; v6 blocks
+        to 128-bit pair BETWEENs fed by one Arrow parse kernel."""
         prior = [r for r in self.rules if r.conflict_key == "ip_cidr"]
         merged = tuple((prior[0].params["cidrs"] if prior else ())) + tuple(cidrs)
+        v4 = [c for c in merged if ":" not in c]
+        v6 = [c for c in merged if ":" in c]
+
+        def pred(c: Column) -> Column:
+            out = F.lit(False)
+            if v4:
+                out = out | (_is_v4(c) & _in_cidrs(c, v4))
+            if v6:
+                pair = ip_to_pair(c)
+                for cidr in v6:
+                    lo_p, hi_p = _cidr_pair_bounds(cidr)
+                    out = out | (_is_v6(c) & _pair_between(pair, lo_p, hi_p))
+            return out
+
         return self._with_rule(Rule(
-            Code.RANGE, lambda c: _is_v4(c) & _in_cidrs(c, merged),
+            Code.RANGE, pred,
             f"IP must be within {list(merged)!r}"[:120],
             conflict_key="ip_cidr", params={"cidrs": merged}))
+
+    def with_subnet_mask(self, network: str, mask: str) -> "IPRuleSet":
+        """Membership in the network defined by address + subnet mask,
+        v4 or v6, including non-contiguous masks (reference
+        rule_ip_subnet_mask.go:18-81: ``net.IPNet.Contains`` byte-wise
+        AND-compare; any subnet-mask rule replaces a prior one). PATTERN
+        on mismatch, matching the reference's error code."""
+        import ipaddress
+        net_ip = ipaddress.ip_address(network)
+        mask_ip = ipaddress.ip_address(mask)
+        if (net_ip.version == 4) != (mask_ip.version == 4):
+            raise ValueError(
+                "network address and subnet mask must be the same version")
+        if net_ip.version == 4:
+            net_l = int(net_ip)
+            mask_l = int(mask_ip)
+            pred = lambda c: _is_v4(c) & (  # noqa: E731
+                ip4_to_long(c).bitwiseAND(F.lit(mask_l))
+                == F.lit(net_l & mask_l))
+        else:
+            net_p = _int128_pair(int(net_ip))
+            mask_p = _int128_pair(int(mask_ip))
+            pred = lambda c: _pair_masked_eq(ip_to_pair(c), net_p, mask_p)  # noqa: E731
+        return self._with_rule(Rule(
+            Code.PATTERN, pred,
+            "IP address is not within the specified network",
+            conflict_key="ip_subnet_mask",
+            params={"network": network, "mask": mask}))
 
 
 def IP() -> IPRuleSet:
@@ -350,6 +535,28 @@ class URIRuleSet(StringRuleSet):
     """URI validation by RFC 3986 decomposition; each part constrained by
     its own predicates (reference part rule sets, net/uri.go:58-70)."""
 
+    deep_errors: bool = False
+
+    def with_deep_errors(self) -> "URIRuleSet":
+        """Violation paths gain the failing URI part's name — e.g.
+        ``/myobj/some_uri/port`` instead of ``/myobj/some_uri`` (reference
+        WithDeepErrors, net/uri.go:262-279; part names scheme/user/
+        password/host/port/path/query/fragment, uri.go:352-593)."""
+        return self._clone(deep_errors=True)
+
+    def _rule_entries(self, value: Column, field_path: str):
+        if not self.deep_errors:
+            return super()._rule_entries(value, field_path)
+        entries = []
+        for r in self.rules:
+            part = r.params.get("uri_part")
+            fp = f"{field_path}/{part}" if part else field_path
+            entries.append(F.when(
+                ~F.coalesce(r.predicate(value), F.lit(False)),
+                violation_struct(fp, self.err_code or r.rule_id,
+                                 self.err_message or r.message, value)))
+        return entries
+
     def _structural(self, relative: bool = False) -> "URIRuleSet":
         out = self._with_rule(Rule(
             Code.ENCODING, lambda c: ~c.rlike(_BAD_PCT),
@@ -358,7 +565,8 @@ class URIRuleSet(StringRuleSet):
             out = out._with_rule(Rule(
                 Code.PATTERN,
                 lambda c: uri_part(c, "scheme").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*$"),
-                "missing or invalid scheme", conflict_key="uri_scheme_req"))
+                "missing or invalid scheme", conflict_key="uri_scheme_req",
+                params={"uri_part": "scheme"}))
         return out
 
     def with_relative(self) -> "URIRuleSet":
@@ -370,7 +578,8 @@ class URIRuleSet(StringRuleSet):
             Code.PATTERN,
             lambda c: (uri_part(c, "scheme") == "")
             | uri_part(c, "scheme").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*$"),
-            "invalid scheme", conflict_key="uri_scheme_req"))
+            "invalid scheme", conflict_key="uri_scheme_req",
+            params={"uri_part": "scheme"}))
 
     def with_allowed_schemes(self, *schemes: str) -> "URIRuleSet":
         allowed = tuple(sorted({s.lower() for s in schemes}))
@@ -378,12 +587,14 @@ class URIRuleSet(StringRuleSet):
             Code.NOTALLOWED,
             lambda c: F.lower(uri_part(c, "scheme")).isin(*allowed),
             f"scheme must be one of {list(allowed)!r}"[:120],
-            conflict_key="uri_schemes", params={"schemes": allowed}))
+            conflict_key="uri_schemes",
+            params={"schemes": allowed, "uri_part": "scheme"}))
 
     def _part_required(self, part: str) -> "URIRuleSet":
         return self._with_rule(Rule(
             Code.REQUIRED, lambda c, p=part: uri_part(c, p) != "",
-            f"URI {part} is required", conflict_key=f"uri_req_{part}"))
+            f"URI {part} is required", conflict_key=f"uri_req_{part}",
+            params={"uri_part": part}))
 
     def with_host_required(self) -> "URIRuleSet":
         return self._part_required("host")
@@ -398,13 +609,15 @@ class URIRuleSet(StringRuleSet):
         return self._with_rule(Rule(
             Code.REQUIRED,
             lambda c: F.substring_index(uri_part(c, "userinfo"), ":", 1) != "",
-            "URI user is required", conflict_key="uri_req_user"))
+            "URI user is required", conflict_key="uri_req_user",
+            params={"uri_part": "user"}))
 
     def with_password_required(self) -> "URIRuleSet":
         return self._with_rule(Rule(
             Code.REQUIRED,
             lambda c: F.instr(uri_part(c, "userinfo"), ":") > 0,
-            "URI password is required", conflict_key="uri_req_password"))
+            "URI password is required", conflict_key="uri_req_password",
+            params={"uri_part": "password"}))
 
     def _port_num(self, col: Column) -> Column:
         return uri_part(col, "port").try_cast("int")
@@ -413,13 +626,15 @@ class URIRuleSet(StringRuleSet):
         return self._with_rule(Rule(
             Code.MIN,
             lambda c: self._port_num(c).isNull() | (self._port_num(c) >= n),
-            f"port must be at least {n}", conflict_key="uri_min_port"))
+            f"port must be at least {n}", conflict_key="uri_min_port",
+            params={"uri_part": "port"}))
 
     def with_max_port(self, n: int) -> "URIRuleSet":
         return self._with_rule(Rule(
             Code.MAX,
             lambda c: self._port_num(c).isNull() | (self._port_num(c) <= n),
-            f"port must be at most {n}", conflict_key="uri_max_port"))
+            f"port must be at most {n}", conflict_key="uri_max_port",
+            params={"uri_part": "port"}))
 
     def with_allowed_ports(self, *ports: int) -> "URIRuleSet":
         allowed = tuple(sorted(set(ports)))
@@ -428,7 +643,8 @@ class URIRuleSet(StringRuleSet):
             lambda c: self._port_num(c).isNull()
             | self._port_num(c).isin(*allowed),
             f"port must be one of {list(allowed)!r}",
-            conflict_key="uri_ports", params={"ports": allowed}))
+            conflict_key="uri_ports",
+            params={"ports": allowed, "uri_part": "port"}))
 
     def with_query_param(self, name: str, rs: RuleSet) -> "URIRuleSet":
         """Constrain one query parameter's (first) value (reference
@@ -448,13 +664,14 @@ class URIRuleSet(StringRuleSet):
                 r.rule_id, pred,
                 f"query param {name!r}: {r.message}",
                 conflict_key=f"uri_qp_{name}_{i}_{r.conflict_key}",
-                params=r.params))
+                params={**r.params, "uri_part": "query"}))
         if rs.required:
             out = out._with_rule(Rule(
                 Code.REQUIRED,
                 lambda c: uri_part(c, "query").rlike(pat.replace("([^&]*)", "")),
                 f"query param {name!r} is required",
-                conflict_key=f"uri_qp_{name}_required"))
+                conflict_key=f"uri_qp_{name}_required",
+                params={"uri_part": "query"}))
         return out
 
 

@@ -100,7 +100,7 @@ class DurationRuleSet(RuleSet, ComparableMixin, MembershipMixin):
     (duration.go:139-155)."""
 
     unit: str = "ms"
-    rounding: str = "half_even"
+    rounding: str = "none"
 
     SPARK_TYPE: str = "bigint"
 
@@ -110,7 +110,25 @@ class DurationRuleSet(RuleSet, ComparableMixin, MembershipMixin):
         return self._clone(unit=unit)
 
     def with_rounding(self, mode: str) -> "DurationRuleSet":
+        """Rounding for unit→ms conversion remainders; most recent call
+        wins (reference duration.go:158-165). Default ``none`` mirrors
+        RoundingNone (rounding.go:13): a value that does not land on a
+        whole millisecond is a coercion error, not silently rounded."""
+        from .numeric import ROUND_FUNCS
+        if mode != "none" and mode not in ROUND_FUNCS:
+            raise CompileError(f"unknown rounding mode {mode!r}")
         return self._clone(rounding=mode)
+
+    def _scale(self, raw: Column):
+        """(value_ms, ok): scale a unit-denominated numeric column to
+        bigint ms honoring the rounding mode (reference
+        duration.go:245-275, rounding.go:10-18)."""
+        from .numeric import FLOAT_INT_TOLERANCE, ROUND_FUNCS
+        if self.rounding == "none":
+            value = F.round(raw, 0).cast("bigint")
+            ok = F.abs(raw - F.round(raw, 0)) <= FLOAT_INT_TOLERANCE
+            return value, ok
+        return ROUND_FUNCS[self.rounding](raw).cast("bigint"), F.lit(True)
 
     def _to_ms(self, v) -> float:
         if isinstance(v, _dt.timedelta):
@@ -151,18 +169,17 @@ class DurationRuleSet(RuleSet, ComparableMixin, MembershipMixin):
         if base_t in ("tinyint", "smallint", "int", "bigint"):
             if self.unit == "ms":
                 return col.cast("bigint"), F.lit(True), Code.TYPE
-            value = F.round(col * F.lit(UNIT_MS[self.unit]), 0).cast("bigint")
-            return value, F.lit(True), Code.TYPE
+            value, ok = self._scale(col.cast("double") * F.lit(UNIT_MS[self.unit]))
+            return value, ok, Code.TYPE
         if base_t in ("float", "double"):
-            value = F.round(col * F.lit(UNIT_MS[self.unit]), 0).cast("bigint")
-            return value, F.lit(True), Code.TYPE
+            value, ok = self._scale(col * F.lit(UNIT_MS[self.unit]))
+            return value, ok, Code.TYPE
         if self.strict:
             raise CompileError(f"strict Duration rule set applied to {input_type}")
         if base_t == "string":
-            value = col.try_cast("double")
-            ok = value.isNotNull()
-            value = F.round(value * F.lit(UNIT_MS[self.unit]), 0).cast("bigint")
-            return value, ok, Code.TYPE
+            parsed = col.try_cast("double")
+            value, ok = self._scale(parsed * F.lit(UNIT_MS[self.unit]))
+            return value, parsed.isNotNull() & ok, Code.TYPE
         raise CompileError(f"cannot coerce {input_type} to duration")
 
 

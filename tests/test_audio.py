@@ -89,3 +89,28 @@ def test_fixture_pcm_snr_invariant(spark, tiny_clips):
         assert snr_db(ref, d.pcm) >= 30.0
         checked += 1
     assert checked > 0
+
+
+def test_batch_decoder_matches_chunk_walker_on_noncanonical():
+    """The vectorized header parse only handles the canonical 44-byte
+    layout; a WAV with an extra chunk before `data` must fall back to
+    the exact chunk-walking parser and still decode."""
+    import struct
+
+    import pandas as pd
+
+    from protovalidate_spark.audio.decode import _decode_series
+    from protovalidate_spark.audio.wav import decode_wav, synth_sine_wav
+
+    std = synth_sine_wav(440.0, 16000, 100)
+    # splice a LIST chunk between fmt and data
+    head, data_chunk = std[:36], std[36:]
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    odd = (head[:4] + struct.pack("<I", len(std) - 8 + len(extra))
+           + head[8:] + extra + data_chunk)
+    out = _decode_series(pd.Series([std, odd, None, b"junk"]), False)
+    assert out["ok"].tolist() == [True, True, False, False]
+    ref = decode_wav(odd)
+    assert out["sr"][1] == ref.sr == 16000
+    assert out["n_samples"][1] == ref.n_samples
+    assert abs(out["rms"][1] - ref.rms) < 1e-9

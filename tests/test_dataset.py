@@ -134,3 +134,18 @@ def test_histogram_pools_overflow_categories(spark):
     h = histogram(df, "s", max_categories=5)
     assert len(h) == 6 and abs(sum(h.values()) - 1.0) < 1e-9
     assert abs(h["__other__"] - 0.75) < 1e-9
+
+
+def test_approx_quantiles_within_tolerance_of_exact(spark):
+    """The GK sketch at the default accuracy (2500) must track the exact
+    interpolated percentiles — keeps the approx path verified now that
+    the oracle query runs in exact mode."""
+    df = spark.range(20000).select(
+        (F.col("id") % 1000).cast("double").alias("v"))
+    exact = {r["column"]: r["quantiles"] for r in column_stats(
+        df, ["v"], quantiles=(0.25, 0.5, 0.9),
+        exact_quantiles=True).collect()}
+    approx = {r["column"]: r["quantiles"] for r in column_stats(
+        df, ["v"], quantiles=(0.25, 0.5, 0.9)).collect()}
+    for e, a in zip(exact["v"], approx["v"]):
+        assert abs(e - a) <= 1.0  # 1/1000 of the value range

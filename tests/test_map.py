@@ -69,3 +69,56 @@ def test_map_null_map_column(spark):
     rs = Map().with_key("a", Int32().with_required())
     got = triples(spark, rs, [(0, None)])
     assert got == {(0, "/m", Code.NULL)}
+
+
+def test_dynamic_bucket_routes_and_suppresses_unknown(spark):
+    """WithDynamicBucket (reference object.go:237-264): matching keys are
+    routed to the bucket map and stop being UNEXPECTED; explicit keys are
+    never bucketed; non-matching keys still trip UNEXPECTED."""
+    from protovalidate_spark import Int64, Map
+    df = spark.createDataFrame(
+        [(1, {"k": 5, "x_a": 7, "y_z": 9})],
+        "id int, m map<string,bigint>")
+    rs = Map().with_key("k", Int64()).with_dynamic_bucket("^x_", "xs")
+    v = df.select(F.explode(rs.compile_violations(
+        F.col("m"), "/m", "map<string,bigint>")).alias("e"))
+    got = {(r["e"]["field_path"], r["e"]["rule_id"]) for r in v.collect()}
+    assert got == {("/m/y_z", "UNEXPECTED")}
+    b = df.select(rs.bucket_output(F.col("m")).alias("b")).first()["b"]
+    assert b == {"xs": {"x_a": 7}}
+
+
+def test_dynamic_bucket_multi_membership_and_absent(spark):
+    """A key matching several bucket patterns lands in ALL of them; a
+    bucket with no matches does not appear (setter.go SetBucket)."""
+    from protovalidate_spark import Map
+    df = spark.createDataFrame(
+        [(1, {"ab": 1}), (2, {"zz": 2})], "id int, m map<string,bigint>")
+    rs = (Map().with_unknown()
+          .with_dynamic_bucket("^a", "bucket_a")
+          .with_dynamic_bucket("b$", "bucket_b"))
+    rows = {r["id"]: r["b"] for r in df.select(
+        "id", rs.bucket_output(F.col("m")).alias("b")).collect()}
+    assert rows[1] == {"bucket_a": {"ab": 1}, "bucket_b": {"ab": 1}}
+    assert rows[2] == {}
+
+
+def test_conditional_dynamic_bucket(spark):
+    """WithConditionalDynamicBucket (object.go:266-279): routed only when
+    the condition holds; otherwise the key falls back to unknown."""
+    from protovalidate_spark import Int64, Map
+    df = spark.createDataFrame(
+        [(1, {"k": 99, "y_b": 3}), (2, {"k": 1, "y_b": 4})],
+        "id int, m map<string,bigint>")
+    rs = (Map().with_key("k", Int64())
+          .with_conditional_dynamic_bucket(
+              "^y_", lambda m: F.element_at(m, "k") >= 50, "ys"))
+    v = df.select("id", F.explode_outer(rs.compile_violations(
+        F.col("m"), "/m", "map<string,bigint>")).alias("e"))
+    got = {(r["id"], r["e"]["field_path"] if r["e"] else None)
+           for r in v.collect()}
+    assert got == {(1, None), (2, "/m/y_b")}
+    rows = {r["id"]: r["b"] for r in df.select(
+        "id", rs.bucket_output(F.col("m")).alias("b")).collect()}
+    assert rows[1] == {"ys": {"y_b": 3}}
+    assert rows[2] == {}

@@ -190,3 +190,68 @@ def test_query_standalone(spark):
     assert Code.ENCODING in codes_for(spark, rs, "a=%zz")
     rs2 = Query().with_param("tok", String().with_required())
     assert Code.REQUIRED in codes_for(spark, rs2, "a=1")
+
+
+# ---- IPv6 ranges / CIDR / subnet mask (round-2 additions) ------------------
+
+def test_ipv4_mapped_v6_is_structurally_valid(spark):
+    from protovalidate_spark import IP
+    rs = IP()
+    assert codes_for(spark, rs, "::ffff:192.0.2.1") == []
+    assert codes_for(spark, rs, "64:ff9b::1.2.3.4") == []
+    assert codes_for(spark, rs, "::ffff:999.0.2.1") == ["PATTERN"]
+
+
+def test_ip_cidr_v6(spark):
+    from protovalidate_spark import IP
+    rs = IP().with_cidr("2001:db8::/32", "10.0.0.0/8")
+    assert codes_for(spark, rs, "2001:db8::1") == []
+    assert codes_for(spark, rs, "2001:db9::1") == ["RANGE"]
+    assert codes_for(spark, rs, "10.1.2.3") == []       # v4 block still works
+    assert codes_for(spark, rs, "11.1.2.3") == ["RANGE"]
+
+
+def test_ip_range_v6(spark):
+    from protovalidate_spark import IP
+    rs = IP().with_range("2001:db8::1", "2001:db8::ff")
+    assert codes_for(spark, rs, "2001:db8::a") == []
+    assert codes_for(spark, rs, "2001:db8::1ff") == ["RANGE"]
+
+
+def test_ip_subnet_mask_v4_and_v6(spark):
+    from protovalidate_spark import IP
+    v4 = IP().with_subnet_mask("192.168.1.0", "255.255.255.0")
+    assert codes_for(spark, v4, "192.168.1.42") == []
+    assert codes_for(spark, v4, "192.168.2.42") == ["PATTERN"]
+    v6 = IP().with_subnet_mask("2001:db8::", "ffff:ffff:ffff:ffff::")
+    assert codes_for(spark, v6, "2001:db8::5") == []
+    assert codes_for(spark, v6, "2001:db9::5") == ["PATTERN"]
+    # replaces a prior subnet-mask rule (reference Replaces semantics)
+    both = v4.with_subnet_mask("10.0.0.0", "255.0.0.0")
+    assert codes_for(spark, both, "10.9.9.9") == []
+
+
+def test_ip_subnet_mask_version_mismatch():
+    from protovalidate_spark import IP
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        IP().with_subnet_mask("192.168.1.0", "ffff::")
+
+
+def test_tld_list_is_full_iana(spark):
+    from protovalidate_spark import Domain
+    from protovalidate_spark.rules.tlds import IANA_TLDS
+    assert len(IANA_TLDS) > 1400
+    rs = Domain().with_tld()
+    assert codes_for(spark, rs, "studio.photography") == []
+    assert codes_for(spark, rs, "example.notatld") == ["NOTALLOWED"]
+
+
+def test_domain_punycode_normalization(spark):
+    from protovalidate_spark import Domain
+    rs = Domain().with_punycode().with_tld()
+    assert codes_for(spark, rs, "bücher.de") == []
+    assert codes_for(spark, rs, "пример.рф") == []  # IDN TLD (xn--p1ai)
+    # without normalization the same input fails the ASCII label regex
+    plain = Domain().with_tld()
+    assert Code.PATTERN in codes_for(spark, plain, "bücher.de")

@@ -193,3 +193,29 @@ def test_any_forbidden(spark):
     from protovalidate_spark import Any
     assert codes_for(spark, Any(), None) == []
     assert codes_for(spark, Any().forbidden(), "x") == [Code.DENIED]
+
+
+def test_duration_rounding_modes(spark):
+    """Each mode pinned against the reference's rounding table
+    (rounding.go:10-18 applied to unit remainders, duration.go:245-275):
+    1500us = 1.5ms and 2500us = 2.5ms exercise the half-value cases."""
+    def ms_value(rs, v):
+        df = spark.createDataFrame([(v,)], "v int")
+        return df.select(rs.coerced(F.col("v"), "int").alias("o")).first()["o"]
+
+    for mode, at_1500us, at_2500us in [("down", 1, 2), ("up", 2, 3),
+                                       ("half_up", 2, 3), ("half_even", 2, 2)]:
+        rs = Duration().with_unit("us").with_rounding(mode)
+        assert ms_value(rs, 1500) == at_1500us, mode
+        assert ms_value(rs, 2500) == at_2500us, mode
+
+
+def test_duration_rounding_none_requires_whole(spark):
+    # RoundingNone (the default): a remainder is a coercion error, never
+    # silently rounded (reference rounding.go:13)
+    rs = Duration().with_unit("us")
+    assert codes_for(spark, rs, 2000, "int") == []
+    assert codes_for(spark, rs, 1500, "int") == [Code.TYPE]
+    assert codes_for(spark, rs.with_rounding("half_up"), 1500, "int") == []
+    with pytest.raises(CompileError):
+        rs.with_rounding("sideways")

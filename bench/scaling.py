@@ -78,6 +78,11 @@ def main():
     ap.add_argument("--rows", type=int, default=400000)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--n", type=int, default=2, help="small level (N cores)")
+    ap.add_argument("--write-md", action="store_true",
+                    help="overwrite BENCH.md with this single run's table "
+                    "(default off: BENCH.md holds the pooled multi-run "
+                    "evidence table, assembled from several runs' stdout "
+                    "JSON — do not clobber it with one noisy run)")
     args = ap.parse_args()
     n, n4 = args.n, args.n * 4
 
@@ -153,8 +158,9 @@ and the shuffle byte volume above, both measured here).
 Reproduce: `python bench/scaling.py --rows {args.rows} --repeats {args.repeats}`
 (harness wall {summary['harness_wall_s']}s).
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    if args.write_md:
+        with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+            f.write(md)
     return 0
 
 

@@ -62,10 +62,6 @@ def violation_struct(field_path, rule_id, message, actual_col: Column) -> Column
     )
 
 
-def empty_violations() -> Column:
-    return F.lit(None).cast(VIOLATION_ARRAY_DDL)  # placeholder; prefer typed empty
-
-
 def typed_empty_array() -> Column:
     return F.array().cast(VIOLATION_ARRAY_DDL)
 

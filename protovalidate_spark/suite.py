@@ -123,11 +123,13 @@ class ValidationSuite:
                     .withColumn("pass", F.col("violations") == 0)
             )
         else:
-            total = df.count()
-            nv = violations.count()
-            verdicts = df.sparkSession.createDataFrame(
-                [(total, nv, nv == 0)],
-                "rows_scanned long, violations long, pass boolean")
+            # lazy single-row verdict — no eager actions inside run()
+            # (round-1 fired df.count() + violations.count() here, which
+            # double-executed the decode plan when persist=False)
+            rows = df.select(F.count(F.lit(1)).alias("rows_scanned"))
+            vio = violations.select(F.count(F.lit(1)).alias("violations"))
+            verdicts = (rows.crossJoin(vio)
+                        .withColumn("pass", F.col("violations") == 0))
 
         stats = column_stats(df, list(self.stats_cols)) if with_stats else None
         wall_ms = int((time.time() - t0) * 1000)

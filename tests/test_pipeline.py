@@ -130,3 +130,41 @@ def test_neardup_lsh_single_shuffle(spark, vecs):
     df, _ = vecs
     plan = _plan(embedding_near_dups(df, "vec_id", "vec", threshold=0.99))
     assert plan.count("Exchange") <= 1
+
+
+def test_simhash_near_dups_behavior(spark):
+    """Vectorized SimHash: identical docs have identical signatures (pair
+    at hamming 0); a one-word edit lands measurably closer than
+    unrelated text."""
+    docs = [
+        ("d1", "the quick brown fox jumps over the lazy dog again and again"),
+        ("d2", "the quick brown fox jumps over the lazy dog again and again"),
+        ("d3", "the quick brown fox jumps over the lazy cat again and again"),
+        ("d4", "completely unrelated text about spark accumulators and shuffles"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    from protovalidate_spark.pipeline import simhash_near_dups
+    from protovalidate_spark.pipeline.dedup import simhash_udf
+    sigs = {r["doc_id"]: r["s"] for r in
+            df.select("doc_id", simhash_udf()(F.col("text")).alias("s"))
+            .collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert sigs["d1"] == sigs["d2"]
+    assert ham(sigs["d1"], sigs["d3"]) < ham(sigs["d1"], sigs["d4"])
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_dups(df, "doc_id", "text", prefix_bits=4,
+                               max_hamming=0).collect()}
+    assert pairs.get(("d1", "d2")) == 0 and ("d1", "d4") not in pairs
+
+
+def test_ivf_assign_plan_constant_in_cell_count(spark, vecs):
+    """ivf_assign at a realistic cell count (256): ONE ArrowEvalPython
+    stage and a plan whose size does not grow with n_cells (the round-1
+    expression-per-centroid version compiled O(n_cells) interpreted
+    cosines + an O(n_cells) when-chain)."""
+    df, _ = vecs
+    rng = np.random.RandomState(0)
+    small = _plan(ivf_assign(df, "vec", rng.randn(4, 16)))
+    big = _plan(ivf_assign(df, "vec", rng.randn(256, 16)))
+    assert big.count("ArrowEvalPython") == 1
+    assert len(big) < len(small) * 2  # constant-size plan, not O(cells)

@@ -5,8 +5,8 @@ from .text import (  # noqa: F401
 )
 from .dedup import (  # noqa: F401
     cosine_sim, embedding_near_dups, exact_duplicates, jaccard_pairs,
-    minhash_lsh_candidates, minhash_signature, ngram_jaccard_dedup,
-    simhash_near_dups, word_shingles,
+    minhash_from_hashes, minhash_lsh_candidates, minhash_signature,
+    ngram_jaccard_dedup, shingle_hashes, simhash_near_dups, word_shingles,
 )
 from .similarity import (  # noqa: F401
     build_lsh_index, cosine_topk, ivf_assign, ivf_topk, lsh_topk,

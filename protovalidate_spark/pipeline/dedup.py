@@ -26,9 +26,6 @@ from pyspark.sql.functions import pandas_udf
 
 from .text import normalize_text, tokens
 
-MERSENNE = (1 << 61) - 1
-
-
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -76,35 +73,115 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return udf(toks)
 
 
-def _hash_params(num_hashes: int, seed: int = 7):
-    # coefficients < 2^30 so a*crc32 + b stays under 2^63 (ANSI overflow)
+def shingle_hash_udf(n: int = 3):
+    """Distinct n-gram shingles as 64-bit HASHES (array<bigint>) from a
+    per-token-hash array column — the fully vectorized shingle stage.
+
+    Input: array<bigint> of per-token crc32 values (computed JVM-side).
+    The kernel concatenates the whole Arrow batch's token hashes into ONE
+    flat array, rolling-combines n consecutive hashes with shifted-view
+    FNV multiplies (n vector ops for every window in the batch at once —
+    windows never cross row boundaries because each row only slices its
+    own [start, start+len-n] range), then per-row ``np.unique`` for the
+    distinct-shingle set. Replaces the per-shingle Python string
+    assembly (``" ".join``) of :func:`word_shingles`; downstream Jaccard
+    set ops run on bigint arrays (8 B/shingle shuffle payload instead of
+    ~20 B strings). Exact modulo 64-bit hash collisions."""
+    P = np.uint64(1099511628211)
+
+    def _sh(tok_hashes: pd.Series) -> pd.Series:
+        vals = tok_hashes.values
+        counts = np.fromiter(
+            (0 if t is None else len(t) for t in vals), np.int64,
+            count=len(vals))
+        total = int(counts.sum())
+        out = [None] * len(vals)
+        empty = np.array([], dtype=np.int64)
+        if total:
+            flat = np.concatenate(
+                [np.asarray(t, dtype=np.int64) for t in vals
+                 if t is not None and len(t)]).astype(np.uint64)
+            m = len(flat)
+            n_win = max(m - n + 1, 0)
+            with np.errstate(over="ignore"):
+                acc = flat[:n_win].copy()
+                for j in range(1, n):
+                    acc = (acc * P) ^ flat[j:n_win + j]
+            starts = np.concatenate(([0], np.cumsum(counts)))
+            for i in range(len(vals)):
+                if vals[i] is None:
+                    continue
+                ln = counts[i]
+                if ln < n:
+                    out[i] = empty
+                    continue
+                w = acc[starts[i]:starts[i] + ln - n + 1]
+                out[i] = np.unique(w).view(np.int64)
+        else:
+            for i in range(len(vals)):
+                if vals[i] is not None:
+                    out[i] = empty
+        return pd.Series(out)
+
+    return pandas_udf(_sh, T.ArrayType(T.LongType()))
+
+
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """Distinct n-token shingle hashes of normalized text
+    (array<bigint>): JVM tokenize + crc32 per token, then the vectorized
+    rolling-combine kernel."""
+    tok_hashes = F.transform(tokens(normalize_text(col)),
+                             lambda t: F.crc32(t).cast("bigint"))
+    return shingle_hash_udf(n)(tok_hashes)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public domain constant schedule): a strong
+    64-bit mixer, vectorized. Used as the MinHash permutation family:
+    ``perm_k(h) = mix64(h ^ seed_k)`` approximates an independent random
+    permutation of the 64-bit space per seed.
+
+    (The classic ``(a*h + b) mod prime`` family is WRONG at this domain
+    size: with h < 2^32 and a < 2^30 the product wraps the 2^61-1
+    modulus at most once, so the map is near order-preserving and the
+    globally-smallest shingle hash wins almost every permutation —
+    MinHash degenerates to min-shingle equality. Caught by the round-2
+    shingle-hash tests; the mixer family has no such range problem.)"""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _perm_seeds(num_hashes: int, seed: int = 7) -> np.ndarray:
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, 1 << 30, size=num_hashes, dtype=np.int64)
-    b = rng.randint(0, 1 << 30, size=num_hashes, dtype=np.int64)
-    return a, b
+    lo = rng.randint(0, 1 << 32, size=num_hashes, dtype=np.uint64)
+    hi = rng.randint(0, 1 << 32, size=num_hashes, dtype=np.uint64)
+    return (hi << np.uint64(32)) | lo
 
 
 def minhash_from_shingles(sh_col: Column, num_hashes: int = 32,
                           seed: int = 7) -> Column:
-    """MinHash signature (array<bigint>) from a precomputed shingles
-    array column. Shingle hashing (crc32) is JVM-side; the k permutations
-    are ONE Arrow-batched numpy kernel over the hash array. (A pure-Column
-    version with k ``array_min(transform(...))`` duplicates the shingling
-    subtree k× — Catalyst has no common-subexpression elimination across
-    projections — so the vectorized UDF is the fast path here.)"""
-    a, b = _hash_params(num_hashes, seed)
+    """MinHash signature (array<bigint>) from a precomputed STRING
+    shingles array column (compat path). Shingle hashing (crc32) is
+    JVM-side; the k splitmix64 permutations are ONE Arrow-batched numpy
+    kernel over the hash array. (A pure-Column version with k
+    ``array_min(transform(...))`` duplicates the shingling subtree k× —
+    Catalyst has no common-subexpression elimination across projections
+    — so the vectorized UDF is the fast path here.)"""
+    seeds = _perm_seeds(num_hashes, seed)
     sh_hashes = F.transform(sh_col, F.crc32)
 
     def _minhash(hs: pd.Series) -> pd.Series:
-        av = a[:, None]
-        bv = b[:, None]
+        sv = seeds[:, None]
         out = []
         for h in hs:
             if h is None or len(h) == 0:
                 out.append(None)
                 continue
-            hv = np.asarray(h, dtype=np.int64)[None, :]
-            out.append(((av * hv + bv) % MERSENNE).min(axis=1))
+            hv = np.asarray(h, dtype=np.int64).astype(np.uint64)[None, :]
+            with np.errstate(over="ignore"):
+                mins = _mix64(hv ^ sv).min(axis=1)
+            out.append(mins.astype(np.int64))
         return pd.Series(out)
 
     udf = pandas_udf(_minhash, T.ArrayType(T.LongType()))
@@ -118,12 +195,45 @@ def minhash_signature(col: Column, num_hashes: int = 32, shingle_n: int = 3,
                                  num_hashes, seed)
 
 
+def minhash_from_hashes(sh_col: Column, num_hashes: int = 32,
+                        seed: int = 7) -> Column:
+    """MinHash signature (array<bigint>) from a shingle-HASH array column
+    (:func:`shingle_hashes`). Fully vectorized: the batch's shingle
+    hashes flatten into one array, all k splitmix64 permutations
+    evaluate as one (k, total) matrix op, and per-row minima come from
+    ONE ``np.minimum.reduceat`` — no per-row Python loop."""
+    seeds = _perm_seeds(num_hashes, seed)
+
+    def _mh(hs: pd.Series) -> pd.Series:
+        vals = hs.values
+        counts = np.fromiter(
+            (0 if t is None else len(t) for t in vals), np.int64,
+            count=len(vals))
+        out = [None] * len(vals)
+        nonempty = counts > 0
+        if nonempty.any():
+            flat = np.concatenate(
+                [np.asarray(t, dtype=np.int64) for t in vals
+                 if t is not None and len(t)]).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                V = _mix64(flat[None, :] ^ seeds[:, None])
+            starts = np.concatenate(([0], np.cumsum(counts)))[:-1][nonempty]
+            mins = np.minimum.reduceat(V, starts, axis=1)
+            for col_idx, row_idx in enumerate(np.nonzero(nonempty)[0]):
+                out[row_idx] = mins[:, col_idx].astype(np.int64)
+        return pd.Series(out)
+
+    return pandas_udf(_mh, T.ArrayType(T.LongType()))(sh_col)
+
+
 def shingles_frame(df: DataFrame, id_col: str, text_col: str,
                    shingle_n: int = 3) -> DataFrame:
-    """(__id, __sh) — the shared shingle stage, computed once and persisted
-    by callers that reuse it (candidate generation + Jaccard verify)."""
+    """(__id, __sh) — the shared shingle stage (shingles as 64-bit hash
+    arrays), computed once and persisted by callers that reuse it
+    (candidate generation + Jaccard verify both operate on the bigint
+    arrays; set semantics are identical modulo hash collisions)."""
     return df.select(F.col(id_col).alias("__id"),
-                     word_shingles(F.col(text_col), shingle_n).alias("__sh"))
+                     shingle_hashes(F.col(text_col), shingle_n).alias("__sh"))
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
@@ -141,7 +251,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
         else shingles_frame(df, id_col, text_col, shingle_n)
     sigs = sh.select(
         "__id",
-        minhash_from_shingles(F.col("__sh"), num_hashes, seed).alias("__sig"))
+        minhash_from_hashes(F.col("__sh"), num_hashes, seed).alias("__sig"))
     band_cols = [
         F.concat_ws("_", F.lit(bi),
                     F.xxhash64(F.slice(F.col("__sig"), bi * rows + 1, rows)))

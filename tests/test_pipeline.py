@@ -168,3 +168,61 @@ def test_ivf_assign_plan_constant_in_cell_count(spark, vecs):
     big = _plan(ivf_assign(df, "vec", rng.randn(256, 16)))
     assert big.count("ArrowEvalPython") == 1
     assert len(big) < len(small) * 2  # constant-size plan, not O(cells)
+
+
+def test_shingle_hashes_match_string_shingles(spark):
+    """The hashed shingle stage must induce the same Jaccard structure
+    as string shingles: counts equal (no collisions on small inputs) and
+    a direct python n-gram Jaccard agrees with the pipeline's verify."""
+    from protovalidate_spark.pipeline import (
+        ngram_jaccard_dedup, shingle_hashes, word_shingles)
+    docs = [
+        ("a", "one two three four five six seven eight nine ten"),
+        ("b", "one two three four five six seven eight nine eleven"),
+        ("c", "totally different words appear in this document here now"),
+        ("d", "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    rows = df.select(
+        "doc_id",
+        F.size(word_shingles(F.col("text"), 3)).alias("n_str"),
+        F.size(shingle_hashes(F.col("text"), 3)).alias("n_hash")).collect()
+    for r in rows:
+        assert r["n_str"] == r["n_hash"], r
+
+    def py_jaccard(x, y, n=3):
+        sx = {tuple(x.split()[i:i + n]) for i in range(len(x.split()) - n + 1)}
+        sy = {tuple(y.split()[i:i + n]) for i in range(len(y.split()) - n + 1)}
+        return len(sx & sy) / len(sx | sy)
+
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_dedup(
+        df, "doc_id", "text", shingle_n=3, threshold=0.5,
+        bands=16, num_hashes=32).collect()}
+    assert got[("a", "d")] == 1.0
+    assert got[("a", "b")] == pytest.approx(
+        py_jaccard(docs[0][1], docs[1][1]), abs=1e-6)
+    assert ("a", "c") not in got
+
+
+def test_minhash_signature_estimates_jaccard(spark):
+    """MinHash quality gate: the fraction of agreeing signature
+    coordinates must track the true Jaccard similarity (this is the
+    property the order-preserving (a*h+b) mod M family silently broke —
+    the global min shingle won every permutation)."""
+    import random
+    rnd = random.Random(5)
+    base = [f"tok{i}" for i in range(200)]
+    # ~50% token overlap → known Jaccard on 3-gram shingles computed below
+    other = base[:100] + [f"alt{i}" for i in range(100)]
+    t1, t2 = " ".join(base), " ".join(other)
+    s1 = {tuple(base[i:i + 3]) for i in range(198)}
+    s2 = {tuple(other[i:i + 3]) for i in range(198)}
+    true_j = len(s1 & s2) / len(s1 | s2)
+    from protovalidate_spark.pipeline import minhash_from_hashes, shingle_hashes
+    df = spark.createDataFrame([("a", t1), ("b", t2)],
+                               "doc_id string, text string")
+    sig = df.select("doc_id", minhash_from_hashes(
+        shingle_hashes(F.col("text"), 3), num_hashes=128).alias("s"))
+    rows = {r["doc_id"]: r["s"] for r in sig.collect()}
+    est = sum(x == y for x, y in zip(rows["a"], rows["b"])) / 128
+    assert abs(est - true_j) < 0.15, (est, true_j)

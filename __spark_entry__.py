@@ -336,6 +336,87 @@ def q_ip_customer(spark, sf_dir):
     return v.select("c_custkey", "field_path", "rule_id")
 
 
+def q_duration_orders(spark, sf_dir):
+    """Duration rule set end-to-end (reference time/duration.go): unit
+    scaling (s→ms), MIN/MAX bounds, and the RoundingNone default turning
+    a fractional-ms remainder into a coercion error."""
+    from protovalidate_spark import Duration, Object
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    # seconds, sometimes fractional with sub-ms precision (1e-5 s = 0.01 ms)
+    secs = (F.when(k % 7 == 3, k % 100 + 0.00001)
+             .otherwise((k % 100).cast("double")))
+    df = o.select("o_orderkey", secs.alias("secs"))
+    rs = (Object().with_unknown()
+          .with_key("secs", Duration().with_unit("s").min(5).max(90)))
+    v = rs.violations(df, row_key_cols=["o_orderkey"])
+    return v.select("o_orderkey", "field_path", "rule_id")
+
+
+def q_int_base16_customer(spark, sf_dir):
+    """Int.WithBase (reference int.go WithBase + digit-guarded conv):
+    base-16 string parsing with invalid-digit TYPE errors and a MIN
+    bound on the parsed value."""
+    from protovalidate_spark import Int32, Object
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    hexs = (F.when(k % 11 == 5, F.lit("zz"))
+             .otherwise(F.lower(F.hex(k % 300))))
+    df = c.select("c_custkey", hexs.alias("hx"))
+    rs = Object().with_unknown().with_key("hx", Int32().with_base(16).min(16))
+    v = rs.violations(df, row_key_cols=["c_custkey"])
+    return v.select("c_custkey", "field_path", "rule_id")
+
+
+def q_fixed_output_lineitem(spark, sf_dir):
+    """Float.WithFixedOutput (reference rounding.go:71-78 + output
+    assignment): the COERCED value itself — half-even rounded to 2
+    decimals, formatted as a fixed-precision string."""
+    from protovalidate_spark import Float64
+    li = _t(spark, sf_dir, "lineitem")
+    rs = Float64().with_rounding("half_even", 2).with_fixed_output(2)
+    # l_quantity/8 yields binary-EXACT .125-step values, so the
+    # half-even ties are deterministic and engine-independent
+    out = rs.coerced(F.col("l_quantity") / 8.0, "double")
+    return (li.filter(F.col("l_linenumber") == 1)
+            .select("l_orderkey", F.replace(out, F.lit(","), F.lit(""))
+                    .alias("px")))
+
+
+def q_time_diff_orders(spark, sf_dir):
+    """Time.WithMinDiff/WithMaxDiff with a pinned 'now' (reference
+    time/rule_mindiff.go:19-53 evaluates relative to now; pinned at
+    compile for deterministic plans)."""
+    import datetime as dt
+    from protovalidate_spark import Object, Time
+    now = dt.datetime(1996, 1, 1)
+    o = _t(spark, sf_dir, "orders")
+    rs = (Object().with_unknown()
+          .with_key("o_orderdate",
+                    Time().min_diff(dt.timedelta(days=-365), now=now)
+                          .max_diff(dt.timedelta(days=365), now=now)))
+    v = rs.violations(o, row_key_cols=["o_orderkey"])
+    return v.select("o_orderkey", "field_path", "rule_id")
+
+
+def q_domain_suffix_customer(spark, sf_dir):
+    """Domain.WithSuffix label-aligned matching (reference
+    net/rule_domain_suffix.go:22-134): equals-suffix or ends with
+    '.suffix'; 'evilexample.com' must NOT match 'example.com'."""
+    from protovalidate_spark import Domain, Object
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dom = (F.when(k % 7 == 3, F.lit("evilexample.com"))
+            .when(k % 11 == 5, F.lit("sub.example.com"))
+            .when(k % 13 == 6, F.lit("example.com"))
+            .otherwise(F.lit("other.org")))
+    df = c.select("c_custkey", dom.alias("dom"))
+    rs = (Object().with_unknown()
+          .with_key("dom", Domain().with_suffix("example.com")))
+    v = rs.violations(df, row_key_cols=["c_custkey"])
+    return v.select("c_custkey", "field_path", "rule_id")
+
+
 def q_ip_cidr_customer(spark, sf_dir):
     """IP CIDR membership across versions (reference rule_ip_cidr.go +
     rule_ip_subnet_mask.go round-2 parity): v4 blocks on the codegen'd
@@ -556,6 +637,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_bucket_events": q_map_bucket_events,
         "ip_customer": q_ip_customer,
         "ip_cidr_customer": q_ip_cidr_customer,
+        "duration_orders": q_duration_orders,
+        "int_base16_customer": q_int_base16_customer,
+        "fixed_output_lineitem": q_fixed_output_lineitem,
+        "time_diff_orders": q_time_diff_orders,
+        "domain_suffix_customer": q_domain_suffix_customer,
         "clips_scalar_rules": q_clips_scalar_rules,
         "clips_unique": q_clips_unique,
         "clips_ref_codec": q_clips_ref_codec,
@@ -783,6 +869,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, '/ip', 'DENIED' FROM customer
              WHERE c_custkey % 7 <> 3 AND c_custkey % 11 <> 5
                AND c_custkey % 13 = 6
+        """,
+        "duration_orders": """
+            SELECT o_orderkey, '/secs' AS field_path, 'TYPE' AS rule_id
+              FROM orders WHERE o_orderkey % 7 = 3
+            UNION ALL
+            SELECT o_orderkey, '/secs', 'MIN' FROM orders
+             WHERE o_orderkey % 7 <> 3 AND o_orderkey % 100 < 5
+            UNION ALL
+            SELECT o_orderkey, '/secs', 'MAX' FROM orders
+             WHERE o_orderkey % 7 <> 3 AND o_orderkey % 100 > 90
+        """,
+        "int_base16_customer": """
+            SELECT c_custkey, '/hx' AS field_path, 'TYPE' AS rule_id
+              FROM customer WHERE c_custkey % 11 = 5
+            UNION ALL
+            SELECT c_custkey, '/hx', 'MIN' FROM customer
+             WHERE c_custkey % 11 <> 5 AND c_custkey % 300 < 16
+        """,
+        "fixed_output_lineitem": """
+            SELECT l_orderkey,
+                   printf('%.2f', round_even(l_quantity / 8.0, 2)) AS px
+              FROM lineitem WHERE l_linenumber = 1
+        """,
+        "time_diff_orders": """
+            SELECT o_orderkey, '/o_orderdate' AS field_path,
+                   'MIN' AS rule_id
+              FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+            UNION ALL
+            SELECT o_orderkey, '/o_orderdate', 'MAX' FROM orders
+             WHERE o_orderdate > TIMESTAMP '1996-12-31 00:00:00'
+        """,
+        "domain_suffix_customer": """
+            SELECT c_custkey, '/dom' AS field_path, 'NOTALLOWED' AS rule_id
+              FROM customer WHERE c_custkey % 7 = 3
+            UNION ALL
+            SELECT c_custkey, '/dom', 'NOTALLOWED' FROM customer
+             WHERE c_custkey % 7 <> 3 AND c_custkey % 11 <> 5
+               AND c_custkey % 13 <> 6
         """,
         "ip_cidr_customer": """
             SELECT c_custkey, '/ip' AS field_path, 'RANGE' AS rule_id

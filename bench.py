@@ -144,6 +144,16 @@ def main():
     spark = local_session(cores=int(cpus), app="protovalidate-bench")
 
     qs = entrymod.queries()
+    # untimed warm-up: python workers fork+import, JIT, Arrow init —
+    # otherwise the FIRST query absorbs ~5-10s of one-time session cost
+    # and per-query numbers aren't comparable round-over-round
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as _F
+    from pyspark.sql.functions import pandas_udf as _pudf
+    _warm = _pudf(lambda s: s + 1, "long")
+    (spark.range(100_000).repartition(int(cpus))
+     .select(_warm(_F.col("id"))).write.format("noop")
+     .mode("overwrite").save())
     timings = {}
     total = 0.0
     for name in BENCH_QUERIES:

@@ -10,7 +10,7 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import (  # noqa: F401
     build_lsh_index, cosine_topk, ivf_assign, ivf_topk, lsh_topk,
-    train_centroids,
+    read_lsh_probe, train_centroids, write_lsh_index,
 )
 from .multimodal import (  # noqa: F401
     extract_media_meta, feature_extract, frame_sample, sniff_format,

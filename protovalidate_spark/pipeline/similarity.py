@@ -127,6 +127,34 @@ def build_lsh_index(df: DataFrame, id_col: str, vec_col: str,
     ), hp
 
 
+def write_lsh_index(index_df: DataFrame, path: str,
+                    mode: str = "overwrite") -> None:
+    """Materialize the LSH index partitioned BY BUCKET: a probe then
+    reads only the probed buckets' files (Hive partition pruning — no
+    scan of the other 2^planes-1 partitions; pinned by
+    tests/test_pipeline.py). At 100 TB this is the difference between a
+    full-index scan per query and touching ~(planes+1)/2^planes of it."""
+    index_df.write.partitionBy("bucket").mode(mode).parquet(path)
+
+
+def read_lsh_probe(spark, path: str, hp: np.ndarray,
+                   query_vec: Sequence[float], id_col: str, vec_col: str,
+                   k: int = 10, probe_hamming: int = 1) -> DataFrame:
+    """ANN top-k against a MATERIALIZED index (written by
+    :func:`write_lsh_index`): the bucket predicate prunes partitions at
+    planning time, then exact cosine ranks the candidates."""
+    qsig = signature_of(query_vec, hp)
+    probes = {qsig}
+    if probe_hamming >= 1:
+        for i in range(len(hp)):
+            probes.add(qsig ^ (1 << i))
+    cand = spark.read.parquet(path).filter(
+        F.col("bucket").isin(*sorted(probes)))
+    sim = cosine_to_query(cand, vec_col, query_vec)
+    return (cand.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.col(id_col)).limit(k))
+
+
 def lsh_topk(index_df: DataFrame, hp: np.ndarray, id_col: str, vec_col: str,
              query_vec: Sequence[float], k: int = 10,
              probe_hamming: int = 1) -> DataFrame:

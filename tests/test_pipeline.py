@@ -226,3 +226,23 @@ def test_minhash_signature_estimates_jaccard(spark):
     rows = {r["doc_id"]: r["s"] for r in sig.collect()}
     est = sum(x == y for x, y in zip(rows["a"], rows["b"])) / 128
     assert abs(est - true_j) < 0.15, (est, true_j)
+
+
+def test_materialized_lsh_index_prunes_partitions(spark, vecs, tmp_path):
+    """write_lsh_index partitions by bucket; a probe's scan must show a
+    partition filter on `bucket` and return the same rows as the
+    in-memory probe."""
+    from protovalidate_spark.pipeline.similarity import (
+        read_lsh_probe, write_lsh_index)
+    df, lookup = vecs
+    q = lookup["v0003"]
+    index, hp = build_lsh_index(df, "vec_id", "vec", planes=4, seed=11)
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(index, path)
+    probe = read_lsh_probe(spark, path, hp, q, "vec_id", "vec", k=5)
+    plan = _plan(probe)
+    assert "PartitionFilters" in plan and "bucket" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+    mem = lsh_topk(index, hp, "vec_id", "vec", q, k=5).collect()
+    assert [r["vec_id"] for r in probe.collect()] == \
+        [r["vec_id"] for r in mem]

@@ -336,6 +336,83 @@ def q_ip_customer(spark, sf_dir):
     return v.select("c_custkey", "field_path", "rule_id")
 
 
+def q_localized_lineitem(spark, sf_dir):
+    """i18n dictionary rendering (reference errors/dict.go:41-56,222-240):
+    violations localized via a broadcast (rule_id → template) join with
+    {path}/{actual} interpolation — message rendering happens at REPORT
+    time, never in the rule hot path."""
+    from protovalidate_spark import Float64, Object
+    from protovalidate_spark.dictionary import localize
+    li = _t(spark, sf_dir, "lineitem")
+    rs = (Object().with_unknown()
+          .with_key("l_quantity", Float64().max(45)))
+    v = rs.violations(li, row_key_cols=["l_orderkey", "l_linenumber"])
+    out = localize(v, templates={"MAX": "{path} over max: {actual}"},
+                   locale="en")
+    return out.select("l_orderkey", "l_linenumber",
+                      F.col("localized_message").alias("msg"))
+
+
+def q_uri_parts_orders(spark, sf_dir):
+    """URI part requirements (reference net/uri.go With*Required +
+    WithRelative + WithAllowedPorts): relative URIs allowed, host
+    required, user required, ports allow-listed — deep error paths."""
+    from protovalidate_spark import URI, Object
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    url = (F.when(k % 7 == 3, F.lit("/relative/path/only"))       # no host
+            .when(k % 11 == 5, F.lit("https://u:p@h.example.com:9999/"))  # bad port
+            .when(k % 13 == 6, F.lit("https://h.example.com:8080/"))      # no user
+            .otherwise(F.lit("https://u:p@h.example.com:8080/ok")))
+    df = o.select("o_orderkey", url.alias("u"))
+    rs = (Object().with_unknown()
+          .with_key("u", URI().with_deep_errors().with_relative()
+                    .with_host_required().with_user_required()
+                    .with_allowed_ports(443, 8080)))
+    v = rs.violations(df, row_key_cols=["o_orderkey"])
+    return v.select("o_orderkey", "field_path", "rule_id")
+
+
+def q_email_domain_customer(spark, sf_dir):
+    """Email.WithDomain (reference net/email.go:255-260): a custom
+    domain sub-rule-set (suffix allow-list) lifted into the email rules,
+    replacing the default TLD domain set."""
+    from protovalidate_spark import Domain, Email, Object
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    email = (F.when(k % 7 == 3, F.lit("a@other.org"))
+              .when(k % 11 == 5, F.lit("bad local@corp.example.com"))
+              .otherwise(F.lit("ok@corp.example.com")))
+    df = c.select("c_custkey", email.alias("em"))
+    rs = (Object().with_unknown()
+          .with_key("em", Email().with_domain(
+              Domain().with_suffix("example.com"))))
+    v = rs.violations(df, row_key_cols=["c_custkey"])
+    return v.select("c_custkey", "field_path", "rule_id")
+
+
+def q_bool_constant_events(spark, sf_dir):
+    """Bool coercion (0/1 ints and true/false strings only,
+    bool.go:330-380) + Constant equality + Any().forbidden() over
+    synthesized columns."""
+    from protovalidate_spark import Any, Bool, Constant, Object
+    e = _t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    flag = (F.when(k % 7 == 3, F.lit("maybe"))      # not coercible
+             .when(k % 11 == 5, F.lit("false"))      # coerces, fails true()
+             .otherwise(F.lit("true")))
+    tag = F.when(k % 13 == 6, F.lit("wrong")).otherwise(F.lit("fixed"))
+    ghost = F.when(k % 17 == 8, F.lit("present"))    # else NULL
+    df = e.select("event_id", flag.alias("flag"), tag.alias("tag"),
+                  ghost.alias("ghost"))
+    rs = (Object().with_unknown()
+          .with_key("flag", Bool().true())
+          .with_key("tag", Constant("fixed"))
+          .with_key("ghost", Any().forbidden()))
+    v = rs.violations(df, row_key_cols=["event_id"])
+    return v.select("event_id", "field_path", "rule_id")
+
+
 def q_duration_orders(spark, sf_dir):
     """Duration rule set end-to-end (reference time/duration.go): unit
     scaling (s→ms), MIN/MAX bounds, and the RoundingNone default turning
@@ -637,6 +714,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_bucket_events": q_map_bucket_events,
         "ip_customer": q_ip_customer,
         "ip_cidr_customer": q_ip_cidr_customer,
+        "localized_lineitem": q_localized_lineitem,
+        "uri_parts_orders": q_uri_parts_orders,
+        "email_domain_customer": q_email_domain_customer,
+        "bool_constant_events": q_bool_constant_events,
         "duration_orders": q_duration_orders,
         "int_base16_customer": q_int_base16_customer,
         "fixed_output_lineitem": q_fixed_output_lineitem,
@@ -869,6 +950,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, '/ip', 'DENIED' FROM customer
              WHERE c_custkey % 7 <> 3 AND c_custkey % 11 <> 5
                AND c_custkey % 13 = 6
+        """,
+        "localized_lineitem": """
+            SELECT l_orderkey, l_linenumber,
+                   '/l_quantity over max: ' ||
+                   CAST(l_quantity AS VARCHAR) AS msg
+              FROM lineitem WHERE l_quantity > 45
+        """,
+        "uri_parts_orders": """
+            SELECT o_orderkey, '/u/host' AS field_path,
+                   'REQUIRED' AS rule_id
+              FROM orders WHERE o_orderkey % 7 = 3
+            UNION ALL
+            SELECT o_orderkey, '/u/user', 'REQUIRED' FROM orders
+             WHERE o_orderkey % 7 = 3
+            UNION ALL
+            SELECT o_orderkey, '/u/port', 'NOTALLOWED' FROM orders
+             WHERE o_orderkey % 7 <> 3 AND o_orderkey % 11 = 5
+            UNION ALL
+            SELECT o_orderkey, '/u/user', 'REQUIRED' FROM orders
+             WHERE o_orderkey % 7 <> 3 AND o_orderkey % 11 <> 5
+               AND o_orderkey % 13 = 6
+        """,
+        "email_domain_customer": """
+            SELECT c_custkey, '/em' AS field_path, 'NOTALLOWED' AS rule_id
+              FROM customer WHERE c_custkey % 7 = 3
+            UNION ALL
+            SELECT c_custkey, '/em', 'PATTERN' FROM customer
+             WHERE c_custkey % 7 <> 3 AND c_custkey % 11 = 5
+        """,
+        "bool_constant_events": """
+            SELECT event_id, '/flag' AS field_path, 'TYPE' AS rule_id
+              FROM events WHERE event_id % 7 = 3
+            UNION ALL
+            SELECT event_id, '/flag', 'NOTALLOWED' FROM events
+             WHERE event_id % 7 <> 3 AND event_id % 11 = 5
+            UNION ALL
+            SELECT event_id, '/tag', 'NOTALLOWED' FROM events
+             WHERE event_id % 13 = 6
+            UNION ALL
+            SELECT event_id, '/ghost', 'DENIED' FROM events
+             WHERE event_id % 17 = 8
         """,
         "duration_orders": """
             SELECT o_orderkey, '/secs' AS field_path, 'TYPE' AS rule_id

@@ -73,6 +73,59 @@ def windowed_unique_violations(
              "_v.field_path", "_v.rule_id", "_v.message", "_v.actual")
 
 
+def stateful_unique_violations(
+    stream_df: DataFrame, key_col: str,
+    state_timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """EXACT cross-batch duplicate detection via keyed state
+    (``applyInPandasWithState`` — the brief's custom-stateful-operator
+    path). Unlike the windowed relaxation, a key is flagged whenever it
+    was EVER seen while its state lives: state is one counter per key,
+    expired by a processing-time timeout so it stays bounded (the
+    streaming trade-off: duplicates further apart than the TTL are the
+    batch runner's job).
+
+    Emits one row per micro-batch per key that gained duplicates:
+    (key, dup_count_batch, total_seen, field_path, rule_id, message,
+    actual)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout)
+
+    out_schema = (f"{key_col} string, dup_count_batch long, "
+                  "total_seen long, field_path string, rule_id string, "
+                  "message string, actual string")
+    state_schema = "seen long"
+
+    def flag_dups(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n = sum(len(p) for p in pdfs)
+        seen = state.get[0] if state.exists else 0
+        dups = n if seen > 0 else n - 1
+        total = seen + n
+        state.update((total,))
+        state.setTimeoutDuration(state_timeout_ms)
+        if dups > 0:
+            yield pd.DataFrame({
+                key_col: [key[0]], "dup_count_batch": [dups],
+                "total_seen": [total],
+                "field_path": [f"/{key_col}"],
+                "rule_id": [Code.UNIQUE],
+                "message": [f"value of {key_col!r} duplicated "
+                            f"(stateful exact check)"],
+                "actual": [str(key[0])],
+            })
+
+    return (stream_df
+            .filter(F.col(key_col).isNotNull())
+            .groupBy(key_col)
+            .applyInPandasWithState(
+                flag_dups, out_schema, state_schema, "append",
+                GroupStateTimeout.ProcessingTimeTimeout))
+
+
 def write_violations_stream(
     violations: DataFrame, path: str, checkpoint: str,
     output_mode: str = "append", trigger_available_now: bool = True,

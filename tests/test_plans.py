@@ -69,3 +69,20 @@ def test_histogram_is_single_shuffle(spark, clips_path):
     df = spark.read.parquet(clips_path)
     plan = _plan(histogram_counts(df, "dur_ms", 0, 2000, 32))
     assert plan.count("Exchange") <= 1
+
+
+def test_rule_queries_are_shuffle_free(spark):
+    """Row-level rule-set queries (net/map/duration — including the
+    round-2 additions) must compile to a pure projection + explode: no
+    Exchange anywhere. At 100 TB a stray shuffle here would dominate
+    the whole pass."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    for name in ["uri_orders", "uri_parts_orders", "ip_cidr_customer",
+                 "map_bucket_events", "duration_orders",
+                 "int_base16_customer", "bool_constant_events",
+                 "domain_suffix_customer"]:
+        plan = _plan(qs[name](spark, "/root/testdata/sf0.001"))
+        assert "Exchange" not in plan, f"{name} shuffles"

@@ -140,3 +140,32 @@ def test_stream_suite_row_pass_with_decode(spark, tmp_path):
     want = {(r["row_idx"], r["field_path"], r["rule_id"])
             for r in suite.row_violations(batch).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stateful_unique_across_batches(spark, stream_src, tmp_path):
+    """applyInPandasWithState exact dedup: duplicates are caught even
+    when the two arrivals land in DIFFERENT micro-batches (file drops),
+    which the windowed check cannot guarantee across window boundaries."""
+    from protovalidate_spark.streaming import stateful_unique_violations
+    path, batch_df = stream_src
+    src = str(tmp_path / "src2")
+    out, ckpt = str(tmp_path / "o3"), str(tmp_path / "c3")
+    # drop 1: unique keys only
+    batch_df.filter(F.col("row_idx") <= 2).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch_df.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    v = stateful_unique_violations(stream, "clip_id")
+    write_violations_stream(v, out, ckpt).awaitTermination(120)
+    assert spark.read.parquet(out).count() == 0
+    # drop 2: re-sends clip-0000000001 (dup of drop 1) + a fresh key
+    batch_df.filter(F.col("row_idx") >= 3).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(batch_df.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    v2 = stateful_unique_violations(stream2, "clip_id")
+    write_violations_stream(v2, out, ckpt).awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    got = {(r["clip_id"], r["dup_count_batch"], r["total_seen"],
+            r["rule_id"]) for r in rows}
+    assert got == {("clip-0000000001", 1, 2, "UNIQUE")}

@@ -10,7 +10,8 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import (  # noqa: F401
     build_lsh_index, cosine_topk, ivf_assign, ivf_topk, lsh_topk,
-    read_lsh_probe, train_centroids, write_lsh_index,
+    read_ivf_probe, read_lsh_probe, train_centroids, write_ivf_index,
+    write_lsh_index,
 )
 from .multimodal import (  # noqa: F401
     extract_media_meta, feature_extract, frame_sample, sniff_format,

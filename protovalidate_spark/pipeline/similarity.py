@@ -193,6 +193,34 @@ def ivf_assign(df: DataFrame, vec_col: str, centroids: np.ndarray) -> DataFrame:
         "ivf_cell", pandas_udf(_assign, T.IntegerType())(F.col(vec_col)))
 
 
+def write_ivf_index(df: DataFrame, path: str, vec_col: str,
+                    centroids: np.ndarray, mode: str = "overwrite") -> None:
+    """Materialize an IVF index partitioned BY CELL: one argmax-matmul
+    assignment pass, then a Hive-partitioned write so probes prune to
+    their ``n_probe`` cells' files (same pruning story as
+    :func:`write_lsh_index`, pinned in tests)."""
+    ivf_assign(df, vec_col, centroids).write \
+        .partitionBy("ivf_cell").mode(mode).parquet(path)
+
+
+def read_ivf_probe(spark, path: str, centroids: np.ndarray,
+                   query_vec: Sequence[float], id_col: str, vec_col: str,
+                   k: int = 10, n_probe: int = 2) -> DataFrame:
+    """ANN top-k against a materialized IVF index: the ``ivf_cell``
+    predicate prunes partitions at planning time; exact cosine ranks the
+    probed cells' vectors."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    Cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(Cn @ q))[:n_probe]
+    cand = spark.read.parquet(path).filter(
+        F.col("ivf_cell").isin(*[int(i) for i in order]))
+    sim = cosine_to_query(cand, vec_col, query_vec)
+    return (cand.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.col(id_col)).limit(k))
+
+
 def train_centroids(df: DataFrame, vec_col: str, n_cells: int = 16,
                     sample_rows: int = 10000, iters: int = 10,
                     seed: int = 3) -> np.ndarray:

@@ -246,3 +246,21 @@ def test_materialized_lsh_index_prunes_partitions(spark, vecs, tmp_path):
     mem = lsh_topk(index, hp, "vec_id", "vec", q, k=5).collect()
     assert [r["vec_id"] for r in probe.collect()] == \
         [r["vec_id"] for r in mem]
+
+
+def test_materialized_ivf_index_prunes_partitions(spark, vecs, tmp_path):
+    from protovalidate_spark.pipeline.similarity import (
+        read_ivf_probe, write_ivf_index)
+    df, lookup = vecs
+    q = lookup["v0011"]
+    C = train_centroids(df, "vec", n_cells=3, sample_rows=200, seed=3)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(df, path, "vec", C)
+    probe = read_ivf_probe(spark, path, C, q, "vec_id", "vec",
+                           k=5, n_probe=1)
+    plan = _plan(probe)
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split(
+        "PartitionFilters", 1)[1][:200]
+    mem = ivf_topk(df, "vec_id", "vec", q, C, k=5, n_probe=1).collect()
+    assert [r["vec_id"] for r in probe.collect()] == \
+        [r["vec_id"] for r in mem]

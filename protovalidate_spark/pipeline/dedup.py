@@ -370,23 +370,48 @@ def simhash_udf(bits: int = 64):
     return pandas_udf(_simhash, T.LongType())
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (numpy<2 has no
+    bitwise_count) — O(1) memory multiplier, unlike unpackbits."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = ((x & np.uint64(0x3333333333333333))
+         + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                       prefix_bits: int = 16, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits,
     verify Hamming distance within buckets (one rotation; multi-rotation
-    probing is the standard recall extension)."""
+    probing is the standard recall extension).
+
+    One shuffle on the bucket, then each bucket's pairwise XOR-popcount
+    runs as a single numpy block inside ``applyInPandas`` — the previous
+    self-join evaluated the SimHash kernel once per join SIDE (Catalyst
+    does not CSE across join branches) and shuffled every signature
+    twice."""
     sh = df.select(F.col(id_col).alias("__id"),
                    simhash_udf()(F.col(text_col)).alias("__sh"))
     bucketed = sh.withColumn(
         "bucket", F.shiftrightunsigned(F.col("__sh"), 64 - prefix_bits))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    ham = F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh")))
-    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.__id") < F.col("b.__id")))
-            .withColumn("hamming", ham)
-            .filter(F.col("hamming") <= max_hamming)
-            .select(F.col("a.__id").alias("id_a"),
-                    F.col("b.__id").alias("id_b"), "hamming"))
+    id_t = dict(df.dtypes)[id_col]
+    schema = f"id_a {id_t}, id_b {id_t}, hamming int"
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        sigs = pdf["__sh"].to_numpy().astype(np.int64).astype(np.uint64)
+        ids = pdf["__id"].to_numpy()
+        ham = _popcount64(sigs[:, None] ^ sigs[None, :]).astype(np.int64)
+        mask = (ham <= max_hamming) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(mask)
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi],
+                             "hamming": ham[ai, bi].astype(np.int32)})
+
+    return (bucketed.groupBy("bucket").applyInPandas(bucket_pairs, schema)
+            .select("id_a", "id_b", "hamming"))
 
 
 # ---------------------------------------------------------------------------

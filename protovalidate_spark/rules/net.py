@@ -311,7 +311,11 @@ def ip_to_pair(col: Column) -> Column:
                 hi = lo = None
             his.append(hi)
             los.append(lo)
-        return pd.DataFrame({"hi": his, "lo": los})
+        # nullable Int64: a plain DataFrame would coerce a None-bearing
+        # column to float64, silently corrupting values >= 2^53 (caught
+        # by the hypothesis pair-vs-ipaddress property test)
+        return pd.DataFrame({"hi": pd.array(his, dtype="Int64"),
+                             "lo": pd.array(los, dtype="Int64")})
 
     return pandas_udf(_pair, schema)(col)
 

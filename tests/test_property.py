@@ -118,3 +118,65 @@ def test_object_required_nil_property(spark, rows):
             w.append(("/b", Code.MAX))
         want[i] = sorted(w)
     assert got == want
+
+
+# ---- round-2 surfaces ------------------------------------------------------
+
+@given(st.lists(st.one_of(
+    st.ip_addresses(v=4).map(str),
+    st.ip_addresses(v=6).map(str),
+    st.text(alphabet="0123456789abcdef:.", min_size=1, max_size=30),
+), min_size=1, max_size=12))
+@settings(max_examples=12, deadline=None)
+def test_ip_pair_matches_ipaddress_property(spark, vals):
+    """The 128-bit (hi, lo) normalization must agree bit-for-bit with
+    stdlib ipaddress for every parseable input (v4 mapped at ::ffff:),
+    and be NULL exactly when ipaddress rejects the string."""
+    import ipaddress
+    from protovalidate_spark.rules.net import (
+        _int128_pair, _parse_ip_128, ip_to_pair)
+    df = spark.createDataFrame([(v,) for v in vals], "ip string")
+    got = df.select("ip", ip_to_pair(F.col("ip")).alias("p")).collect()
+    for r in got:
+        try:
+            want = _int128_pair(_parse_ip_128(r["ip"]))
+        except ValueError:
+            want = (None, None)
+        assert (r["p"]["hi"], r["p"]["lo"]) == want, r["ip"]
+
+
+@given(st.lists(st.integers(min_value=-10**7, max_value=10**7),
+                min_size=1, max_size=20),
+       st.sampled_from(["down", "up", "half_up", "half_even"]))
+@settings(max_examples=10, deadline=None)
+def test_duration_rounding_property(spark, vals, mode):
+    """Duration unit scaling honors each rounding mode exactly like a
+    pure-Python evaluation of the reference's rounding table."""
+    from protovalidate_spark import Duration
+    rs = Duration().with_unit("us").with_rounding(mode)
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = [r["o"] for r in
+           df.select(rs.coerced(F.col("v"), "bigint").alias("o"),
+                     "v").orderBy("v").collect()]
+
+    # exact BigDecimal semantics on the very double Spark computes
+    # (v * 1e-3): decimal.Decimal(float) is the exact binary expansion,
+    # so ties and near-ties resolve identically with no epsilon games
+    from decimal import (ROUND_CEILING, ROUND_FLOOR, ROUND_HALF_EVEN,
+                         ROUND_HALF_UP, Decimal)
+    dec_mode = {"down": ROUND_FLOOR, "up": ROUND_CEILING,
+                "half_up": ROUND_HALF_UP, "half_even": ROUND_HALF_EVEN}[mode]
+
+    def py_round(ms):
+        return int(Decimal(ms).quantize(Decimal(1), rounding=dec_mode))
+
+    want = [py_round(v * 1e-3) for v in sorted(vals)]
+    assert got == want
+
+
+@given(st.integers(min_value=0, max_value=2**63 - 1))
+@settings(max_examples=50, deadline=None)
+def test_swar_popcount_property(n):
+    import numpy as np
+    from protovalidate_spark.pipeline.dedup import _popcount64
+    assert int(_popcount64(np.array([n], dtype=np.uint64))[0]) == bin(n).count("1")

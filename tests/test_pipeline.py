@@ -319,3 +319,23 @@ def test_curate_idempotent(spark):
     kept2, dropped2 = curate_documents(kept, "doc_id", "text", min_tokens=5)
     assert dropped2.count() == 0
     assert kept2.count() == kept.count()
+
+
+def test_signature_null_and_ragged_vectors(spark):
+    """NULL / wrong-dim vectors get NULL signatures (and large valid
+    signatures survive the nullable-Int64 path without float corruption
+    — the same 2^53 trap the IP pair kernel hit)."""
+    from protovalidate_spark.pipeline.similarity import (
+        hyperplane_signature, signature_of)
+    rng = np.random.RandomState(1)
+    hp = rng.randn(62, 4)  # 62 planes → signatures up to 2^62 > 2^53
+    rows = [("ok1", [1.0, -2.0, 3.0, -4.0]),
+            ("ok2", [0.5, 0.5, 0.5, 0.5]),
+            ("nul", None),
+            ("rag", [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id string, vec array<double>")
+    got = {r["vec_id"]: r["s"] for r in df.select(
+        "vec_id", hyperplane_signature(df, "vec", hp).alias("s")).collect()}
+    assert got["nul"] is None and got["rag"] is None
+    assert got["ok1"] == signature_of(rows[0][1], hp)
+    assert got["ok2"] == signature_of(rows[1][1], hp)

@@ -114,3 +114,51 @@ def test_batch_decoder_matches_chunk_walker_on_noncanonical():
     assert out["sr"][1] == ref.sr == 16000
     assert out["n_samples"][1] == ref.n_samples
     assert abs(out["rms"][1] - ref.rms) < 1e-9
+
+
+def test_batch_decoder_fuzz_matches_chunk_walker():
+    """400 adversarial payloads (valid, byte-corrupted, truncated,
+    size-field-overclaimed, NULL, random garbage): the vectorized batch
+    decoder must agree field-for-field with the exact chunk-walking
+    parser on every one."""
+    import random
+    import struct
+
+    import pandas as pd
+
+    from protovalidate_spark.audio.decode import _decode_series
+    from protovalidate_spark.audio.wav import decode_wav, synth_sine_wav
+
+    rnd = random.Random(7)
+    cases = []
+    for _ in range(400):
+        k = rnd.random()
+        if k < 0.25:
+            cases.append(synth_sine_wav(100 + rnd.random() * 5000,
+                                        rnd.choice([8000, 16000, 44100]),
+                                        rnd.randint(1, 300)))
+        elif k < 0.45:
+            b = bytearray(synth_sine_wav(440, 16000, 50))
+            for _ in range(rnd.randint(1, 4)):
+                b[rnd.randrange(len(b))] = rnd.getrandbits(8)
+            cases.append(bytes(b))
+        elif k < 0.6:
+            b = synth_sine_wav(440, 16000, 80)
+            cases.append(b[:rnd.randrange(len(b))])
+        elif k < 0.7:
+            b = bytearray(synth_sine_wav(440, 16000, 30))
+            struct.pack_into("<I", b, 40, len(b) * 4)  # overclaimed data
+            cases.append(bytes(b))
+        elif k < 0.8:
+            cases.append(None)
+        else:
+            cases.append(bytes(rnd.getrandbits(8)
+                               for _ in range(rnd.randrange(0, 200))))
+
+    out = _decode_series(pd.Series(cases, dtype=object), False)
+    for i, b in enumerate(cases):
+        ref = decode_wav(b)
+        assert (bool(out["ok"][i]), int(out["sr"][i]),
+                int(out["n_samples"][i]), int(out["dur_ms"][i])) == \
+            (ref.ok, ref.sr, ref.n_samples, ref.dur_ms), i
+        assert abs(float(out["rms"][i]) - ref.rms) < 1e-9, i

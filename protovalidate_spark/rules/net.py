@@ -221,7 +221,15 @@ IPV6_RE = (
     rf"|^{_H}:(:{_H}){{1,6}}$"
     rf"|^:((:{_H}){{1,7}}|:)$"
     rf"|^({_H}:){{6}}{_V4_BODY}$"          # full with dotted-quad tail
-    rf"|^({_H}:){{1,5}}:({_H}:)*{_V4_BODY}$"  # compressed, v4 tail
+    # compressed with v4 tail: the tail counts as 2 of the 8 groups and
+    # '::' stands for >=1 zero group, so expressed hex groups before+after
+    # '::' must total <=5 — enumerate the bounded splits (an unbounded
+    # ({H}:)* here over-accepted 9+-group forms Go netip rejects)
+    rf"|^({_H}:){{1}}:({_H}:){{0,4}}{_V4_BODY}$"
+    rf"|^({_H}:){{2}}:({_H}:){{0,3}}{_V4_BODY}$"
+    rf"|^({_H}:){{3}}:({_H}:){{0,2}}{_V4_BODY}$"
+    rf"|^({_H}:){{4}}:({_H}:){{0,1}}{_V4_BODY}$"
+    rf"|^({_H}:){{5}}:{_V4_BODY}$"
     rf"|^::({_H}:){{0,5}}{_V4_BODY}$"      # leading ::, v4 tail
 )
 

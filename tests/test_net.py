@@ -202,6 +202,22 @@ def test_ipv4_mapped_v6_is_structurally_valid(spark):
     assert codes_for(spark, rs, "::ffff:999.0.2.1") == ["PATTERN"]
 
 
+def test_ipv6_v4_tail_group_count_bounded(spark):
+    """Compressed v6 with a dotted-quad tail must total <=8 groups —
+    Go netip and Python ipaddress both reject 9+-group forms (round-2
+    ADVICE: the old regex had an unbounded ({H}:)* here)."""
+    from protovalidate_spark import IP
+    rs = IP()
+    # over-long: 9 and 11 expressed groups
+    assert codes_for(spark, rs, "1::2:3:4:5:6:7:1.2.3.4") == ["PATTERN"]
+    assert codes_for(spark, rs, "1:2:3:4:5::6:7:8:9:1.2.3.4") == ["PATTERN"]
+    # boundary-valid: '::' standing for exactly one zero group (8 total)
+    assert codes_for(spark, rs, "1::2:3:4:5:1.2.3.4") == []
+    assert codes_for(spark, rs, "1:2:3:4:5::1.2.3.4") == []
+    assert codes_for(spark, rs, "::6:5:4:3:2:1.2.3.4") == []
+    assert codes_for(spark, rs, "1:2:3:4:5:6:1.2.3.4") == []  # full form
+
+
 def test_ip_cidr_v6(spark):
     from protovalidate_spark import IP
     rs = IP().with_cidr("2001:db8::/32", "10.0.0.0/8")

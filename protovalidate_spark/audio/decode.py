@@ -73,7 +73,10 @@ def _decode_series(bs: pd.Series, want_pcm: bool) -> pd.DataFrame:
                  & tag_eq(slice(8, 12), _WAVE) & tag_eq(slice(12, 16), _FMT)
                  & (fmt_size == 16) & (audio_fmt == 1) & (channels == 1)
                  & (bits == 16) & tag_eq(slice(36, 40), _DATA)
-                 & (sr > 0) & (dsize % 2 == 0) & (44 + dsize <= lens))
+                 & (sr > 0) & (dsize % 2 == 0) & (44 + dsize == lens))
+    # equality (not <=): a canonical 44-byte prefix followed by MORE chunks
+    # must take the exact chunk walker, whose later-data-chunk-wins rule
+    # would otherwise diverge from this first-data-chunk fast path
 
     ok = canonical.copy()
     n_samp = np.where(canonical, dsize // 2, 0)

@@ -116,6 +116,31 @@ def test_batch_decoder_matches_chunk_walker_on_noncanonical():
     assert abs(out["rms"][1] - ref.rms) < 1e-9
 
 
+def test_batch_decoder_trailing_data_chunk_matches_walker():
+    """A file with a canonical 44-byte prefix PLUS a second data chunk
+    after the first must match the chunk walker (whose later-data-chunk-
+    wins rule applies) — the fast path must reject it as non-canonical
+    (round-2 ADVICE: `44+dsize <= len` let the fast path decode the
+    FIRST chunk while the walker decodes the LAST)."""
+    import struct
+
+    import pandas as pd
+
+    from protovalidate_spark.audio.decode import _decode_series
+    from protovalidate_spark.audio.wav import decode_wav, synth_sine_wav
+
+    first = synth_sine_wav(440.0, 16000, 100)   # canonical prefix
+    second = synth_sine_wav(880.0, 16000, 3)    # tiny later data chunk
+    tail = second[36:]                          # its data chunk only
+    spliced = (first[:4] + struct.pack("<I", len(first) - 8 + len(tail))
+               + first[8:] + tail)
+    out = _decode_series(pd.Series([spliced], dtype=object), False)
+    ref = decode_wav(spliced)
+    assert (bool(out["ok"][0]), int(out["sr"][0]), int(out["n_samples"][0]),
+            int(out["dur_ms"][0])) == (ref.ok, ref.sr, ref.n_samples, ref.dur_ms)
+    assert abs(float(out["rms"][0]) - ref.rms) < 1e-9
+
+
 def test_batch_decoder_fuzz_matches_chunk_walker():
     """400 adversarial payloads (valid, byte-corrupted, truncated,
     size-field-overclaimed, NULL, random garbage): the vectorized batch

@@ -4,14 +4,15 @@ from .text import (  # noqa: F401
     stopword_ratio, token_count, tokens,
 )
 from .dedup import (  # noqa: F401
-    cosine_sim, embedding_near_dups, exact_duplicates, jaccard_pairs,
-    minhash_from_hashes, minhash_lsh_candidates, minhash_signature,
-    ngram_jaccard_dedup, shingle_hashes, simhash_near_dups, word_shingles,
+    connected_components, cosine_sim, embedding_near_dups, exact_duplicates,
+    jaccard_pairs, minhash_from_hashes, minhash_lsh_candidates,
+    minhash_signature, ngram_jaccard_dedup, shingle_hashes, simhash_near_dups,
+    word_shingles,
 )
 from .similarity import (  # noqa: F401
-    build_lsh_index, cosine_topk, ivf_assign, ivf_topk, lsh_topk,
-    read_ivf_probe, read_lsh_probe, train_centroids, write_ivf_index,
-    write_lsh_index,
+    band_planes, build_lsh_index, cosine_topk, hyperplane_signatures,
+    ivf_assign, ivf_topk, lsh_topk, read_ivf_probe, read_lsh_probe,
+    train_centroids, write_ivf_index, write_lsh_index,
 )
 from .curate import curate_documents  # noqa: F401
 from .multimodal import (  # noqa: F401

@@ -21,7 +21,7 @@ from typing import Optional, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import ngram_jaccard_dedup
+from .dedup import connected_components, ngram_jaccard_dedup
 from .text import normalize_text, punct_ratio, token_count
 
 
@@ -90,15 +90,18 @@ def curate_documents(
         pairs = ngram_jaccard_dedup(survivors, id_col, text_col,
                                     shingle_n=shingle_n,
                                     threshold=jaccard_threshold)
-        # keep-smallest-id policy: drop the larger side of each verified
-        # pair (pairs are emitted id_a < id_b)
-        near_v = (pairs.select(F.col("id_b").alias("__id"),
-                               F.col("id_a").alias("__keep"))
-                  .groupBy("__id").agg(F.min("__keep").alias("__keep"))
+        # keep-smallest-id policy, resolved TRANSITIVELY: connected
+        # components over the verified-pair graph, one smallest-id
+        # representative per cluster. (Pair-greedy dropping over-removed
+        # chains a~b, b~c and could report a dropped doc as the 'kept'
+        # keeper — round-2 ADVICE/VERDICT.) The representative always
+        # survives: components only contain quality+exact survivors.
+        comp = connected_components(pairs)
+        near_v = (comp.filter(F.col("__id") != F.col("__rep"))
                   .select(*_viol(id_col, F.col("__id"), f"/{text_col}",
                                  "DUPLICATE",
                                  "near-duplicate of a kept document",
-                                 F.col("__keep"))))
+                                 F.col("__rep"))))
         dropped = dropped.unionByName(near_v)
 
     gone = dropped.select(F.col(id_col).alias("__gone")).distinct()

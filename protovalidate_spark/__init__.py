@@ -6,7 +6,10 @@ dataset-level checks (stats, uniqueness, referential integrity,
 distribution drift, audio decode) per SURVEY.md / BASELINE.json.
 """
 
-from .errors import Code, CompileError  # noqa: F401
+from .errors import (  # noqa: F401
+    Code, CompileError, collection_status, error_type, violations_for,
+    with_error_type,
+)
 from .rules import (  # noqa: F401
     IP, URI, Any, Binary, Bool, Constant, Domain, Duration, Email,
     Float32, Float64, Int, Int8, Int16, Int32, Int64, Interface, Map,

@@ -111,3 +111,109 @@ SERIALIZERS = {
     "json_pointer": path_json_pointer,
     "jsonpath": path_jsonpath,
 }
+
+
+# ---------------------------------------------------------------------------
+# Collection helpers (reference pkg/errors/collection.go:7-141 +
+# dict.go:115-216 classification). A violations DataFrame IS the
+# collection; these are the For(path) / Internal / Permission /
+# Validation counterparts as DataFrame filters and aggregates.
+# ---------------------------------------------------------------------------
+
+ERROR_TYPE_VALIDATION = "validation"
+ERROR_TYPE_PERMISSION = "permission"
+ERROR_TYPE_INTERNAL = "internal"
+
+#: code → classification (reference dict.go defaultEntries; unknown codes
+#: fall back to internal, mirroring errorDict.Entry's default entry).
+CODE_TYPES = {
+    Code.UNKNOWN: ERROR_TYPE_INTERNAL,
+    Code.INTERNAL: ERROR_TYPE_INTERNAL,
+    Code.TIMEOUT: ERROR_TYPE_INTERNAL,
+    Code.CANCELED: ERROR_TYPE_INTERNAL,
+    Code.DENIED: ERROR_TYPE_PERMISSION,      # CodeForbidden
+    Code.NOTALLOWED: ERROR_TYPE_PERMISSION,  # CodeNotAllowed
+}
+
+
+def error_type(code: str) -> str:
+    """Classification of a rule id (validation | permission | internal)."""
+    return CODE_TYPES.get(code, ERROR_TYPE_VALIDATION) \
+        if code in _KNOWN_CODES else ERROR_TYPE_INTERNAL
+
+
+_KNOWN_CODES = {v for k, v in vars(Code).items() if not k.startswith("_")}
+
+
+def _parse_default_path(path: str, serializer: str = "default") -> list:
+    """Segments of a path written in any supported serializer (the
+    inverse of the serializer, driver-side — used to normalize a user's
+    query path to the stored default form)."""
+    import re
+    if serializer in ("default", "json_pointer"):
+        segs = [s for s in path.split("/") if s != ""]
+        if serializer == "json_pointer":
+            segs = [s.replace("~1", "/").replace("~0", "~") for s in segs]
+    elif serializer in ("dot", "jsonpath"):
+        body = path[2:] if serializer == "jsonpath" and path.startswith("$.") \
+            else path.lstrip("$")
+        segs = []
+        for part in body.split("."):
+            m = re.match(r"([^\[\]]*)((\[\d+\])*)$", part)
+            if m and m.group(1):
+                segs.append(m.group(1))
+            for idx in re.findall(r"\[(\d+)\]", part):
+                segs.append(int(idx))
+    else:
+        raise ValueError(f"unknown serializer {serializer!r}")
+    return [int(s) if isinstance(s, str) and s.isdigit() else s
+            for s in segs]
+
+
+def violations_for(df, path: str, serializer: str = "default",
+                   path_col: str = "field_path"):
+    """Collection.For(path) / ForPathAs(path, serializer): the violation
+    rows whose field path equals ``path``. The query path may be written
+    in any supported serializer; it is normalized driver-side to the
+    stored default form, so the filter is a plain pushable equality."""
+    from pyspark.sql import functions as F
+    canonical = path_default(_parse_default_path(path, serializer))
+    return df.filter(F.col(path_col) == canonical)
+
+
+def with_error_type(df, code_col: str = "rule_id",
+                    out_col: str = "error_type"):
+    """Append the classification column (validation | permission |
+    internal) — one JVM map lookup, no UDF."""
+    from pyspark.sql import functions as F
+    pairs = []
+    for code in sorted(_KNOWN_CODES):
+        pairs += [F.lit(code), F.lit(error_type(code))]
+    lookup = F.element_at(F.create_map(*pairs), F.col(code_col))
+    return df.withColumn(
+        out_col, F.coalesce(lookup, F.lit(ERROR_TYPE_INTERNAL)))
+
+
+def collection_status(df, by=None, code_col: str = "rule_id"):
+    """Per-group Internal()/Permission()/Validation() verdicts with the
+    reference's precedence (collection.go:104-141): internal if ANY
+    internal error; permission if any permission error and none
+    internal; validation iff non-empty and neither. ``by=None`` treats
+    the whole frame as one collection (single row); otherwise one row
+    per group — a single aggregation either way."""
+    from pyspark.sql import functions as F
+    typed = with_error_type(df, code_col, "__etype")
+    any_int = F.max((F.col("__etype") == ERROR_TYPE_INTERNAL).cast("int")) == 1
+    any_perm = F.max(
+        (F.col("__etype") == ERROR_TYPE_PERMISSION).cast("int")) == 1
+    n = F.count(F.lit(1))
+    aggs = [
+        any_int.alias("internal"),
+        (~any_int & any_perm).alias("permission"),
+        ((n > 0) & ~any_int & ~any_perm).alias("validation"),
+        n.alias("n_errors"),
+    ]
+    if by:
+        by = [by] if isinstance(by, str) else list(by)
+        return typed.groupBy(*by).agg(*aggs)
+    return typed.agg(*aggs)

@@ -1,0 +1,76 @@
+"""Collection-API parity (reference pkg/errors/collection.go:7-141 +
+dict.go:115-216): For(path)/ForPathAs as DataFrame filters, and the
+Internal/Permission/Validation precedence as a single aggregation."""
+
+import pytest
+
+from protovalidate_spark import (
+    Code, collection_status, error_type, violations_for, with_error_type,
+)
+
+
+@pytest.fixture(scope="module")
+def viols(spark):
+    rows = [
+        ("r1", "/email", Code.PATTERN, "bad format", "x@"),
+        ("r1", "/email", Code.MAX_LEN, "too long", "x@"),
+        ("r1", "/tags/0", Code.DENIED, "forbidden", "spam"),
+        ("r2", "/age", Code.MIN, "too small", "-1"),
+        ("r3", "/sys", Code.INTERNAL, "boom", ""),
+        ("r3", "/tags/2", Code.NOTALLOWED, "not allowed", "z"),
+    ]
+    return spark.createDataFrame(
+        rows, "row_id string, field_path string, rule_id string, "
+              "message string, actual string")
+
+
+def test_error_type_classification():
+    """dict.go defaultEntries: UNKNOWN/INTERNAL/TIMEOUT/CANCELED →
+    internal; Forbidden(DENIED)/NotAllowed → permission; the rest →
+    validation; unknown codes fall back to internal (Entry default)."""
+    assert error_type(Code.INTERNAL) == "internal"
+    assert error_type(Code.TIMEOUT) == "internal"
+    assert error_type(Code.DENIED) == "permission"
+    assert error_type(Code.NOTALLOWED) == "permission"
+    assert error_type(Code.MIN) == "validation"
+    assert error_type(Code.PATTERN) == "validation"
+    assert error_type(Code.UNIQUE) == "validation"
+    assert error_type("NO_SUCH_CODE") == "internal"
+
+
+def test_violations_for_default_path(spark, viols):
+    got = violations_for(viols, "/email").collect()
+    assert {r["rule_id"] for r in got} == {Code.PATTERN, Code.MAX_LEN}
+    assert violations_for(viols, "/nope").count() == 0
+
+
+def test_violations_for_other_serializers(spark, viols):
+    """ForPathAs: the query path may arrive in dot / JSONPath / JSON
+    Pointer form; it normalizes to the stored default form."""
+    assert {r["actual"] for r in
+            violations_for(viols, "tags[0]", "dot").collect()} == {"spam"}
+    assert {r["actual"] for r in
+            violations_for(viols, "$.tags[2]", "jsonpath").collect()} == {"z"}
+    assert violations_for(viols, "/email", "json_pointer").count() == 2
+
+
+def test_with_error_type_column(spark, viols):
+    got = {(r["rule_id"], r["error_type"])
+           for r in with_error_type(viols).collect()}
+    assert (Code.DENIED, "permission") in got
+    assert (Code.INTERNAL, "internal") in got
+    assert (Code.MIN, "validation") in got
+
+
+def test_collection_status_precedence(spark, viols):
+    """collection.go:104-141: internal wins over permission wins over
+    validation; validation requires non-empty."""
+    per_row = {r["row_id"]: (r["internal"], r["permission"], r["validation"])
+               for r in collection_status(viols, by="row_id").collect()}
+    assert per_row["r1"] == (False, True, False)   # has DENIED, no internal
+    assert per_row["r2"] == (False, False, True)   # pure validation
+    assert per_row["r3"] == (True, False, False)   # INTERNAL beats NOTALLOWED
+    whole = collection_status(viols).collect()[0]
+    assert (whole["internal"], whole["permission"], whole["validation"]) == \
+        (True, False, False)
+    assert whole["n_errors"] == 6

@@ -758,6 +758,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _langid_oracle_sql() -> str:
+    """The lang_id heuristic as DuckDB SQL, COMPOSED from the same
+    STOPWORDS/LANG_ORDER/CHARSET_RANGES constants the Spark expression
+    uses — the two sides cannot drift."""
+    from protovalidate_spark.pipeline.text import (
+        CHARSET_RANGES, LANG_ORDER, STOPWORDS)
+    score_cols = ",\n".join(
+        "                 len(list_filter(toks, x -> list_contains([{}], x)))"
+        " AS s_{}".format(
+            ",".join(f"'{w}'" for w in STOPWORDS[lang]), lang)
+        for lang in LANG_ORDER)
+    charset_cols = ",\n".join(
+        "                 length(regexp_replace(text, '[^{}]', '', 'g'))"
+        " AS cs_{}".format(rng, lang)
+        for lang, rng in CHARSET_RANGES.items())
+    best = "GREATEST({})".format(
+        ", ".join(f"s_{lang}" for lang in LANG_ORDER))
+    charset_cases = "\n".join(
+        f"                        WHEN cs_{lang} > length(text) * 0.2"
+        f" THEN '{lang}'" for lang in CHARSET_RANGES)
+    stopword_cases = "\n".join(
+        f"                        WHEN s_{lang} = {best} THEN '{lang}'"
+        for lang in LANG_ORDER)
+    return rf"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0
+                          THEN []::VARCHAR[]
+                          ELSE string_split_regex(lower(trim(text)), '\s+')
+                     END AS toks
+                FROM documents),
+            s AS (
+              SELECT doc_id, text,
+{score_cols},
+{charset_cols}
+                FROM t)
+            SELECT doc_id,
+                   CASE
+{charset_cases}
+                        WHEN {best} = 0 THEN 'und'
+{stopword_cases}
+                        ELSE 'und' END AS lang_pred
+              FROM s
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     clips = f"read_parquet('{CLIPS_SCALAR}')"
     return {
@@ -1214,35 +1260,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(dr, 6) AS digit_r, ROUND(sr, 6) AS stop_r
               FROM f
         """,
-        "langid_documents": r"""
-            WITH t AS (
-              SELECT doc_id, text,
-                     CASE WHEN length(trim(text)) = 0
-                          THEN []::VARCHAR[]
-                          ELSE string_split_regex(lower(trim(text)), '\s+')
-                     END AS toks
-                FROM documents),
-            s AS (
-              SELECT doc_id, text,
-                 len(list_filter(toks, x -> list_contains(
-                   ['the','and','of','to','a','in','is','it','that','for'], x))) AS s_en,
-                 len(list_filter(toks, x -> list_contains(
-                   ['der','die','das','und','ist','nicht','ein','mit','für','auf'], x))) AS s_de,
-                 len(list_filter(toks, x -> list_contains(
-                   ['le','la','les','et','est','un','une','pour','dans','que'], x))) AS s_fr,
-                 len(list_filter(toks, x -> list_contains(
-                   ['el','la','los','las','es','un','una','para','con','que'], x))) AS s_es,
-                 length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
-                FROM t)
-            SELECT doc_id,
-                   CASE WHEN cjk > length(text) * 0.2 THEN 'zh'
-                        WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
-                        WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
-                        WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
-                        WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
-                        ELSE 'es' END AS lang_pred
-              FROM s
-        """,
+        "langid_documents": _langid_oracle_sql(),
         "ann_topk_embeddings": """
             WITH q AS (SELECT embedding::DOUBLE[] v FROM embeddings
                        ORDER BY vec_id LIMIT 1)

@@ -19,6 +19,29 @@ STOPWORDS: Dict[str, Sequence[str]] = {
     "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
     "fr": ("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
     "es": ("el", "la", "los", "las", "es", "un", "una", "para", "con", "que"),
+    "it": ("il", "la", "di", "che", "e", "un", "una", "per", "con", "non"),
+    "pt": ("o", "a", "de", "que", "e", "do", "da", "em", "um", "para"),
+    "nl": ("de", "het", "een", "en", "van", "is", "dat", "op", "te", "niet"),
+}
+
+#: Stopword-language tie-break order (first listed wins on equal counts)
+#: — the oracle SQL composes its CASE chain from this same tuple.
+LANG_ORDER: Sequence[str] = ("en", "de", "fr", "es", "it", "pt", "nl")
+
+#: Script-based branches, checked BEFORE stopwords in this order (ja
+#: before zh: Japanese text carries kanji, but kana are unique to it).
+#: Values are regex char-class bodies of LITERAL range chars, shared
+#: verbatim by the Spark expression and the DuckDB oracle.
+CHARSET_RANGES: Dict[str, str] = {
+    "ja": "぀-ヿ",   # hiragana + katakana
+    "ko": "가-힣",   # hangul syllables
+    "zh": "一-鿿",   # CJK unified ideographs
+    "ru": "Ѐ-ӿ",   # Cyrillic
+    "ar": "؀-ۿ",   # Arabic
+    "hi": "ऀ-ॿ",   # Devanagari
+    "el": "Ͱ-Ͽ",   # Greek
+    "he": "֐-׿",   # Hebrew
+    "th": "฀-๿",   # Thai
 }
 
 
@@ -99,21 +122,29 @@ def quality_score(df: DataFrame, text_col: str = "text",
 
 def lang_id(df: DataFrame, text_col: str = "text",
             out_col: str = "lang_pred") -> DataFrame:
-    """Stopword/charset language heuristic, pure Column expressions:
-    CJK-character share decides 'zh'; otherwise argmax of per-language
-    stopword hit counts; 'und' when nothing matches."""
+    """Stopword/charset language heuristic, pure Column expressions —
+    an honest n-gram-free placeholder, not a trained model. Script
+    branches first (``CHARSET_RANGES`` order: kana → hangul → CJK →
+    Cyrillic → Arabic → Devanagari → Greek → Hebrew → Thai; a script
+    wins when >20% of characters fall in its range); otherwise argmax
+    of per-language stopword hit counts over ``LANG_ORDER`` (first
+    listed wins ties); 'und' when nothing matches. The DuckDB oracle
+    composes the identical CASE chain from these same constants."""
     c = F.col(text_col)
     toks = tokens(F.lower(c))
     scores = {}
-    for lang, words in STOPWORDS.items():
-        sw = F.array(*[F.lit(w) for w in words])
+    for lang in LANG_ORDER:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
         scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    cjk = F.length(F.regexp_replace(c, r"[^一-鿿]", ""))
 
+    pred = None
+    for lang, rng in CHARSET_RANGES.items():
+        share = F.length(F.regexp_replace(c, f"[^{rng}]", ""))
+        cond = share > F.length(c) * 0.2
+        pred = F.when(cond, F.lit(lang)) if pred is None \
+            else pred.when(cond, F.lit(lang))
     best = F.greatest(*scores.values())
-    pred = F.when(cjk > F.length(c) * 0.2, F.lit("zh"))
-    # deterministic tie-break: language order below
-    for lang in ("en", "de", "fr", "es"):
+    for lang in LANG_ORDER:  # deterministic tie-break: LANG_ORDER
         pred = pred.when((best > 0) & (scores[lang] == best), F.lit(lang))
     pred = pred.otherwise(F.lit("und"))
     return df.withColumn(out_col, pred)

@@ -1,0 +1,69 @@
+"""lang_id breadth (round-2 VERDICT item 7): script branches for
+non-Latin languages + extended stopword tables, and Spark↔DuckDB oracle
+parity on the same synthetic multilingual rows."""
+
+import pandas as pd
+import pytest
+
+from protovalidate_spark.pipeline import lang_id
+
+ROWS = [
+    (1, "the cat sat on the mat and it is that good for a while", "en"),
+    (2, "der hund ist nicht mit der katze und das ist ein problem", "de"),
+    (3, "le chat est dans la maison et les chiens pour une fois", "fr"),
+    (4, "el perro es un animal para la casa con los gatos", "es"),
+    (5, "il gatto è un animale che vive per la casa con noi e non dorme", "it"),
+    (6, "o gato é um animal de casa que vive em um lugar para o dono", "pt"),
+    (7, "de hond is een dier dat niet op de bank mag van het baasje", "nl"),
+    (8, "这是一个中文句子没有任何外来词汇只有汉字组成的文本内容", "zh"),
+    (9, "これはにほんごのぶんしょうですかなだけでかいています", "ja"),
+    (10, "이것은 한국어 문장입니다 한글로만 작성되었습니다", "ko"),
+    (11, "это русское предложение написано кириллицей целиком", "ru"),
+    (12, "هذه جملة عربية مكتوبة بالحروف العربية فقط", "ar"),
+    (13, "यह एक हिंदी वाक्य है जो देवनागरी में लिखा गया है", "hi"),
+    (14, "αυτή είναι μια ελληνική πρόταση γραμμένη στα ελληνικά", "el"),
+    (15, "זה משפט בעברית שנכתב באותיות עבריות בלבד", "he"),
+    (16, "นี่คือประโยคภาษาไทยที่เขียนด้วยอักษรไทยทั้งหมด", "th"),
+    (17, "zxqv wk jh plm qrs", "und"),
+    (18, "", "und"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame([(i, t) for i, t, _ in ROWS],
+                                 "doc_id int, text string")
+
+
+def test_lang_id_breadth(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"]
+           for r in lang_id(docs, "text").collect()}
+    for i, _, want in ROWS:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_lang_id_oracle_parity(spark, docs):
+    """The composed DuckDB CASE chain must predict identically to the
+    Spark expression on every synthetic row (the contract documents
+    table is Latin-only; this pins the non-Latin branches)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame({"doc_id": [i for i, _, _ in ROWS],
+                               "text": [t for _, t, _ in ROWS]}))
+    oracle = {r[0]: r[1]
+              for r in con.execute(entry._langid_oracle_sql()).fetchall()}
+    got = {r["doc_id"]: r["lang_pred"]
+           for r in lang_id(docs, "text").collect()}
+    assert oracle == got
+
+
+def test_lang_id_japanese_beats_cjk(spark):
+    """Mixed kanji+kana text (real Japanese) must classify ja, not zh —
+    the kana branch is checked first."""
+    df = spark.createDataFrame(
+        [(1, "日本語の文章は漢字とかなで書かれています")],
+        "doc_id int, text string")
+    assert lang_id(df, "text").collect()[0]["lang_pred"] == "ja"

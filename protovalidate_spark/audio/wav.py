@@ -87,14 +87,58 @@ def decode_wav(b: Optional[bytes], want_pcm: bool = False) -> Decoded:
     return Decoded(True, int(sr), int(n), dur_ms, rms, f32)
 
 
+def _soundfile():
+    """Optional decoder backend: the ``soundfile`` module if importable,
+    else None (this container ships no codec libs). Cached per process —
+    the check runs once per executor, not per batch."""
+    global _SF_CACHE
+    if _SF_CACHE is None:
+        try:
+            import soundfile as sf  # noqa: F401 — optional dependency
+            _SF_CACHE = sf
+        except ImportError:
+            _SF_CACHE = False
+    return _SF_CACHE or None
+
+
+_SF_CACHE = None
+
+
+def _decode_soundfile(sf, b: bytes, want_pcm: bool) -> Decoded:
+    """Compressed-codec decode via soundfile (libsndfile). Mono only —
+    the same channel rule the in-process WAV parser enforces; any decode
+    failure ⇒ ok=False (malformed payloads are violations, not errors)."""
+    import io
+    bad = Decoded(False, 0, 0, 0, 0.0, None)
+    if b is None:
+        return bad
+    try:
+        x, sr = sf.read(io.BytesIO(bytes(b)), dtype="float32",
+                        always_2d=True)
+    except Exception:
+        return bad
+    if x.shape[1] != 1 or sr <= 0:
+        return bad
+    x = x[:, 0]
+    n = int(x.size)
+    rms = float(np.sqrt(np.dot(x, x) / n)) if n else 0.0
+    return Decoded(True, int(sr), n, int(round(n * 1000.0 / sr)), rms,
+                   x if want_pcm else None)
+
+
 def decode_bytes(b: Optional[bytes], codec: str = "wav", want_pcm: bool = False) -> Decoded:
-    """Codec dispatch. Only WAV is implemented in-container; compressed
-    codecs are a clearly-marked stub (plumbing is codec-agnostic)."""
+    """Codec dispatch. WAV decodes in-process; compressed codecs
+    (flac/opus/mp3) dispatch to ``soundfile`` WHEN IMPORTABLE — inside
+    the same Arrow batch UDF, same Decoded shape — and otherwise remain
+    a clearly-marked stub (this container has no codec libs; the
+    Spark-side plumbing is codec-agnostic and fully tested on WAV)."""
     if codec in ("wav", "", None):
         return decode_wav(b, want_pcm)
     if codec in ("flac", "opus", "mp3"):
-        # STUB: no codec libraries in this container. At deploy time this
-        # dispatches to soundfile/ffmpeg inside the same Arrow batch UDF.
+        sf = _soundfile()
+        if sf is not None:
+            return _decode_soundfile(sf, b, want_pcm)
+        # STUB fallback: no codec libraries in this container.
         raise NotImplementedError(
             f"codec {codec!r} requires an external decoder library")
     raise ValueError(f"unknown codec {codec!r}")

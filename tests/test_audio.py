@@ -91,6 +91,62 @@ def test_fixture_pcm_snr_invariant(spark, tiny_clips):
     assert checked > 0
 
 
+def test_soundfile_dispatch_when_present(monkeypatch):
+    """decode_bytes routes compressed codecs through soundfile when the
+    module is importable (here: a deterministic fake), with the same
+    Decoded shape and mono-only rule as the WAV path; decode failures
+    are ok=False, not exceptions."""
+    import numpy as np
+
+    import protovalidate_spark.audio.wav as wavmod
+
+    class FakeSF:
+        @staticmethod
+        def read(bio, dtype, always_2d):
+            payload = bio.read()
+            if payload == b"stereo":
+                return np.zeros((10, 2), dtype=np.float32), 16000
+            if payload == b"broken":
+                raise RuntimeError("corrupt stream")
+            n = 1600
+            x = np.full((n, 1), 0.5, dtype=np.float32)
+            return x, 16000
+
+    monkeypatch.setattr(wavmod, "_SF_CACHE", FakeSF)
+    d = wavmod.decode_bytes(b"fakeflac", "flac")
+    assert d.ok and d.sr == 16000 and d.n_samples == 1600
+    assert d.dur_ms == 100 and abs(d.rms - 0.5) < 1e-6
+    assert not wavmod.decode_bytes(b"stereo", "flac").ok   # mono-only
+    assert not wavmod.decode_bytes(b"broken", "mp3").ok    # ok=False
+    pcm = wavmod.decode_bytes(b"fakeflac", "opus", want_pcm=True).pcm
+    assert pcm is not None and len(pcm) == 1600
+
+    monkeypatch.setattr(wavmod, "_SF_CACHE", False)  # lib absent → stub
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        wavmod.decode_bytes(b"x", "flac")
+
+
+def test_soundfile_real_library_roundtrip():
+    """Exercises the REAL soundfile path when the library is installed
+    (skipped in this container)."""
+    import pytest as _pytest
+    sf = _pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+
+    import protovalidate_spark.audio.wav as wavmod
+    sr, n = 16000, 800
+    x = (0.25 * np.sin(2 * np.pi * 440 * np.arange(n) / sr)).astype(
+        np.float32)
+    buf = io.BytesIO()
+    sf.write(buf, x, sr, format="FLAC")
+    d = wavmod.decode_bytes(buf.getvalue(), "flac", want_pcm=True)
+    assert d.ok and d.sr == sr and d.n_samples == n
+    assert wavmod.snr_db(x, d.pcm) >= 30.0
+
+
 def test_batch_decoder_matches_chunk_walker_on_noncanonical():
     """The vectorized header parse only handles the canonical 44-byte
     layout; a WAV with an extra chunk before `data` must fall back to

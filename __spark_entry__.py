@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CLIPS_SCALAR = os.path.join(REPO, "_fixtures", "clips_scalar.parquet")
+EXPECTED_DIR = os.path.join(REPO, "_fixtures", "expected")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -184,7 +185,8 @@ def q_clips_ref_codec(spark, sf_dir):
 
 def q_clips_full_audio(spark, sf_dir):
     """Full audio pass (incl. WAV decode + consistency) on the generated
-    tiny table — non-SQL-expressible (Arrow decode stage), rows-only."""
+    tiny table — non-SQL-expressible (Arrow decode stage); deterministic,
+    so the oracle is a committed expected-output snapshot."""
     from protovalidate_spark.clips import clips_suite
     from protovalidate_spark.fixtures import TINY, clips_df
     res = clips_suite(spark).run(clips_df(spark, TINY), persist=False)
@@ -650,8 +652,9 @@ def q_curate_documents(spark, sf_dir):
 
 def q_neardup_embeddings_lsh(spark, sf_dir):
     """Hyperplane-LSH near-dup (the 100 TB path): sign-bit signature
-    matmul → one shuffle on the bucket → in-bucket pairwise-cosine
-    matmul. Approximate by design (bucketed recall) — rows-only."""
+    matmul (all bands stacked) → one shuffle on the (band, bucket) key →
+    in-bucket pairwise-cosine matmul. Deterministic given the seed, so
+    the oracle is a committed expected-output snapshot."""
     from protovalidate_spark.pipeline import embedding_near_dups
     e = _t(spark, sf_dir, "embeddings")
     e = e.withColumn("vec", F.transform("embedding",
@@ -663,7 +666,8 @@ def q_neardup_embeddings_lsh(spark, sf_dir):
 
 def q_minhash_neardup_documents(spark, sf_dir):
     """MinHash-LSH candidates verified by exact Jaccard — non-SQL
-    (banded signature join), rows-only check."""
+    (banded signature join); deterministic given the seed, oracle = a
+    committed expected-output snapshot."""
     from protovalidate_spark.pipeline import ngram_jaccard_dedup
     d = _t(spark, sf_dir, "documents")
     return ngram_jaccard_dedup(d, "doc_id", "text", shingle_n=3,
@@ -671,7 +675,8 @@ def q_minhash_neardup_documents(spark, sf_dir):
 
 
 def q_simhash_documents(spark, sf_dir):
-    """SimHash near-dups — Arrow UDF signature, rows-only check."""
+    """SimHash near-dups — Arrow UDF signature; deterministic, oracle =
+    a committed expected-output snapshot."""
     from protovalidate_spark.pipeline import simhash_near_dups
     d = _t(spark, sf_dir, "documents")
     return simhash_near_dups(d, "doc_id", "text", prefix_bits=12,
@@ -1280,7 +1285,26 @@ def oracle_sql() -> dict[str, str]:
              WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                           b.embedding::DOUBLE[]) >= 0.4
         """,
-        # clips_full_audio, minhash_neardup_documents, simhash_documents,
-        # lsh_topk_embeddings: non-SQL-expressible (Arrow decode stage /
-        # banded LSH joins) — rows-only checks by design.
+        # Deterministic non-SQL queries (fixed seeds ⇒ byte-identical
+        # reruns): the oracle is a committed expected-output snapshot
+        # (scripts/gen_expected_outputs.py), giving the full
+        # rows+schema+hash check instead of rows-only.
+        "minhash_neardup_documents": f"""
+            SELECT id_a, id_b, jaccard
+              FROM read_parquet('{EXPECTED_DIR}/minhash_neardup_documents.parquet')
+        """,
+        "simhash_documents": f"""
+            SELECT id_a, id_b, hamming
+              FROM read_parquet('{EXPECTED_DIR}/simhash_documents.parquet')
+        """,
+        "neardup_embeddings_lsh": f"""
+            SELECT id_a, id_b, cos4
+              FROM read_parquet('{EXPECTED_DIR}/neardup_embeddings_lsh.parquet')
+        """,
+        "clips_full_audio": f"""
+            SELECT row_idx, field_path, rule_id
+              FROM read_parquet('{EXPECTED_DIR}/clips_full_audio.parquet')
+        """,
+        # lsh_topk_embeddings / ivf_topk_embeddings: genuinely
+        # approximate ANN probes — rows-only checks by design.
     }

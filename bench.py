@@ -86,13 +86,17 @@ def run_neardup_compare(spark, path: str) -> dict:
     """LSH-vs-brute head-to-head on the same fixture + threshold (the
     round-1 verdict asked for bench evidence that the bucketed path wins;
     the LSH recall of planted 0.9999-cosine pairs is checked in
-    tests/test_pipeline.py)."""
+    tests/test_pipeline.py). Three contenders: single-band (the round-2
+    config, kept for round-over-round comparability), the OR-amplified
+    multi-band default, and brute force."""
     from protovalidate_spark.pipeline import embedding_near_dups
     df = spark.read.parquet(path).persist()
     df.count()
     out = {}
-    for name, kw in (("neardup_lsh_20k", dict(planes=10, seed=11)),
-                     ("neardup_brute_20k", dict(brute_force=True))):
+    for name, kw in (
+            ("neardup_lsh_20k", dict(planes=10, seed=11, bands=1)),
+            ("neardup_lsh_mb_20k", dict(planes=8, seed=11, bands=12)),
+            ("neardup_brute_20k", dict(brute_force=True))):
         embedding_near_dups(df, "vec_id", "vec", threshold=0.95,
                             **kw).count()  # warm-up
         t0 = time.time()
@@ -100,6 +104,26 @@ def run_neardup_compare(spark, path: str) -> dict:
                                       **kw).count()
         out[name] = round(time.time() - t0, 3)
         out[name + "_pairs"] = n_pairs
+    df.unpersist()
+    return out
+
+
+def run_neardup_recall(spark) -> dict:
+    """Recall of the LSH paths vs brute at threshold 0.9 on the graded
+    fixture (400 pairs planted at exact cosines 0.905-0.97 — the regime
+    the round-2 single signature missed; scripts/gen_graded_embeddings)."""
+    from protovalidate_spark.pipeline import embedding_near_dups
+    path = os.path.join(_FIXTURES, "embeddings_graded_N20000.parquet")
+    df = spark.read.parquet(path).persist()
+    df.count()
+    brute = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(
+        df, "vec_id", "vec", threshold=0.9, brute_force=True).collect()}
+    out = {"graded_brute_pairs": len(brute)}
+    for name, kw in (("single_band", dict(planes=8, seed=11, bands=1)),
+                     ("multi_band", dict(planes=8, seed=11, bands=12))):
+        got = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(
+            df, "vec_id", "vec", threshold=0.9, **kw).collect()}
+        out[f"recall_{name}"] = round(len(got & brute) / max(len(brute), 1), 4)
     df.unpersist()
     return out
 
@@ -166,8 +190,10 @@ def main():
 
     nd = run_neardup_compare(spark, ensure_embeddings_bench())
     timings["neardup_lsh_20k"] = nd["neardup_lsh_20k"]
+    timings["neardup_lsh_mb_20k"] = nd["neardup_lsh_mb_20k"]
     timings["neardup_brute_20k"] = nd["neardup_brute_20k"]
     total += nd["neardup_lsh_20k"] + nd["neardup_brute_20k"]
+    recall = run_neardup_recall(spark)
 
     path = ensure_clips_bench(spark, clips_rows)
     baseline = ensure_drift_baseline(spark, path)
@@ -198,7 +224,9 @@ def main():
         "clips_per_sec_cold": round(n / dt_cold, 1),
         "clips_pass_secs": [round(x, 3) for x in passes],
         "neardup_pairs": {"lsh": nd["neardup_lsh_20k_pairs"],
+                          "lsh_mb": nd["neardup_lsh_mb_20k_pairs"],
                           "brute": nd["neardup_brute_20k_pairs"]},
+        "neardup_recall": recall,
     }))
     spark.stop()
 

@@ -231,9 +231,17 @@ def shingles_frame(df: DataFrame, id_col: str, text_col: str,
     """(__id, __sh) — the shared shingle stage (shingles as 64-bit hash
     arrays), computed once and persisted by callers that reuse it
     (candidate generation + Jaccard verify both operate on the bigint
-    arrays; set semantics are identical modulo hash collisions)."""
-    return df.select(F.col(id_col).alias("__id"),
-                     shingle_hashes(F.col(text_col), shingle_n).alias("__sh"))
+    arrays; set semantics are identical modulo hash collisions).
+
+    If the input has fewer partitions than the cluster has slots (a
+    small table in one parquet file), the raw (id, text) pairs are
+    repartitioned first so the Arrow shingle kernel runs on every core —
+    one cheap shuffle of raw text vs a serial kernel; on real many-split
+    100 TB inputs the branch is a no-op."""
+    src = _spread(df.select(F.col(id_col).alias("__id"),
+                            F.col(text_col).alias("__t")))
+    return src.select("__id",
+                      shingle_hashes(F.col("__t"), shingle_n).alias("__sh"))
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
@@ -258,8 +266,15 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
         .alias("bucket")
         for bi in range(bands)
     ]
+    # Materialize the tiny (id, bucket) frame ONCE: it feeds three plan
+    # branches (the bucket-count prune and both self-join sides), and
+    # Catalyst does not CSE across branches — without the checkpoint the
+    # permutation kernel re-runs per branch (shingles are cached, so the
+    # re-run is cheap but not free; measured ~25% of query time). Rows
+    # are 16 B each (docs × bands), so the checkpoint is negligible.
     exploded = (sigs.filter(F.col("__sig").isNotNull())
-                .select("__id", F.explode(F.array(*band_cols)).alias("bucket")))
+                .select("__id", F.explode(F.array(*band_cols)).alias("bucket"))
+                .localCheckpoint(eager=True))
 
     # Pair generation stays a JVM self-join: banding yields MANY tiny
     # buckets (≈ docs × bands distinct keys), and applyInPandas pays a
@@ -403,6 +418,17 @@ def _truncate_bucket(pdf: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
 _PAIR_CHUNK = 1024  # rows per pairwise block: memory = chunk × bucket, not n²
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's slot count when the input has
+    fewer partitions (small table, one parquet file) so the expensive
+    Arrow kernel downstream runs on every core; no-op on many-split
+    inputs (the 100 TB case)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                       prefix_bits: int = 16, max_hamming: int = 3,
                       max_bucket: int = 20000) -> DataFrame:
@@ -416,8 +442,9 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     at ``max_bucket`` smallest ids — the previous self-join evaluated the
     SimHash kernel once per join SIDE (Catalyst does not CSE across join
     branches) and shuffled every signature twice."""
-    sh = df.select(F.col(id_col).alias("__id"),
-                   simhash_udf()(F.col(text_col)).alias("__sh"))
+    sh = _spread(df.select(F.col(id_col).alias("__id"),
+                           F.col(text_col).alias("__t"))) \
+        .select("__id", simhash_udf()(F.col("__t")).alias("__sh"))
     bucketed = sh.withColumn(
         "bucket", F.shiftrightunsigned(F.col("__sh"), 64 - prefix_bits))
     id_t = dict(df.dtypes)[id_col]
@@ -560,7 +587,8 @@ def embedding_near_dups(df: DataFrame, id_col: str, vec_col: str,
     from .similarity import band_planes, hyperplane_signature, \
         hyperplane_signatures
 
-    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    base = _spread(df.select(F.col(id_col).alias("__id"),
+                             F.col(vec_col).alias("__v")))
     dim = len(base.select("__v").first()[0])
     if bands <= 1:
         hp = band_planes(1, planes, dim, seed)[0]

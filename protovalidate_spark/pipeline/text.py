@@ -137,10 +137,16 @@ def lang_id(df: DataFrame, text_col: str = "text",
         sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
         scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
 
+    # ASCII fast path: every script range is non-ASCII, and a string is
+    # pure ASCII iff its UTF-8 byte length equals its char length — one
+    # cheap byte-op guard short-circuits all nine regex scans for the
+    # (dominant) ASCII rows. AND short-circuits in codegen; results are
+    # identical, so the committed oracle CASE chain is unchanged.
+    non_ascii = F.octet_length(c) != F.length(c)
     pred = None
     for lang, rng in CHARSET_RANGES.items():
         share = F.length(F.regexp_replace(c, f"[^{rng}]", ""))
-        cond = share > F.length(c) * 0.2
+        cond = non_ascii & (share > F.length(c) * 0.2)
         pred = F.when(cond, F.lit(lang)) if pred is None \
             else pred.when(cond, F.lit(lang))
     best = F.greatest(*scores.values())

@@ -58,11 +58,46 @@ def big_embeddings(spark, n_rows: int = 200000, dim: int = 64,
             .mapInPandas(gen, "vec_id string, vec array<double>"))
 
 
+def big_documents(spark, n_rows: int = 50000, words_per_doc: int = 120,
+                  planted: int = 500):
+    """Deterministic word-salad documents (10× the sf0.1 corpus):
+    row i < n_rows-planted is ~120 words drawn by RandomState(i) from the
+    clips fixture vocabulary; the last ``planted`` rows are copies of
+    rows 0..planted-1 with 4 words swapped (3-gram shingle Jaccard ≈0.8,
+    comfortably above the 0.7 verify threshold). Generated per-partition
+    on executors — nothing driver-side or committed."""
+    import numpy as np
+    import pandas as pd
+    from protovalidate_spark.fixtures import WORDS
+
+    vocab = np.array(WORDS)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, texts = [], []
+            for i in pdf["id"].to_numpy():
+                src = int(i) - (n_rows - planted) \
+                    if i >= n_rows - planted else int(i)
+                r = np.random.RandomState(src)
+                w = vocab[r.randint(0, len(vocab), words_per_doc)].copy()
+                if i >= n_rows - planted:
+                    rm = np.random.RandomState(1_000_000 + src)
+                    pos = rm.choice(words_per_doc, 4, replace=False)
+                    w[pos] = vocab[rm.randint(0, len(vocab), 4)]
+                ids.append("d%06d" % i)
+                texts.append(" ".join(w))
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    return (spark.range(n_rows).repartition(32)
+            .mapInPandas(gen, "doc_id string, text string"))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--clips-rows", type=int, default=400000)
     ap.add_argument("--emb-rows", type=int, default=200000)
+    ap.add_argument("--doc-rows", type=int, default=50000)
     args = ap.parse_args()
 
     import bench as benchmod
@@ -103,6 +138,30 @@ def main():
     out["lsh_pairs"] = len(pairs)
     out["planted_recall"] = round(len(got & planted) / len(planted), 4)
     df.unpersist()
+
+    # --- text dedup (MinHash+LSH→Jaccard, SimHash) at 50k docs ---
+    from protovalidate_spark.pipeline import (ngram_jaccard_dedup,
+                                              simhash_near_dups)
+    docs = big_documents(spark, args.doc_rows).persist()
+    docs.count()
+    n_plant = 500
+    planted_docs = {("d%06d" % i, "d%06d" % (args.doc_rows - n_plant + i))
+                    for i in range(n_plant)}
+    ngram_jaccard_dedup(docs, "doc_id", "text").count()  # warm-up
+    t0 = time.time()
+    mh_pairs = ngram_jaccard_dedup(docs, "doc_id", "text").collect()
+    dt = time.time() - t0
+    got_mh = {(r["id_a"], r["id_b"]) for r in mh_pairs}
+    out["doc_rows"] = args.doc_rows
+    out["minhash_sec"] = round(dt, 2)
+    out["minhash_docs_per_sec"] = round(args.doc_rows / dt, 1)
+    out["minhash_pairs"] = len(mh_pairs)
+    out["minhash_planted_recall"] = round(
+        len(got_mh & planted_docs) / n_plant, 4)
+    t0 = time.time()
+    out["simhash_pairs"] = simhash_near_dups(docs, "doc_id", "text").count()
+    out["simhash_sec"] = round(time.time() - t0, 2)
+    docs.unpersist()
 
     print(json.dumps(out))
     spark.stop()

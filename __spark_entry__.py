@@ -686,7 +686,8 @@ def q_simhash_documents(spark, sf_dir):
 def q_ivf_topk_embeddings(spark, sf_dir):
     """IVF ANN probe: driver-side k-means on a bounded sample, argmax
     cell assignment, exact cosine within n_probe nearest cells —
-    approximate by design, rows-only."""
+    approximate vs brute force but exactly reproducible (content-hash
+    sample + seeded k-means), oracle = a committed snapshot."""
     from protovalidate_spark.pipeline import ivf_topk, train_centroids
     e = _t(spark, sf_dir, "embeddings")
     e = e.withColumn("vec", F.transform("embedding",
@@ -698,7 +699,9 @@ def q_ivf_topk_embeddings(spark, sf_dir):
 
 
 def q_lsh_topk_embeddings(spark, sf_dir):
-    """Hyperplane-LSH ANN probe — approximate by design, rows-only."""
+    """Hyperplane-LSH ANN probe — approximate vs brute force but
+    exactly reproducible (seeded planes), oracle = a committed
+    snapshot."""
     from protovalidate_spark.pipeline import build_lsh_index, lsh_topk
     e = _t(spark, sf_dir, "embeddings")
     e = e.withColumn("vec", F.transform("embedding",
@@ -1305,6 +1308,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT row_idx, field_path, rule_id
               FROM read_parquet('{EXPECTED_DIR}/clips_full_audio.parquet')
         """,
-        # lsh_topk_embeddings / ivf_topk_embeddings: genuinely
-        # approximate ANN probes — rows-only checks by design.
+        # The ANN probes are approximate vs brute force but exactly
+        # reproducible: LSH planes come from RandomState(seed) and the
+        # IVF centroid sample orders by a content hash (partition-
+        # independent, see train_centroids), so snapshots are valid
+        # oracles for them too.
+        "lsh_topk_embeddings": f"""
+            SELECT vec_id, cosine
+              FROM read_parquet('{EXPECTED_DIR}/lsh_topk_embeddings.parquet')
+        """,
+        "ivf_topk_embeddings": f"""
+            SELECT vec_id, cos4
+              FROM read_parquet('{EXPECTED_DIR}/ivf_topk_embeddings.parquet')
+        """,
     }

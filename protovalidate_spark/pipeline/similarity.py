@@ -307,14 +307,21 @@ def read_ivf_probe(spark, path: str, centroids: np.ndarray,
 def train_centroids(df: DataFrame, vec_col: str, n_cells: int = 16,
                     sample_rows: int = 10000, iters: int = 10,
                     seed: int = 3) -> np.ndarray:
-    """Driver-side mini k-means on a bounded RANDOM sample.
+    """Driver-side mini k-means on a bounded pseudo-random sample.
 
-    ``orderBy(rand(seed)).limit(n)`` compiles to TakeOrderedAndProject —
-    per-partition top-n heaps over a uniform draw, O(n) driver collect —
-    so the sample is unbiased even on sorted/clustered input (a plain
-    ``.limit`` would take head-of-table rows and skew the centroids)."""
+    The sample orders by ``xxhash64(vec, seed)`` — a content hash, so the
+    draw is (a) spread uniformly over the value space like ``rand`` (no
+    head-of-table skew on sorted/clustered input) and (b) DETERMINISTIC
+    regardless of scan partitioning: ``rand(seed)`` reseeds per partition
+    index, so the same table split into a different number of file splits
+    yields a different sample, while the content hash does not. Still
+    compiles to TakeOrderedAndProject — per-partition top-n heaps, O(n)
+    driver collect. Caveat: exact-duplicate vectors hash identically and
+    sort adjacently, so heavy duplication can overweight a dup cluster;
+    dedup upstream if that matters."""
     rows = (df.select(vec_col).filter(F.col(vec_col).isNotNull())
-            .orderBy(F.rand(seed)).limit(sample_rows).collect())
+            .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
+            .limit(sample_rows).collect())
     X = np.array([r[0] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)

@@ -2,9 +2,10 @@
 entries for the deterministic non-SQL queries (round-2 VERDICT item 5:
 convert rows-only checks into hard rows+schema+hash checks).
 
-These four queries are exactly reproducible given their committed seeds
-(splitmix64 minhash permutations, FNV simhash, fixed hyperplanes, the
-deterministic clips fixture): running them twice yields byte-identical
+These queries are exactly reproducible given their committed seeds
+(splitmix64 minhash permutations, FNV simhash, fixed hyperplanes,
+content-hash-ordered IVF centroid samples, the deterministic clips
+fixture): running them twice yields byte-identical
 rounded outputs, so a committed parquet snapshot IS a valid oracle —
 DuckDB reads it via read_parquet() and the driver's rows+schema+hash
 compare applies in full. Regenerate ONLY when the underlying operator
@@ -21,7 +22,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 EXPECTED = ["minhash_neardup_documents", "simhash_documents",
-            "neardup_embeddings_lsh", "clips_full_audio"]
+            "neardup_embeddings_lsh", "clips_full_audio",
+            "lsh_topk_embeddings", "ivf_topk_embeddings"]
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "_fixtures", "expected")

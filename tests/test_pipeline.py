@@ -104,6 +104,22 @@ def test_ivf_topk_exact_within_probed_cells(spark, vecs):
     assert top[0]["vec_id"] == "v0010"
 
 
+def test_train_centroids_partition_independent(spark, vecs):
+    """The centroid sample orders by a CONTENT hash, not rand(seed):
+    rand reseeds per partition index, so the same table under a
+    different split layout would sample differently and shift the
+    centroids — which would invalidate the committed ivf_topk
+    expected-output oracle. Pin bit-identical centroids across three
+    partitionings, including a bounded sample (sample < table)."""
+    df, _ = vecs
+    for n in (20,):  # sample_rows < 50 rows => truly partial sample
+        ref = train_centroids(df, "vec", n_cells=3, sample_rows=n, seed=3)
+        for parts in (1, 7):
+            got = train_centroids(df.repartition(parts), "vec",
+                                  n_cells=3, sample_rows=n, seed=3)
+            assert np.array_equal(ref, got), parts
+
+
 def test_embedding_plans_are_hof_free(spark, vecs):
     """The round-1 weak flags: no interpreted aggregate/zip_with in any
     embedding hot path — signatures, probes, assignment, verification."""

@@ -409,9 +409,15 @@ def _truncate_bucket(pdf: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
     (documented truncation, same policy as ``minhash_lsh_candidates``).
     A pathological bucket — every empty/boilerplate doc sharing one
     signature — would otherwise concentrate O(n²) work and O(n·chunk)
-    memory in a single Python worker (round-2 ADVICE)."""
+    memory in a single Python worker (round-2 ADVICE).
+
+    Always sorts by id (not only when truncating): rows arrive in
+    shuffle order, and a deterministic row order makes the downstream
+    chunked float kernels bit-reproducible across runs/configs — the
+    committed expected-output oracles depend on that."""
+    pdf = pdf.sort_values("__id")
     if len(pdf) > max_bucket:
-        pdf = pdf.sort_values("__id").head(max_bucket)
+        pdf = pdf.head(max_bucket)
     return pdf
 
 

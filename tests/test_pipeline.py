@@ -104,6 +104,27 @@ def test_ivf_topk_exact_within_probed_cells(spark, vecs):
     assert top[0]["vec_id"] == "v0010"
 
 
+def test_near_dup_outputs_shuffle_order_independent(spark, vecs):
+    """The committed expected-output oracles require the bucketed pair
+    kernels to be bit-reproducible: rows reach each applyInPandas group
+    in shuffle order, so _truncate_bucket sorts by id before the chunked
+    float kernels. Pin identical (rows AND cosine values) output under
+    three input partitionings."""
+    df, _ = vecs
+
+    def run(frame):
+        return sorted(
+            (r["id_a"], r["id_b"], r["cosine"])
+            for r in embedding_near_dups(frame, "vec_id", "vec",
+                                         threshold=0.9, planes=6,
+                                         bands=4, seed=5).collect())
+
+    ref = run(df)
+    assert ref  # planted pairs guarantee a non-trivial result
+    for parts in (1, 13):
+        assert run(df.repartition(parts)) == ref, parts
+
+
 def test_train_centroids_partition_independent(spark, vecs):
     """The centroid sample orders by a CONTENT hash, not rand(seed):
     rand reseeds per partition index, so the same table under a

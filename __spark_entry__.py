@@ -51,6 +51,27 @@ def q_validate_lineitem(spark, sf_dir):
     return v.select("l_orderkey", "l_linenumber", "field_path", "rule_id")
 
 
+def q_collection_lineitem(spark, sf_dir):
+    """Collection-API parity (reference pkg/errors/collection.go:7-141
+    + dict.go classification): ``violations_for`` filters by a path
+    written in ANY serializer (normalized driver-side to the stored
+    default form — here the dot and JSONPath forms), and
+    ``with_error_type`` appends the validation/permission/internal
+    classification (NOTALLOWED → permission, bound rules → validation)."""
+    from protovalidate_spark import Float64, Object, String
+    from protovalidate_spark.errors import violations_for, with_error_type
+    li = _t(spark, sf_dir, "lineitem")
+    rs = (Object().with_unknown()
+          .with_key("l_quantity", Float64().with_required().min(1).max(45))
+          .with_key("l_returnflag", String().allowed_values("A", "N", "R")))
+    v = rs.violations(li, row_key_cols=["l_orderkey", "l_linenumber"])
+    qty = violations_for(v, "l_quantity", serializer="dot")
+    flag = violations_for(v, "$.l_returnflag", serializer="jsonpath")
+    return (with_error_type(qty.unionByName(flag))
+            .select("l_orderkey", "l_linenumber", "field_path", "rule_id",
+                    "error_type"))
+
+
 def q_conditional_orders(spark, sf_dir):
     import datetime as dt
     from protovalidate_spark import Object, Time
@@ -716,6 +737,7 @@ def q_lsh_topk_embeddings(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": q_validate_lineitem,
+        "collection_lineitem": q_collection_lineitem,
         "conditional_orders": q_conditional_orders,
         "cross_column_lineitem": q_cross_column_lineitem,
         "stats_lineitem": q_stats_lineitem,
@@ -830,6 +852,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber, '/l_linestatus', 'NOTALLOWED'
               FROM lineitem WHERE l_linestatus NOT IN ('F','O')
+        """,
+        "collection_lineitem": """
+            SELECT l_orderkey, l_linenumber, '/l_quantity' AS field_path,
+                   'MAX' AS rule_id, 'validation' AS error_type
+              FROM lineitem WHERE l_quantity > 45
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, '/l_quantity', 'MIN',
+                   'validation'
+              FROM lineitem WHERE l_quantity < 1
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, '/l_returnflag', 'NOTALLOWED',
+                   'permission'
+              FROM lineitem WHERE l_returnflag NOT IN ('A','N','R')
         """,
         "conditional_orders": """
             SELECT o_orderkey, '/o_orderdate' AS field_path, 'MAX' AS rule_id

@@ -14,6 +14,15 @@ stream (global exact uniqueness over an unbounded stream is unbounded
 state by definition):
 - :func:`windowed_unique_violations` — duplicates within an event-time
   window, watermarked so state is bounded and late data is handled.
+- :func:`windowed_column_stats` — the per-column stats pass
+  (``dataset/stats.py``) per event-time window: ONE stateful
+  aggregation, state O(windows × columns).
+- :func:`windowed_histogram_counts` + :func:`stream_drift_violations` —
+  the PSI/KS drift check (``dataset/drift.py``) per event-time window
+  against a frozen baseline snapshot. Bucket spaces are frozen
+  driver-side from the baseline (numeric bounds AND the categorical
+  label set), so streaming state is bounded at
+  O(windows × columns × buckets) no matter the live cardinality.
 """
 
 from __future__ import annotations
@@ -138,6 +147,195 @@ def write_violations_stream(
          .option("path", path)
          .option("checkpointLocation", checkpoint)
          .outputMode(output_mode))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def windowed_column_stats(
+    stream_df: DataFrame, cols: Sequence[str], ts_col: str,
+    window: str = "10 minutes", watermark: str = "10 minutes",
+    rsd: float = 0.05, quantiles: Sequence[float] = (0.5, 0.95),
+    accuracy: int = 2500,
+) -> DataFrame:
+    """The single-pass per-column stats aggregation
+    (:func:`~protovalidate_spark.dataset.stats.column_stats`) computed
+    PER EVENT-TIME WINDOW on a stream: one row per (window, column) with
+    n_rows, null_rate, min, max, approx_distinct (HLL++) and approx
+    quantiles (GK sketch) — both sketches merge incrementally in the
+    streaming state store, so state is O(open windows × columns ×
+    sketch bytes), bounded by the watermark.
+
+    Append-mode: a window's row emits exactly once, when the watermark
+    passes its end. The per-column reshape is a STATELESS post-agg
+    explode, so this stays a single stateful operator."""
+    from pyspark.sql import types as T
+
+    dtypes = dict(stream_df.dtypes)
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        base = dtypes[c].split("(")[0]
+        aggs.append(F.sum(F.col(c).isNull().cast("long"))
+                    .alias(f"{c}__nulls"))
+        aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+        aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+        aggs.append(F.approx_count_distinct(c, rsd).alias(f"{c}__distinct"))
+        if base in numeric and quantiles:
+            aggs.append(F.percentile_approx(
+                F.col(c).cast("double"), list(quantiles), accuracy
+            ).alias(f"{c}__q"))
+        else:
+            aggs.append(F.lit(None).cast(T.ArrayType(T.DoubleType()))
+                        .alias(f"{c}__q"))
+    agg = (stream_df
+           .withWatermark(ts_col, watermark)
+           .groupBy(F.window(F.col(ts_col), window).alias("w"))
+           .agg(*aggs))
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            (F.col(f"{c}__nulls") / F.col("__n")).alias("null_rate"),
+            F.col(f"{c}__min").alias("min"),
+            F.col(f"{c}__max").alias("max"),
+            F.col(f"{c}__distinct").alias("approx_distinct"),
+            F.col(f"{c}__q").alias("quantiles"),
+        ) for c in cols
+    ]
+    return (agg.select(F.col("w.start").alias("window_start"),
+                       F.col("w.end").alias("window_end"),
+                       F.explode(F.array(*per_col)).alias("s"))
+            .select("window_start", "window_end", "s.*"))
+
+
+def windowed_histogram_counts(
+    stream_df: DataFrame, baseline: dict, ts_col: str,
+    window: str = "10 minutes", watermark: str = "10 minutes",
+    n_buckets: Optional[int] = None,
+) -> DataFrame:
+    """Streaming stage of the drift check: per-(window, column, label)
+    counts with the bucket space FROZEN by the baseline snapshot
+    (:func:`~protovalidate_spark.dataset.drift.snapshot`).
+
+    Numeric columns bucket by ``width_bucket`` over the baseline's
+    stored (lo, hi); categorical values not present in the baseline's
+    histogram collapse to ``__other__`` AT PROJECTION TIME — the label
+    set is known driver-side, so streaming state per window is
+    O(columns × buckets) regardless of live cardinality (an unbounded
+    label space would otherwise be unbounded state). Same stacked
+    single-aggregation shape as the batch
+    :func:`~protovalidate_spark.dataset.drift.histograms` pass."""
+    from .dataset.drift import N_BUCKETS, _NUMERIC, _fix_bounds
+
+    nb = n_buckets or N_BUCKETS
+    dtypes = dict(stream_df.dtypes)
+    entries = []
+    for c in baseline:
+        base = dtypes[c].split("(")[0]
+        snap = baseline[c]
+        if base in _NUMERIC:
+            lo, hi = _fix_bounds(snap.get("lo"), snap.get("hi"))
+            label = F.concat(
+                F.lit("b"),
+                F.width_bucket(F.col(c).cast("double"), F.lit(lo),
+                               F.lit(hi), F.lit(nb))
+                .cast("bigint").cast("string"))
+        else:
+            known = sorted(k for k in snap.get("hist", {})
+                           if k != "__other__")
+            val = F.col(c).cast("string")
+            label = (F.when(val.isin(*known), val)
+                     .otherwise(F.lit("__other__"))
+                     if known else F.lit("__other__"))
+        entries.append(F.struct(F.lit(c).alias("name"),
+                                F.when(F.col(c).isNotNull(), label)
+                                 .alias("label")))
+    pairs = (stream_df
+             .withWatermark(ts_col, watermark)
+             .select(F.col(ts_col).alias("__ts"),
+                     F.explode(F.array(*entries)).alias("p"))
+             .filter(F.col("p.label").isNotNull()))
+    return (pairs.groupBy(F.window("__ts", window).alias("w"),
+                          F.col("p.name").alias("name"),
+                          F.col("p.label").alias("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "name", "label", "cnt"))
+
+
+def window_drift_rows(
+    batch_rows, baseline: dict,
+    psi_threshold: float = 0.2, ks_threshold: float = 0.1,
+) -> list:
+    """Driver-side verdict step for CLOSED windows (a ``foreachBatch``
+    body): ``batch_rows`` is the collected output of
+    :func:`windowed_histogram_counts` for one micro-batch — bounded at
+    O(closed windows × columns × buckets). Returns one violation-shaped
+    tuple per drifted (window, column):
+    (window_start, window_end, field_path, rule_id, message, actual),
+    reusing the batch PSI/KS kernels so thresholds and semantics are
+    identical to :func:`~protovalidate_spark.dataset.drift.drift_violations`."""
+    from collections import defaultdict
+
+    from .dataset.drift import ks_stat, psi
+
+    counts: dict = defaultdict(dict)
+    for r in batch_rows:
+        counts[(r["window_start"], r["window_end"], r["name"])][r["label"]] \
+            = r["cnt"]
+    out = []
+    for (ws, we, name), hist in sorted(counts.items()):
+        total = sum(hist.values())
+        if not total:
+            continue
+        actual = {k: v / total for k, v in hist.items()}
+        expected = baseline[name]["hist"]
+        p = psi(expected, actual)
+        k = ks_stat(expected, actual)
+        if p > psi_threshold or k > ks_threshold:
+            out.append((ws, we, f"/{name}", Code.DRIFT,
+                        f"distribution drift exceeds thresholds "
+                        f"(psi>{psi_threshold} or ks>{ks_threshold}) "
+                        f"in window",
+                        f"psi={p:.4f},ks={k:.4f}"))
+    return out
+
+
+_DRIFT_WINDOW_SCHEMA = ("window_start timestamp, window_end timestamp, "
+                        "field_path string, rule_id string, "
+                        "message string, actual string")
+
+
+def stream_drift_violations(
+    stream_df: DataFrame, baseline: dict, ts_col: str,
+    out_path: str, checkpoint: str,
+    window: str = "10 minutes", watermark: str = "10 minutes",
+    psi_threshold: float = 0.2, ks_threshold: float = 0.1,
+    trigger_available_now: bool = True,
+):
+    """End-to-end streaming drift monitor: watermarked windowed
+    histogram aggregation (distributed, bounded state) → per-closed-
+    window PSI/KS verdicts vs the frozen baseline (driver-side over the
+    tiny closed-window count rows) → violation rows appended to
+    ``out_path`` as Parquet. Exactly-once per window: append-mode emits
+    a window's counts in the single micro-batch whose watermark closes
+    it, and the ``foreachBatch`` sink is checkpointed."""
+    counts = windowed_histogram_counts(
+        stream_df, baseline, ts_col, window, watermark)
+
+    def _sink(batch_df: DataFrame, _epoch: int) -> None:
+        rows = window_drift_rows(batch_df.collect(), baseline,
+                                 psi_threshold, ks_threshold)
+        if rows:
+            (batch_df.sparkSession.createDataFrame(
+                rows, _DRIFT_WINDOW_SCHEMA)
+             .coalesce(1).write.mode("append").parquet(out_path))
+
+    w = (counts.writeStream.foreachBatch(_sink)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint))
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()

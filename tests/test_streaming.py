@@ -169,3 +169,98 @@ def test_stateful_unique_across_batches(spark, stream_src, tmp_path):
     got = {(r["clip_id"], r["dup_count_batch"], r["total_seen"],
             r["rule_id"]) for r in rows}
     assert got == {("clip-0000000001", 1, 2, "UNIQUE")}
+
+
+def test_windowed_column_stats(spark, tmp_path):
+    """Per-window stats rows match a batch groupBy over the same data."""
+    from protovalidate_spark.streaming import windowed_column_stats
+
+    rows = []
+    for i in range(60):   # window 1: 00:00-00:10
+        rows.append((i, None if i % 5 == 0 else float(i % 20),
+                     "2026-01-01 00:0%d:00" % (i % 10)))
+    for i in range(40):   # window 2: 01:00-01:10
+        rows.append((100 + i, float(50 + i % 4),
+                     "2026-01-01 01:0%d:00" % (i % 10)))
+    rows.append((999, 0.0, "2026-01-01 05:00:00"))  # sentinel closes both
+    df = spark.createDataFrame(rows, "id long, v double, ts string") \
+              .withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    stats = windowed_column_stats(stream, ["v"], "ts",
+                                  window="10 minutes",
+                                  watermark="0 seconds")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (stats.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {r["window_start"].strftime("%H:%M"): r
+           for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"00:00", "01:00"}
+    w1, w2 = got["00:00"], got["01:00"]
+    assert w1["n_rows"] == 60 and w2["n_rows"] == 40
+    assert abs(w1["null_rate"] - 12 / 60) < 1e-9
+    assert w2["null_rate"] == 0.0
+    assert w1["min"] == "1.0" and w1["max"] == "19.0"
+    assert w2["min"] == "50.0" and w2["max"] == "53.0"
+    # 16 distinct non-null values in w1, 4 in w2 (HLL exact at this size)
+    assert w1["approx_distinct"] == 16 and w2["approx_distinct"] == 4
+    assert w2["quantiles"] is not None and 50.0 <= w2["quantiles"][0] <= 53.0
+
+
+def test_stream_drift_violations(spark, tmp_path):
+    """Windowed PSI/KS drift vs a frozen baseline: the shifted window is
+    flagged, the matching window is not, and the streaming verdict
+    agrees with the batch drift pass on the same slice."""
+    import random
+
+    from protovalidate_spark.dataset.drift import (
+        drift_violations, snapshot)
+    from protovalidate_spark.streaming import stream_drift_violations
+
+    rng = random.Random(11)
+    base_rows = [(i, rng.uniform(0.0, 100.0),
+                  rng.choice(["wav", "flac", "mp3"])) for i in range(2000)]
+    base = spark.createDataFrame(base_rows, "id long, v double, c string")
+    snap = snapshot(base, ["v", "c"])
+
+    rows = []
+    for i in range(1000):     # window 1 ~ baseline distribution
+        rows.append((i, rng.uniform(0.0, 100.0),
+                     rng.choice(["wav", "flac", "mp3"]),
+                     "2026-01-01 00:0%d:%02d" % (i % 10, i % 60)))
+    for i in range(1000):     # window 2: v shifted, c has a NEW codec
+        rows.append((5000 + i, rng.uniform(80.0, 180.0),
+                     rng.choice(["opus", "opus", "wav"]),
+                     "2026-01-01 02:0%d:%02d" % (i % 10, i % 60)))
+    rows.append((9999, 50.0, "wav", "2026-01-01 09:00:00"))  # sentinel
+    df = spark.createDataFrame(
+        rows, "id long, v double, c string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_drift_violations(stream, snap, "ts", out, ckpt,
+                                window="10 minutes",
+                                watermark="0 seconds")
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).collect()
+    flagged = {(r["window_start"].strftime("%H:%M"), r["field_path"])
+               for r in got}
+    assert all(r["rule_id"] == "DRIFT" for r in got)
+    # the shifted window drifts on both columns; the matching one on none
+    assert ("02:00", "/v") in flagged and ("02:00", "/c") in flagged
+    assert not any(ws == "00:00" for ws, _ in flagged)
+
+    # streaming verdict == batch drift pass over the same window slice
+    w2 = df.filter(F.col("id") >= 5000).filter(F.col("id") != 9999)
+    batch_flagged = {r["field_path"]
+                     for r in drift_violations(w2, snap).collect()}
+    assert batch_flagged == {p for ws, p in flagged if ws == "02:00"}

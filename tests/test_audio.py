@@ -243,3 +243,100 @@ def test_batch_decoder_fuzz_matches_chunk_walker():
                 int(out["n_samples"][i]), int(out["dur_ms"][i])) == \
             (ref.ok, ref.sr, ref.n_samples, ref.dur_ms), i
         assert abs(float(out["rms"][i]) - ref.rms) < 1e-9, i
+
+
+# ---------------------------------------------------------------------------
+# Full uncompressed WAV format family (PCM 8/24/32, IEEE float, G.711,
+# EXTENSIBLE wrapper) — pure-numpy decode paths in wav.py
+# ---------------------------------------------------------------------------
+
+_FMT_MATRIX = ["pcm8", "pcm16", "pcm24", "pcm32", "float32", "float64",
+               "mulaw", "alaw"]
+
+
+@pytest.mark.parametrize("fmt", _FMT_MATRIX)
+@pytest.mark.parametrize("extensible", [False, True])
+def test_wav_format_family_snr(fmt, extensible):
+    """Every uncompressed format round-trips above the 30 dB SNR gate
+    (BASELINE.json input_hint), with correct header-derived fields,
+    both as a plain fmt chunk and under the EXTENSIBLE wrapper."""
+    sr, dur = 16000, 200
+    b = synth_sine_wav(440.0, sr, dur, 0.5, fmt=fmt, extensible=extensible)
+    d = decode_wav(b, want_pcm=True)
+    assert d.ok and d.sr == sr and d.dur_ms == dur
+    n = sr * dur // 1000
+    assert d.n_samples == n
+    t = np.arange(n) / sr
+    ref = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    assert snr_db(ref, d.pcm) >= 30.0
+    assert abs(d.rms - 0.5 / np.sqrt(2)) < 0.005
+
+
+def test_wav_format_bits_mismatch_rejected():
+    """A format label with bits outside its admissible set ⇒ ok=False
+    (G.711 is 8-bit only; PCM admits 8/16/24/32; float 32/64)."""
+    import struct
+    b = bytearray(synth_sine_wav(440.0, 8000, 50, fmt="pcm16"))
+    struct.pack_into("<H", b, 20, 7)  # label it mu-law, keep bits=16
+    assert not decode_wav(bytes(b)).ok
+    struct.pack_into("<H", b, 20, 3)  # IEEE float with bits=16
+    assert not decode_wav(bytes(b)).ok
+    struct.pack_into("<HH", b, 20, 1, 12)  # PCM with bits=12
+    assert not decode_wav(bytes(b)).ok
+
+
+def test_wav_data_not_multiple_of_sample_rejected():
+    import struct
+    b = bytearray(synth_sine_wav(440.0, 8000, 50, fmt="pcm32"))
+    # shrink the data chunk by 2 bytes: no longer a whole number of
+    # 4-byte samples (file stays self-consistent: truncate buffer too)
+    (dsize,) = struct.unpack_from("<I", b, 40)
+    struct.pack_into("<I", b, 40, dsize - 2)
+    struct.pack_into("<I", b, 4, len(b) - 8 - 2)
+    assert not decode_wav(bytes(b[:-2])).ok
+
+
+def test_extensible_truncated_fmt_rejected():
+    """EXTENSIBLE fmt chunk shorter than the 40-byte body (no SubFormat
+    GUID to read) ⇒ ok=False."""
+    import struct
+    b = bytearray(synth_sine_wav(440.0, 8000, 50, fmt="pcm16"))
+    struct.pack_into("<H", b, 20, 0xFFFE)  # EXTENSIBLE label, 16-byte body
+    assert not decode_wav(bytes(b)).ok
+
+
+def test_g711_tables_match_reference_points():
+    """Spot-check the vectorized G.711 expansion against published
+    reference values (mu-law 0xFF -> 0, 0x7F -> min step; A-law 0xD5 ->
+    +8/32768 smallest positive magnitude at byte 0x55^0x80... use known
+    anchor points computed from the ITU-T formulas)."""
+    from protovalidate_spark.audio.wav import _g711_table
+    mu = _g711_table("mulaw")
+    # 0xFF is +0 in mu-law; 0x7F is -0
+    assert mu[0xFF] == 0.0 and mu[0x7F] == 0.0
+    # 0x80 decodes to the largest negative magnitude (32124 in int16 scale)
+    assert abs(mu[0x00] - (-32124.0 / 32768.0)) < 1e-6
+    assert abs(mu[0x80] - (32124.0 / 32768.0)) < 1e-6
+    al = _g711_table("alaw")
+    # A-law max magnitude is 32256 in int16 scale
+    assert abs(al.min() + 32256.0 / 32768.0) < 1e-6
+    assert abs(al.max() - 32256.0 / 32768.0) < 1e-6
+    # decode table is symmetric: every positive value has its negative
+    assert np.allclose(np.sort(al[al > 0]), np.sort(-al[al < 0]))
+    assert np.allclose(np.sort(mu[mu > 0]), np.sort(-mu[mu < 0]))
+
+
+def test_batch_decoder_delegates_format_family(spark):
+    """Non-PCM16 formats miss the vectorized canonical predicate and go
+    through the exact walker inside the SAME Arrow batch — one decode
+    stage, every format correct."""
+    rows = [(f, synth_sine_wav(330.0, 8000, 125, 0.4, fmt=f))
+            for f in _FMT_MATRIX]
+    df = spark.createDataFrame(rows, "fmt string, bytes binary")
+    out = {r["fmt"]: r for r in
+           with_decoded(df).select("fmt", "_decoded.*").collect()}
+    for f in _FMT_MATRIX:
+        r = out[f]
+        assert r["ok"] and r["sr"] == 8000 and r["dur_ms"] == 125, f
+        assert r["n_samples"] == 1000, f
+        assert abs(r["rms"] - 0.4 / np.sqrt(2)) < 0.005, f

@@ -214,6 +214,47 @@ def q_clips_full_audio(spark, sf_dir):
     return res.violations.select("row_idx", "field_path", "rule_id")
 
 
+def q_clips_format_family(spark, sf_dir):
+    """The full uncompressed WAV family (PCM 8/16/24/32, IEEE float
+    32/64, G.711 A-law/mu-law, each plain and EXTENSIBLE-wrapped)
+    through the ONE Arrow decode stage, plus malformed payloads that
+    must come back ok=false. Non-SQL (decode), deterministic (fixed
+    synth args), so the oracle is a committed expected-output
+    snapshot. Mirrors the reference's per-value custom-decode
+    extension point (pkg/rules/inerface.go WithCast)."""
+    import struct
+
+    from protovalidate_spark.audio import with_decoded
+    from protovalidate_spark.audio.wav import synth_sine_wav
+
+    fmts = ["pcm8", "pcm16", "pcm24", "pcm32", "float32", "float64",
+            "mulaw", "alaw"]
+    rows = []
+    for i, fmt in enumerate(fmts):
+        for ext in (False, True):
+            for k, sr in enumerate((8000, 16000, 44100)):
+                rows.append((
+                    f"{fmt}_ext{int(ext)}_{sr}",
+                    synth_sine_wav(200.0 + 37 * i + 11 * k, sr,
+                                   40 + 20 * k, 0.4, fmt=fmt,
+                                   extensible=ext)))
+    base = synth_sine_wav(440.0, 8000, 50, 0.4)
+    mu16 = bytearray(base)
+    struct.pack_into("<H", mu16, 20, 7)  # mu-law label on 16-bit data
+    rows += [("bad_mulaw_16bit", bytes(mu16)),
+             ("bad_truncated", base[:len(base) // 2]),
+             ("bad_garbage", b"definitely not a riff container"),
+             ("bad_null", None)]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    return with_decoded(df).select(
+        "clip_id",
+        F.col("_decoded.ok").alias("decode_ok"),
+        F.col("_decoded.sr").alias("dec_sr"),
+        F.col("_decoded.n_samples").alias("dec_n"),
+        F.col("_decoded.dur_ms").alias("dec_dur_ms"),
+        F.round("_decoded.rms", 4).alias("dec_rms"))
+
+
 def q_array_embeddings(spark, sf_dir):
     """Slice rules (reference pkg/rules/slice.go): per-item rule set with
     per-index violation paths + array length bounds + ACCUMULATE-ALL —
@@ -772,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_unique": q_clips_unique,
         "clips_ref_codec": q_clips_ref_codec,
         "clips_full_audio": q_clips_full_audio,
+        "clips_format_family": q_clips_format_family,
         "dedup_exact_documents": q_dedup_exact_documents,
         "curate_documents": q_curate_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -1342,6 +1384,10 @@ def oracle_sql() -> dict[str, str]:
         "clips_full_audio": f"""
             SELECT row_idx, field_path, rule_id
               FROM read_parquet('{EXPECTED_DIR}/clips_full_audio.parquet')
+        """,
+        "clips_format_family": f"""
+            SELECT clip_id, decode_ok, dec_sr, dec_n, dec_dur_ms, dec_rms
+              FROM read_parquet('{EXPECTED_DIR}/clips_format_family.parquet')
         """,
         # The ANN probes are approximate vs brute force but exactly
         # reproducible: LSH planes come from RandomState(seed) and the

@@ -21,7 +21,8 @@ from pyspark.sql.functions import pandas_udf
 
 from ..errors import Code
 from ..rules.object import ObjectRule
-from .wav import _DATA, _FMT, _RIFF, _WAVE, decode_bytes
+from .wav import (_DATA, _FMT, _FMT_BITS, _RIFF, _WAVE, _samples_to_float,
+                  decode_bytes)
 
 # Programmatic DataTypes (not DDL strings): pandas_udf must be creatable on
 # executors at module import where no SparkSession exists to parse DDL.
@@ -69,17 +70,26 @@ def _decode_series(bs: pd.Series, want_pcm: bool) -> pd.DataFrame:
     channels = H[:, 22].astype(np.int64) + (H[:, 23].astype(np.int64) << 8)
     bits = H[:, 34].astype(np.int64) + (H[:, 35].astype(np.int64) << 8)
     dsize = H[:, 40:44].astype(np.int64) @ _LE32
+    # (fmt, bits) admissibility + bytes-per-sample, vectorized over the
+    # same table wav.py uses — every uncompressed format (PCM 8/16/24/32,
+    # float 32/64, G.711) takes this path when the chunk layout is the
+    # canonical 44-byte one; EXTENSIBLE (fmt_size 40) and multi-chunk
+    # layouts fall to the exact walker below
+    fmt_ok = np.zeros(n_rows, dtype=bool)
+    for code, allowed in _FMT_BITS.items():
+        fmt_ok |= (audio_fmt == code) & np.isin(bits, allowed)
+    bytes_per = np.maximum(bits >> 3, 1)
     canonical = (has_hdr & tag_eq(slice(0, 4), _RIFF)
                  & tag_eq(slice(8, 12), _WAVE) & tag_eq(slice(12, 16), _FMT)
-                 & (fmt_size == 16) & (audio_fmt == 1) & (channels == 1)
-                 & (bits == 16) & tag_eq(slice(36, 40), _DATA)
-                 & (sr > 0) & (dsize % 2 == 0) & (44 + dsize == lens))
+                 & (fmt_size == 16) & fmt_ok & (channels == 1)
+                 & tag_eq(slice(36, 40), _DATA)
+                 & (sr > 0) & (dsize % bytes_per == 0) & (44 + dsize == lens))
     # equality (not <=): a canonical 44-byte prefix followed by MORE chunks
     # must take the exact chunk walker, whose later-data-chunk-wins rule
     # would otherwise diverge from this first-data-chunk fast path
 
     ok = canonical.copy()
-    n_samp = np.where(canonical, dsize // 2, 0)
+    n_samp = np.where(canonical, dsize // bytes_per, 0)
     sr_out = np.where(canonical, sr, 0).astype(np.int64)
     dur = np.zeros(n_rows, dtype=np.int64)
     dur[canonical] = np.round(
@@ -87,7 +97,8 @@ def _decode_series(bs: pd.Series, want_pcm: bool) -> pd.DataFrame:
     rms = np.zeros(n_rows, dtype=np.float64)
     pcm = [None] * n_rows if want_pcm else None
 
-    for i in np.nonzero(canonical)[0]:
+    is_pcm16 = canonical & (audio_fmt == 1) & (bits == 16)
+    for i in np.nonzero(is_pcm16)[0]:
         n = int(n_samp[i])
         if n:
             x16 = np.frombuffer(bufs[i], dtype="<i2", count=n, offset=44)
@@ -97,6 +108,12 @@ def _decode_series(bs: pd.Series, want_pcm: bool) -> pd.DataFrame:
                 pcm[i] = x / np.float32(32768.0)
         elif want_pcm:
             pcm[i] = np.array([], dtype=np.float32)
+    for i in np.nonzero(canonical & ~is_pcm16)[0]:
+        x = _samples_to_float(bufs[i][44:], int(audio_fmt[i]), int(bits[i]))
+        n = int(x.size)
+        rms[i] = float(np.sqrt(np.dot(x, x) / n)) if n else 0.0
+        if want_pcm:
+            pcm[i] = x
 
     # exact fallback for non-canonical-but-maybe-valid layouts
     for i in np.nonzero(has_hdr & ~canonical)[0]:

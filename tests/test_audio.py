@@ -211,13 +211,17 @@ def test_batch_decoder_fuzz_matches_chunk_walker():
     from protovalidate_spark.audio.wav import decode_wav, synth_sine_wav
 
     rnd = random.Random(7)
+    all_fmts = ["pcm8", "pcm16", "pcm24", "pcm32", "float32", "float64",
+                "mulaw", "alaw"]
     cases = []
     for _ in range(400):
         k = rnd.random()
         if k < 0.25:
             cases.append(synth_sine_wav(100 + rnd.random() * 5000,
                                         rnd.choice([8000, 16000, 44100]),
-                                        rnd.randint(1, 300)))
+                                        rnd.randint(1, 300),
+                                        fmt=rnd.choice(all_fmts),
+                                        extensible=rnd.random() < 0.3))
         elif k < 0.45:
             b = bytearray(synth_sine_wav(440, 16000, 50))
             for _ in range(rnd.randint(1, 4)):
@@ -327,9 +331,12 @@ def test_g711_tables_match_reference_points():
 
 
 def test_batch_decoder_delegates_format_family(spark):
-    """Non-PCM16 formats miss the vectorized canonical predicate and go
-    through the exact walker inside the SAME Arrow batch — one decode
-    stage, every format correct."""
+    """Every uncompressed format flows through the ONE Arrow decode
+    stage: canonical single-data-chunk layouts take the vectorized fast
+    path for ALL (fmt, bits) combinations (not just PCM16); EXTENSIBLE
+    wrappers and multi-chunk layouts delegate to the exact walker —
+    either way the batch output is field-identical to the walker
+    (pinned by the fuzz test above)."""
     rows = [(f, synth_sine_wav(330.0, 8000, 125, 0.4, fmt=f))
             for f in _FMT_MATRIX]
     df = spark.createDataFrame(rows, "fmt string, bytes binary")

@@ -255,6 +255,47 @@ def q_clips_format_family(spark, sf_dir):
         F.round("_decoded.rms", 4).alias("dec_rms"))
 
 
+def q_speech_rate_clips(spark, sf_dir):
+    """Audio/transcript consistency: whitespace tokens per second must
+    land in [1, 40] on the scalar clips fixture (CONSISTENT). Pure JVM
+    expression (no decode) — plain SQL oracle."""
+    from protovalidate_spark import Object
+    from protovalidate_spark.audio.features import speech_rate_rule
+    df = spark.read.parquet(CLIPS_SCALAR)
+    rs = Object().with_unknown().with_rule(
+        speech_rate_rule(min_wps=1.0, max_wps=40.0))
+    v = rs.violations(df, row_key_cols=["row_idx"])
+    return v.select("row_idx", "field_path", "rule_id",
+                    F.col("actual").cast("double").alias("rate_wps"))
+
+
+def q_clips_audio_features(spark, sf_dir):
+    """PCM feature extraction (peak / clipping ratio / silence ratio /
+    zero-crossing rate) over every uncompressed WAV format at three
+    amplitudes (clean / clipped / silent) plus undecodable payloads —
+    ONE fused Arrow stage (decode + features). Non-SQL (decode);
+    deterministic, so the oracle is a committed snapshot."""
+    from protovalidate_spark.audio.features import with_audio_features
+    from protovalidate_spark.audio.wav import synth_sine_wav
+    fmts = ["pcm8", "pcm16", "pcm24", "pcm32", "float32", "float64",
+            "mulaw", "alaw"]
+    rows = []
+    for i, fmt in enumerate(fmts):
+        for label, amp in (("clean", 0.5), ("clipped", 1.4), ("silent", 0.0)):
+            rows.append((f"{fmt}_{label}",
+                         synth_sine_wav(220.0 + 31 * i, 16000, 80, amp,
+                                        fmt=fmt)))
+    rows += [("bad_garbage", b"not audio"), ("bad_null", None)]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    f = with_audio_features(df)
+    return f.select(
+        "clip_id", F.col("_afeat.ok").alias("feat_ok"),
+        F.round("_afeat.peak", 6).alias("peak"),
+        F.round("_afeat.clip_ratio", 6).alias("clip_ratio"),
+        F.round("_afeat.silence_ratio", 6).alias("silence_ratio"),
+        F.round("_afeat.zcr", 6).alias("zcr"))
+
+
 def q_array_embeddings(spark, sf_dir):
     """Slice rules (reference pkg/rules/slice.go): per-item rule set with
     per-index violation paths + array length bounds + ACCUMULATE-ALL —
@@ -814,6 +855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_ref_codec": q_clips_ref_codec,
         "clips_full_audio": q_clips_full_audio,
         "clips_format_family": q_clips_format_family,
+        "speech_rate_clips": q_speech_rate_clips,
+        "clips_audio_features": q_clips_audio_features,
         "dedup_exact_documents": q_dedup_exact_documents,
         "curate_documents": q_curate_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -1388,6 +1431,28 @@ def oracle_sql() -> dict[str, str]:
         "clips_format_family": f"""
             SELECT clip_id, decode_ok, dec_sr, dec_n, dec_dur_ms, dec_rms
               FROM read_parquet('{EXPECTED_DIR}/clips_format_family.parquet')
+        """,
+        "speech_rate_clips": f"""
+            WITH c AS (
+              SELECT row_idx, dur_ms,
+                     CASE WHEN length(trim(transcript)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(transcript), '\\s+'))
+                     END AS n_tok
+                FROM {clips}
+               WHERE transcript IS NOT NULL
+                 AND length(trim(transcript)) > 0
+                 AND dur_ms IS NOT NULL AND dur_ms > 0
+            )
+            SELECT row_idx, '/transcript' AS field_path,
+                   'CONSISTENT' AS rule_id,
+                   ROUND(n_tok / (dur_ms / 1000.0), 4) AS rate_wps
+              FROM c
+             WHERE n_tok / (dur_ms / 1000.0) < 1.0
+                OR n_tok / (dur_ms / 1000.0) > 40.0
+        """,
+        "clips_audio_features": f"""
+            SELECT clip_id, feat_ok, peak, clip_ratio, silence_ratio, zcr
+              FROM read_parquet('{EXPECTED_DIR}/clips_audio_features.parquet')
         """,
         # The ANN probes are approximate vs brute force but exactly
         # reproducible: LSH planes come from RandomState(seed) and the

@@ -1,0 +1,156 @@
+"""Per-clip PCM feature extraction + audio/transcript consistency rules.
+
+A training-data pipeline over audio wants more than "does it decode":
+clipping detection, silence screening, and a transcript-vs-duration
+plausibility check are the standard first-pass quality gates. Peak /
+clipping ratio / silence ratio / zero-crossing rate are computed from
+the decoded PCM inside ONE Arrow-batched stage (the same vectorized
+batch decoder the DECODE rule uses — no second decode, no per-row
+Python dispatch); speech rate is a pure JVM column expression over
+(transcript, dur_ms), no decode needed at all.
+
+Reference analog: these compose like any other rule-builder output —
+the feature struct is a column, so ``Float64().max(0.01)`` style rules
+apply to its fields, and the violation rows carry the same
+(field_path, rule_id, actual) shape as every other rule in the engine
+(reference pkg/rules/rule.go:43-60 WithRuleFunc custom checks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..errors import Code
+from ..rules.object import ObjectRule
+from .decode import _decode_series
+
+AUDIO_FEATURES_TYPE = T.StructType([
+    T.StructField("ok", T.BooleanType()),
+    T.StructField("peak", T.DoubleType()),
+    T.StructField("clip_ratio", T.DoubleType()),
+    T.StructField("silence_ratio", T.DoubleType()),
+    T.StructField("zcr", T.DoubleType()),
+])
+
+
+def _features_series(bs: pd.Series, frame_ms: int, silence_rms: float,
+                     clip_level: float) -> pd.DataFrame:
+    """Decode the whole Arrow batch once (vectorized kernel), then one
+    numpy pass per clip: peak, clipping ratio (|x| at/above full scale),
+    silence ratio (fraction of frame_ms frames under silence_rms), and
+    zero-crossing rate. Undecodable rows -> ok=false, null features."""
+    dec = _decode_series(bs, want_pcm=True)
+    n_rows = len(bs)
+    ok = dec["ok"].to_numpy()
+    peak = np.full(n_rows, np.nan)
+    clip_r = np.full(n_rows, np.nan)
+    sil_r = np.full(n_rows, np.nan)
+    zcr = np.full(n_rows, np.nan)
+    for i in np.nonzero(ok)[0]:
+        x = dec["pcm"][i]
+        sr = int(dec["sr"][i])
+        n = x.size
+        if n == 0:
+            peak[i] = clip_r[i] = sil_r[i] = zcr[i] = 0.0
+            continue
+        ax = np.abs(x)
+        peak[i] = float(ax.max())
+        clip_r[i] = float(np.count_nonzero(ax >= clip_level) / n)
+        zcr[i] = float(np.count_nonzero(x[1:] * x[:-1] < 0) / max(n - 1, 1))
+        flen = max(int(sr * frame_ms / 1000), 1)
+        nf = n // flen
+        if nf:
+            frames = x[:nf * flen].reshape(nf, flen).astype(np.float64)
+            frms = np.sqrt(np.einsum("ij,ij->i", frames, frames) / flen)
+            sil_r[i] = float(np.count_nonzero(frms < silence_rms) / nf)
+        else:  # clip shorter than one frame: all-or-nothing
+            rms = float(np.sqrt(np.dot(x.astype(np.float64), x) / n))
+            sil_r[i] = 1.0 if rms < silence_rms else 0.0
+    out = pd.DataFrame({"ok": dec["ok"], "peak": peak, "clip_ratio": clip_r,
+                        "silence_ratio": sil_r, "zcr": zcr})
+    return out
+
+
+def with_audio_features(df: DataFrame, bytes_col: str = "bytes",
+                        out_col: str = "_afeat", frame_ms: int = 20,
+                        silence_rms: float = 0.01,
+                        clip_level: float = 0.999) -> DataFrame:
+    """Append the feature struct column (single Arrow-batched stage)."""
+    def _udf(bs: pd.Series) -> pd.DataFrame:
+        return _features_series(bs, frame_ms, silence_rms, clip_level)
+    return df.withColumn(out_col,
+                         pandas_udf(_udf, AUDIO_FEATURES_TYPE)(F.col(bytes_col)))
+
+
+def clipping_rule(bytes_col: str = "bytes", feat_col: str = "_afeat",
+                  max_ratio: float = 0.01) -> ObjectRule:
+    """Clipped-sample ratio must stay under max_ratio (MAX). Only
+    decodable clips are judged — DECODE reports the rest.
+
+    Note: clip_level is an absolute full-scale threshold. G.711
+    mu-law/A-law saturate at ~0.980/0.984 of int16 full scale, below
+    the 0.999 default — for telephony tables pass
+    ``with_audio_features(..., clip_level=0.97)``."""
+    return ObjectRule(
+        rule_id=Code.MAX,
+        predicate=lambda get: (~F.coalesce(get(feat_col)["ok"], F.lit(False)))
+        | (get(feat_col)["clip_ratio"] <= max_ratio),
+        message=f"clipped-sample ratio exceeds {max_ratio}",
+        field_path=f"/{bytes_col}/clip_ratio",
+        actual=lambda get: F.round(get(feat_col)["clip_ratio"], 6).cast("string"),
+    )
+
+
+def silence_rule(bytes_col: str = "bytes", feat_col: str = "_afeat",
+                 max_ratio: float = 0.9) -> ObjectRule:
+    """Mostly-silent clips (silent-frame ratio above max_ratio) fail MAX."""
+    return ObjectRule(
+        rule_id=Code.MAX,
+        predicate=lambda get: (~F.coalesce(get(feat_col)["ok"], F.lit(False)))
+        | (get(feat_col)["silence_ratio"] <= max_ratio),
+        message=f"silent-frame ratio exceeds {max_ratio}",
+        field_path=f"/{bytes_col}/silence_ratio",
+        actual=lambda get: F.round(get(feat_col)["silence_ratio"], 6).cast("string"),
+    )
+
+
+def speech_rate(transcript_col: Column, dur_col: Column) -> Column:
+    """Whitespace tokens per second — pure JVM expression, same token
+    definition as pipeline.text.token_count (SQL-oracle-parity)."""
+    t = F.trim(transcript_col)
+    n_tok = F.when(F.length(t) == 0, F.lit(0)) \
+             .otherwise(F.size(F.split(t, r"\s+")))
+    # try_divide: NULL (not an ANSI error) on dur<=0 rows — those are the
+    # MIN_EXCLUSIVE rule's findings, and `actual` must stay evaluable
+    return F.try_divide(n_tok.cast("double"),
+                        dur_col.cast("double") / F.lit(1000.0))
+
+
+def speech_rate_rule(transcript_col: str = "transcript",
+                     dur_col: str = "dur_ms", min_wps: float = 0.4,
+                     max_wps: float = 8.0) -> ObjectRule:
+    """Transcript/duration plausibility (CONSISTENT): a real speech clip
+    carries roughly 0.4-8 words per second; a 2-word transcript on a
+    60-second clip (or an essay on a 300 ms clip) is a pairing error.
+    NULL transcript / non-positive duration are the REQUIRED /
+    MIN_EXCLUSIVE rules' findings, not this one's."""
+    def pred(get):
+        rate = speech_rate(get(transcript_col), get(dur_col))
+        judged = (get(transcript_col).isNotNull()
+                  & (F.length(F.trim(get(transcript_col))) > 0)
+                  & get(dur_col).isNotNull() & (get(dur_col) > 0))
+        return (~judged) | ((rate >= min_wps) & (rate <= max_wps))
+
+    return ObjectRule(
+        rule_id=Code.CONSISTENT,
+        predicate=pred,
+        message=f"speech rate outside [{min_wps}, {max_wps}] words/sec",
+        field_path=f"/{transcript_col}",
+        actual=lambda get: F.round(
+            speech_rate(get(transcript_col), get(dur_col)), 4).cast("string"),
+    )

@@ -1,0 +1,130 @@
+"""Audio feature extraction (peak/clipping/silence/ZCR) + audio/transcript
+speech-rate consistency — training-data quality gates over decoded PCM."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from protovalidate_spark.audio.features import (
+    _features_series, clipping_rule, silence_rule, speech_rate_rule,
+    with_audio_features,
+)
+from protovalidate_spark.audio.wav import synth_sine_wav
+
+
+def _feat(b, **kw):
+    defaults = dict(frame_ms=20, silence_rms=0.01, clip_level=0.999)
+    defaults.update(kw)
+    return _features_series(pd.Series([b], dtype=object), **defaults).iloc[0]
+
+
+def test_clean_sine_features():
+    f = _feat(synth_sine_wav(440.0, 16000, 500, amp=0.9))
+    assert f["ok"]
+    assert abs(f["peak"] - 0.9) < 0.01
+    assert f["clip_ratio"] == 0.0
+    assert f["silence_ratio"] == 0.0
+    # sine crosses zero 2*freq times/sec -> 2*440/16000 per sample
+    assert abs(f["zcr"] - 2 * 440 / 16000) < 0.005
+
+
+def test_clipped_sine_detected():
+    # amp 1.5 clips at the int16 rails; |1.5 sin| >= 0.999 fraction is
+    # 1 - (2/pi) asin(0.999/1.5) ~= 0.535
+    f = _feat(synth_sine_wav(440.0, 16000, 500, amp=1.5))
+    assert f["ok"] and abs(f["peak"] - 32767 / 32768) < 1e-4
+    assert 0.45 < f["clip_ratio"] < 0.62
+    assert f["silence_ratio"] == 0.0
+
+
+def test_silent_clip_detected():
+    f = _feat(synth_sine_wav(440.0, 16000, 500, amp=0.0))
+    assert f["ok"] and f["peak"] == 0.0 and f["silence_ratio"] == 1.0
+    # constant zero never sign-crosses
+    assert f["zcr"] == 0.0
+
+
+def test_partial_silence_ratio():
+    # 100ms tone + 100ms digital silence appended as one data chunk
+    tone = synth_sine_wav(440.0, 8000, 100, amp=0.5)
+    import struct
+    n_sil = 8000 * 100 // 1000
+    body = bytearray(tone) + b"\x00\x00" * n_sil
+    (dsize,) = struct.unpack_from("<I", body, 40)
+    struct.pack_into("<I", body, 40, dsize + 2 * n_sil)
+    struct.pack_into("<I", body, 4, len(body) - 8)
+    f = _feat(bytes(body))
+    assert f["ok"]
+    assert 0.4 < f["silence_ratio"] < 0.6
+
+
+def test_undecodable_gives_nulls():
+    out = _features_series(pd.Series([b"garbage", None], dtype=object),
+                           frame_ms=20, silence_rms=0.01, clip_level=0.999)
+    assert not out["ok"].any()
+    assert out[["peak", "clip_ratio", "silence_ratio", "zcr"]].isna().all().all()
+
+
+def test_with_audio_features_spark(spark):
+    rows = [("clean", synth_sine_wav(300.0, 8000, 250, amp=0.5)),
+            ("clipped", synth_sine_wav(300.0, 8000, 250, amp=2.0)),
+            ("silent", synth_sine_wav(300.0, 8000, 250, amp=0.0)),
+            ("bad", b"nope")]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    out = {r["clip_id"]: r for r in
+           with_audio_features(df).select("clip_id", "_afeat.*").collect()}
+    assert out["clean"]["ok"] and out["clean"]["clip_ratio"] == 0.0
+    assert out["clipped"]["clip_ratio"] > 0.3
+    assert out["silent"]["silence_ratio"] == 1.0
+    assert not out["bad"]["ok"] and out["bad"]["peak"] is None
+
+
+def test_feature_rules_flag_violations(spark):
+    from protovalidate_spark import Object
+    rows = [("clean", synth_sine_wav(300.0, 8000, 250, amp=0.5)),
+            ("clipped", synth_sine_wav(300.0, 8000, 250, amp=2.0)),
+            ("silent", synth_sine_wav(300.0, 8000, 250, amp=0.0)),
+            ("bad", b"nope")]
+    df = with_audio_features(
+        spark.createDataFrame(rows, "clip_id string, bytes binary"))
+    rs = (Object().with_unknown()
+          .with_rule(clipping_rule(max_ratio=0.01))
+          .with_rule(silence_rule(max_ratio=0.9)))
+    v = rs.violations(df, row_key_cols=["clip_id"])
+    got = {(r["clip_id"], r["field_path"]) for r in v.collect()}
+    # undecodable rows are NOT judged by feature rules (DECODE's job)
+    assert got == {("clipped", "/bytes/clip_ratio"),
+                   ("silent", "/bytes/silence_ratio")}
+
+
+def test_speech_rate_rule(spark):
+    from protovalidate_spark import Object
+    rows = [
+        ("ok", "five words in two seconds", 2000),      # 2.5 wps
+        ("fast", " ".join(["w"] * 40), 1000),           # 40 wps
+        ("slow", "two words", 30000),                   # 0.067 wps
+        ("empty", "", 1000),                            # not judged
+        ("null_t", None, 1000),                         # not judged
+        ("zero_d", "some words here", 0),               # not judged
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, transcript string, dur_ms int")
+    rs = Object().with_unknown().with_rule(
+        speech_rate_rule(min_wps=0.4, max_wps=8.0))
+    v = rs.violations(df, row_key_cols=["clip_id"])
+    got = {r["clip_id"]: r for r in v.collect()}
+    assert set(got) == {"fast", "slow"}
+    assert got["fast"]["rule_id"] == "CONSISTENT"
+    assert got["fast"]["actual"] == "40.0"
+    assert got["slow"]["field_path"] == "/transcript"
+
+
+def test_features_single_arrow_stage(spark):
+    """ONE ArrowEvalPython stage: decode + features fused — the plan
+    property that keeps the 10^12-row pass at one Python round-trip."""
+    df = spark.createDataFrame(
+        [(synth_sine_wav(300.0, 8000, 100),)], "bytes binary")
+    plan = with_audio_features(df).select(
+        "_afeat.clip_ratio", "_afeat.zcr")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1

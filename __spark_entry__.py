@@ -296,6 +296,35 @@ def q_clips_audio_features(spark, sf_dir):
         F.round("_afeat.zcr", 6).alias("zcr"))
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _split_sql_oracle() -> str:
+    from protovalidate_spark.pipeline.sampling import split_sql
+    return split_sql("doc_id", _SPLIT_WEIGHTS, salt="r3")
+
+
+def q_split_documents(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (md5 of doc_id) —
+    partition-independent and append-stable, pure map-side; the oracle
+    recomputes the SAME md5 bucket in DuckDB (split_sql)."""
+    from protovalidate_spark.pipeline.sampling import with_split
+    d = _t(spark, sf_dir, "documents")
+    return (with_split(d, "doc_id", _SPLIT_WEIGHTS, salt="r3")
+            .select("doc_id", "split"))
+
+
+def q_stratified_sample_clips(spark, sf_dir):
+    """Per-stratum deterministic downsampling on the scalar clips
+    fixture: keep 20% of 'wav' rows, 100% of every other codec —
+    map-only filter, same md5-bucket device, plain SQL oracle."""
+    from protovalidate_spark.pipeline.sampling import stratified_sample
+    df = spark.read.parquet(CLIPS_SCALAR).filter(F.col("codec").isNotNull())
+    out = stratified_sample(df, "clip_id", "codec",
+                            {"wav": 0.2}, salt="r3", default_fraction=1.0)
+    return out.select("row_idx", "clip_id", "codec")
+
+
 def q_array_embeddings(spark, sf_dir):
     """Slice rules (reference pkg/rules/slice.go): per-item rule set with
     per-index violation paths + array length bounds + ACCUMULATE-ALL —
@@ -857,6 +886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_format_family": q_clips_format_family,
         "speech_rate_clips": q_speech_rate_clips,
         "clips_audio_features": q_clips_audio_features,
+        "split_documents": q_split_documents,
+        "stratified_sample_clips": q_stratified_sample_clips,
         "dedup_exact_documents": q_dedup_exact_documents,
         "curate_documents": q_curate_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -1453,6 +1484,18 @@ def oracle_sql() -> dict[str, str]:
         "clips_audio_features": f"""
             SELECT clip_id, feat_ok, peak, clip_ratio, silence_ratio, zcr
               FROM read_parquet('{EXPECTED_DIR}/clips_audio_features.parquet')
+        """,
+        "split_documents": (
+            "SELECT doc_id, " + _split_sql_oracle() + " AS split "
+            "FROM documents"
+        ),
+        "stratified_sample_clips": f"""
+            SELECT row_idx, clip_id, codec
+              FROM {clips}
+             WHERE codec IS NOT NULL
+               AND (('0x' || substring(md5(CAST(clip_id AS VARCHAR)
+                     || 'r3'), 1, 15))::BIGINT % 1000000)
+                   < CASE WHEN codec = 'wav' THEN 200000 ELSE 1000000 END
         """,
         # The ANN probes are approximate vs brute force but exactly
         # reproducible: LSH planes come from RandomState(seed) and the

@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--rows", type=int, default=0)
     ap.add_argument("--resume", action="store_true",
                     help="use the checkpointed per-partition runner")
+    ap.add_argument("--audio-checks", action="store_true",
+                    help="add PCM clipping/silence gates + speech-rate "
+                         "consistency (same fused Arrow decode stage)")
     args = ap.parse_args()
 
     from protovalidate_spark.conf import apply_recommended
@@ -35,7 +38,7 @@ def main():
     from protovalidate_spark.runner import run_checkpointed, verdicts_from_outputs
 
     profile = Profile(n_rows=args.rows, dur_range_ms=1000) if args.rows else TINY
-    suite = clips_suite(spark)
+    suite = clips_suite(spark, audio_checks=args.audio_checks)
     t0 = time.time()
 
     if args.resume:

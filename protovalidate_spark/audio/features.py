@@ -37,14 +37,28 @@ AUDIO_FEATURES_TYPE = T.StructType([
     T.StructField("zcr", T.DoubleType()),
 ])
 
+# decode struct + feature fields in ONE column: a suite that wants both
+# the DECODE/CONSISTENT rules and the feature rules pays a single Arrow
+# stage and a single decode (field names match DECODED_TYPE, so every
+# decode-consumer rule works on this column unchanged)
+from .decode import _BASE_FIELDS  # noqa: E402  (after pandas/pyspark imports)
+
+DECODED_FEATURES_TYPE = T.StructType(
+    _BASE_FIELDS + [T.StructField("peak", T.DoubleType()),
+                    T.StructField("clip_ratio", T.DoubleType()),
+                    T.StructField("silence_ratio", T.DoubleType()),
+                    T.StructField("zcr", T.DoubleType())])
+
 
 def _features_series(bs: pd.Series, frame_ms: int, silence_rms: float,
-                     clip_level: float) -> pd.DataFrame:
+                     clip_level: float, _decoded=None) -> pd.DataFrame:
     """Decode the whole Arrow batch once (vectorized kernel), then one
     numpy pass per clip: peak, clipping ratio (|x| at/above full scale),
     silence ratio (fraction of frame_ms frames under silence_rms), and
-    zero-crossing rate. Undecodable rows -> ok=false, null features."""
-    dec = _decode_series(bs, want_pcm=True)
+    zero-crossing rate. Undecodable rows -> ok=false, null features.
+    Pass ``_decoded`` (a _decode_series(want_pcm=True) frame) to reuse
+    an already-decoded batch instead of decoding again."""
+    dec = _decode_series(bs, want_pcm=True) if _decoded is None else _decoded
     n_rows = len(bs)
     ok = dec["ok"].to_numpy()
     peak = np.full(n_rows, np.nan)
@@ -85,6 +99,26 @@ def with_audio_features(df: DataFrame, bytes_col: str = "bytes",
         return _features_series(bs, frame_ms, silence_rms, clip_level)
     return df.withColumn(out_col,
                          pandas_udf(_udf, AUDIO_FEATURES_TYPE)(F.col(bytes_col)))
+
+
+def with_decoded_features(df: DataFrame, bytes_col: str = "bytes",
+                          out_col: str = "_decoded", frame_ms: int = 20,
+                          silence_rms: float = 0.01,
+                          clip_level: float = 0.999) -> DataFrame:
+    """Decode struct AND feature fields from ONE fused Arrow stage —
+    drop-in replacement for ``with_decoded`` when feature rules are on
+    (decode_ok/sr/dur consistency rules read the same field names)."""
+    def _udf(bs: pd.Series) -> pd.DataFrame:
+        dec = _decode_series(bs, want_pcm=True)
+        feat = _features_series(bs, frame_ms, silence_rms, clip_level,
+                                _decoded=dec)
+        return pd.DataFrame({
+            "ok": dec["ok"], "sr": dec["sr"], "n_samples": dec["n_samples"],
+            "dur_ms": dec["dur_ms"], "rms": dec["rms"],
+            "peak": feat["peak"], "clip_ratio": feat["clip_ratio"],
+            "silence_ratio": feat["silence_ratio"], "zcr": feat["zcr"]})
+    return df.withColumn(out_col,
+                         pandas_udf(_udf, DECODED_FEATURES_TYPE)(F.col(bytes_col)))
 
 
 def clipping_rule(bytes_col: str = "bytes", feat_col: str = "_afeat",

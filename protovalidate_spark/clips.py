@@ -36,7 +36,23 @@ def clips_rules():
 def clips_suite(spark: SparkSession,
                 drift_baseline: Optional[Dict[str, dict]] = None,
                 dim: Optional[DataFrame] = None,
-                salt_buckets: int = 0) -> ValidationSuite:
+                salt_buckets: int = 0,
+                audio_checks: bool = False) -> ValidationSuite:
+    """``audio_checks=True`` adds the PCM quality gates (clipping ratio,
+    silence ratio) and the transcript speech-rate consistency rule; the
+    feature fields ride the SAME fused Arrow decode stage, so the scan
+    and Python round-trip budget is unchanged."""
+    extra = [
+        sr_consistency_rule("sr_hz", "__dec_bytes"),
+        dur_consistency_rule("dur_ms", "__dec_bytes", tolerance_ms=10),
+    ]
+    features = ()
+    if audio_checks:
+        from .audio.features import clipping_rule, silence_rule, speech_rate_rule
+        features = ("bytes",)
+        extra += [clipping_rule("bytes", "__dec_bytes"),
+                  silence_rule("bytes", "__dec_bytes"),
+                  speech_rate_rule("transcript", "dur_ms")]
     return ValidationSuite(
         rules=clips_rules(),
         row_keys=("row_idx", "clip_id"),
@@ -45,9 +61,7 @@ def clips_suite(spark: SparkSession,
         refs=[("codec", dim if dim is not None else codecs_dim(spark), "codec")],
         drift_baseline=drift_baseline,
         stats_cols=("clip_id", "sr_hz", "dur_ms", "codec", "transcript"),
-        extra_object_rules=(
-            sr_consistency_rule("sr_hz", "__dec_bytes"),
-            dur_consistency_rule("dur_ms", "__dec_bytes", tolerance_ms=10),
-        ),
+        extra_object_rules=tuple(extra),
         salt_buckets=salt_buckets,
+        audio_features=features,
     )

@@ -55,6 +55,10 @@ class ValidationSuite:
     stats_cols: Sequence[str] = ()
     extra_object_rules: tuple = field(default_factory=tuple)
     salt_buckets: int = 0
+    # bytes columns whose decode stage should ALSO emit PCM features
+    # (peak/clip/silence/zcr) — same single Arrow stage, same struct
+    # column name, so decode-consumer rules are unaffected
+    audio_features: Sequence[str] = ()
 
     # ------------------------------------------------------------------
 
@@ -74,7 +78,12 @@ class ValidationSuite:
         rules = self.rules
         work = df
         for c in self._decodable_cols():
-            work = with_decoded(work, bytes_col=c, out_col=f"__dec_{c}")
+            if c in self.audio_features:
+                from .audio.features import with_decoded_features
+                work = with_decoded_features(work, bytes_col=c,
+                                             out_col=f"__dec_{c}")
+            else:
+                work = with_decoded(work, bytes_col=c, out_col=f"__dec_{c}")
             rules = rules.with_rule(decode_ok_rule(c, f"__dec_{c}"))
         for r in self.extra_object_rules:
             rules = rules.with_rule(r)

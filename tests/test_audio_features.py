@@ -128,3 +128,35 @@ def test_features_single_arrow_stage(spark):
         "_afeat.clip_ratio", "_afeat.zcr")._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_clips_suite_audio_checks(spark, tiny_clips):
+    """audio_checks=True adds the three quality rules without changing
+    the baseline 27 violations — and the fused decode+features stage
+    keeps the row pass at ONE ArrowEvalPython."""
+    from protovalidate_spark.clips import clips_suite
+    base = clips_suite(spark).run(tiny_clips, persist=False)
+    full = clips_suite(spark, audio_checks=True).run(tiny_clips, persist=False)
+    nb, nf = base.violations.count(), full.violations.count()
+    assert nb == 27
+    extra = (full.violations
+             .filter(F.col("field_path").isin(
+                 "/bytes/clip_ratio", "/bytes/silence_ratio"))
+             .count())
+    rate = full.violations.filter(
+        (F.col("field_path") == "/transcript")
+        & (F.col("rule_id") == "CONSISTENT")).count()
+    # every violation beyond the baseline is one of the three new rules
+    assert nf == nb + extra + rate
+    # plan check on a synth-free frame (tiny_clips itself synthesizes
+    # bytes through a pandas UDF, which would show as a second
+    # ArrowEvalPython that has nothing to do with the decode stage)
+    import datetime
+    plain = spark.createDataFrame(
+        [(1, "clip-0000000001", synth_sine_wav(440.0, 16000, 100), 16000,
+          100, "wav", "some words", datetime.date(2026, 1, 1))],
+        "row_idx long, clip_id string, bytes binary, sr_hz int, "
+        "dur_ms int, codec string, transcript string, part_date date")
+    plan = clips_suite(spark, audio_checks=True).row_violations(plain) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1

@@ -167,6 +167,19 @@ def q_psi_returnflag(spark, sf_dir):
     return spark.createDataFrame([(val,)], "psi double")
 
 
+def q_chi2_js_returnflag(spark, sf_dir):
+    """Chi-square distance + Jensen-Shannon divergence between the same
+    even/odd l_returnflag histograms PSI compares — both from the SAME
+    histogram pairs (one action each side), exact SQL oracle."""
+    from protovalidate_spark.dataset import chi2_distance, histogram, js_divergence
+    li = _t(spark, sf_dir, "lineitem")
+    a = histogram(li.filter(F.col("l_orderkey") % 2 == 0), "l_returnflag")
+    b = histogram(li.filter(F.col("l_orderkey") % 2 == 1), "l_returnflag")
+    return spark.createDataFrame(
+        [(round(chi2_distance(a, b), 6), round(js_divergence(a, b), 6))],
+        "chi2 double, js double")
+
+
 # ---------------------------------------------------------------------------
 # clips engine queries (committed scalar fixture → DuckDB-readable)
 # ---------------------------------------------------------------------------
@@ -888,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_audio_features": q_clips_audio_features,
         "split_documents": q_split_documents,
         "stratified_sample_clips": q_stratified_sample_clips,
+        "chi2_js_returnflag": q_chi2_js_returnflag,
         "dedup_exact_documents": q_dedup_exact_documents,
         "curate_documents": q_curate_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -1063,6 +1077,27 @@ def oracle_sql() -> dict[str, str]:
                               GREATEST(COALESCE(b.p, 0), 1e-6) pb
                          FROM a FULL JOIN b ON a.v = b.v)
             SELECT ROUND(SUM((pb - pa) * LN(pb / pa)), 6) AS psi FROM j
+        """,
+        "chi2_js_returnflag": """
+            WITH a AS (SELECT l_returnflag v,
+                              COUNT(*) / CAST((SELECT COUNT(*) FROM lineitem
+                                               WHERE l_orderkey % 2 = 0) AS DOUBLE) p
+                         FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1),
+                 b AS (SELECT l_returnflag v,
+                              COUNT(*) / CAST((SELECT COUNT(*) FROM lineitem
+                                               WHERE l_orderkey % 2 = 1) AS DOUBLE) p
+                         FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1),
+                 j AS (SELECT COALESCE(a.p, 0) pa, COALESCE(b.p, 0) pb
+                         FROM a FULL JOIN b ON a.v = b.v)
+            SELECT ROUND(SUM((pb - pa) * (pb - pa)
+                             / GREATEST(pa, 1e-6)), 6) AS chi2,
+                   ROUND(SUM(CASE WHEN pa > 0
+                                  THEN 0.5 * pa * LN(pa / ((pa + pb) / 2))
+                                  ELSE 0 END
+                           + CASE WHEN pb > 0
+                                  THEN 0.5 * pb * LN(pb / ((pa + pb) / 2))
+                                  ELSE 0 END), 6) AS js
+              FROM j
         """,
         "ks_quantity": """
             WITH ha AS (SELECT CASE WHEN l_quantity < 0 THEN 0 WHEN l_quantity >= 64 THEN 33 ELSE FLOOR(l_quantity / 2)::BIGINT + 1 END bk,

@@ -2,7 +2,7 @@ from .stats import column_stats  # noqa: F401
 from .uniqueness import duplicate_keys, unique_violations  # noqa: F401
 from .referential import ref_violations  # noqa: F401
 from .drift import (  # noqa: F401
-    drift_violations, histogram, histogram_counts, ks_stat, load_snapshot,
-    psi, save_snapshot, snapshot,
+    chi2_distance, drift_violations, histogram, histogram_counts,
+    js_divergence, ks_stat, load_snapshot, psi, save_snapshot, snapshot,
 )
 from .rollup import salted_rollup  # noqa: F401

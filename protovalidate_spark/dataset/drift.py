@@ -158,6 +158,39 @@ def psi(expected: Dict[str, float], actual: Dict[str, float],
     return s
 
 
+def chi2_distance(expected: Dict[str, float], actual: Dict[str, float],
+                  eps: float = 1e-6) -> float:
+    """Chi-square distance on relative frequencies:
+    sum((a - e)^2 / max(e, eps)). This is the n-free histogram DISTANCE
+    (threshold-gated like PSI), not Pearson's test statistic — the
+    one-action design never materializes the actual row count here;
+    multiply by n yourself if you want the test statistic."""
+    keys = set(expected) | set(actual)
+    s = 0.0
+    for k in keys:
+        e = max(expected.get(k, 0.0), eps)
+        a = actual.get(k, 0.0)
+        s += (a - e) * (a - e) / e
+    return s
+
+
+def js_divergence(expected: Dict[str, float], actual: Dict[str, float]) -> float:
+    """Jensen-Shannon divergence (natural log, bounded [0, ln 2]) —
+    symmetric and finite even when one side has empty buckets, which
+    PSI only achieves via the eps floor. 0*ln(0/m) := 0."""
+    keys = set(expected) | set(actual)
+    s = 0.0
+    for k in keys:
+        e = expected.get(k, 0.0)
+        a = actual.get(k, 0.0)
+        m = (e + a) / 2.0
+        if e > 0:
+            s += 0.5 * e * math.log(e / m)
+        if a > 0:
+            s += 0.5 * a * math.log(a / m)
+    return s
+
+
 def ks_stat(expected: Dict[str, float], actual: Dict[str, float]) -> float:
     """Kolmogorov–Smirnov statistic on the bucketed CDFs (buckets ordered by
     label; exact enough for drift-gating on shared equi-width buckets)."""
@@ -202,11 +235,17 @@ def load_snapshot(path: str) -> Dict[str, dict]:
 def drift_violations(
     df: DataFrame, baseline: Dict[str, dict],
     psi_threshold: float = 0.2, ks_threshold: float = 0.1,
+    chi2_threshold: Optional[float] = None,
+    js_threshold: Optional[float] = None,
 ) -> DataFrame:
     """Dataset-level violation rows (one per drifted column): field_path,
     rule_id=DRIFT, message, actual='psi=..,ks=..'. Not attributable to a
     single row — row keys are NULL. ONE Spark action for all columns
-    (bucket spaces are frozen by the baseline's stored bounds)."""
+    (bucket spaces are frozen by the baseline's stored bounds).
+    ``chi2_threshold``/``js_threshold`` optionally add the chi-square
+    distance and Jensen-Shannon gates (computed from the SAME
+    histograms — no extra action); when enabled their values join the
+    ``actual`` string."""
     spark = df.sparkSession
     cols = list(baseline.keys())
     bounds = {c: _fix_bounds(s.get("lo"), s.get("hi"))
@@ -218,10 +257,22 @@ def drift_violations(
         cur = hists[c]
         p = psi(snap["hist"], cur)
         k = ks_stat(snap["hist"], cur)
-        if p > psi_threshold or k > ks_threshold:
+        bad = p > psi_threshold or k > ks_threshold
+        actual = f"psi={p:.4f},ks={k:.4f}"
+        gates = [f"psi>{psi_threshold} or ks>{ks_threshold}"]
+        if chi2_threshold is not None:
+            x2 = chi2_distance(snap["hist"], cur)
+            bad = bad or x2 > chi2_threshold
+            actual += f",chi2={x2:.4f}"
+            gates.append(f"chi2>{chi2_threshold}")
+        if js_threshold is not None:
+            js = js_divergence(snap["hist"], cur)
+            bad = bad or js > js_threshold
+            actual += f",js={js:.4f}"
+            gates.append(f"js>{js_threshold}")
+        if bad:
             rows.append((f"/{c}", Code.DRIFT,
-                         f"distribution drift exceeds thresholds "
-                         f"(psi>{psi_threshold} or ks>{ks_threshold})",
-                         f"psi={p:.4f},ks={k:.4f}"))
+                         "distribution drift exceeds thresholds "
+                         f"({' or '.join(gates)})", actual))
     return spark.createDataFrame(
         rows, "field_path string, rule_id string, message string, actual string")

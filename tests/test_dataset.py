@@ -149,3 +149,38 @@ def test_approx_quantiles_within_tolerance_of_exact(spark):
         df, ["v"], quantiles=(0.25, 0.5, 0.9)).collect()}
     for e, a in zip(exact["v"], approx["v"]):
         assert abs(e - a) <= 1.0  # 1/1000 of the value range
+
+
+def test_chi2_and_js_hand_computed():
+    import math
+
+    from protovalidate_spark.dataset import chi2_distance, js_divergence
+    e = {"x": 0.5, "y": 0.5}
+    a = {"x": 0.25, "y": 0.75}
+    # chi2 = (0.25-0.5)^2/0.5 + (0.75-0.5)^2/0.5 = 0.0625/0.5 * 2 = 0.25
+    assert abs(chi2_distance(e, a) - 0.25) < 1e-12
+    # js: m = {x:.375, y:.625}
+    want = 0.5 * (0.5 * math.log(0.5 / 0.375) + 0.5 * math.log(0.5 / 0.625)) \
+        + 0.5 * (0.25 * math.log(0.25 / 0.375) + 0.75 * math.log(0.75 / 0.625))
+    assert abs(js_divergence(e, a) - want) < 1e-12
+    # identical distributions -> 0; disjoint -> ln 2
+    assert chi2_distance(e, e) == 0.0 and js_divergence(e, e) == 0.0
+    assert abs(js_divergence({"x": 1.0}, {"y": 1.0}) - math.log(2)) < 1e-12
+    # empty-bucket side stays finite without any eps flooring
+    assert js_divergence({"x": 1.0}, {"x": 0.5, "y": 0.5}) < math.log(2)
+
+
+def test_drift_violations_chi2_js_gates(spark):
+    from protovalidate_spark.dataset import drift_violations, snapshot
+    base = spark.createDataFrame([("a",)] * 80 + [("b",)] * 20, "c string")
+    snap = snapshot(base, ["c"])
+    shifted = spark.createDataFrame([("a",)] * 20 + [("b",)] * 80, "c string")
+    # psi/ks thresholds set un-trippably high: only the new gates fire
+    v = drift_violations(shifted, snap, psi_threshold=1e9, ks_threshold=1e9,
+                         chi2_threshold=0.1, js_threshold=0.05).collect()
+    assert len(v) == 1 and v[0]["field_path"] == "/c"
+    assert "chi2=" in v[0]["actual"] and "js=" in v[0]["actual"]
+    # same data passes when the gates are off (baseline behavior intact)
+    ok = drift_violations(shifted, snap, psi_threshold=1e9,
+                          ks_threshold=1e9).collect()
+    assert ok == []

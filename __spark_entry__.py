@@ -167,6 +167,15 @@ def q_psi_returnflag(spark, sf_dir):
     return spark.createDataFrame([(val,)], "psi double")
 
 
+def q_heavy_hitters_clips(spark, sf_dir):
+    """Exact per-column top-5 values (codec, sr_hz) from ONE stacked
+    aggregation with a deterministic tie-break — categorical profiling
+    beside column_stats. Plain SQL oracle (row_number window)."""
+    from protovalidate_spark.dataset import heavy_hitters
+    df = spark.read.parquet(CLIPS_SCALAR)
+    return heavy_hitters(df, ["codec", "sr_hz"], k=5)
+
+
 def q_chi2_js_returnflag(spark, sf_dir):
     """Chi-square distance + Jensen-Shannon divergence between the same
     even/odd l_returnflag histograms PSI compares — both from the SAME
@@ -902,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_documents": q_split_documents,
         "stratified_sample_clips": q_stratified_sample_clips,
         "chi2_js_returnflag": q_chi2_js_returnflag,
+        "heavy_hitters_clips": q_heavy_hitters_clips,
         "dedup_exact_documents": q_dedup_exact_documents,
         "curate_documents": q_curate_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -1531,6 +1541,24 @@ def oracle_sql() -> dict[str, str]:
                AND (('0x' || substring(md5(CAST(clip_id AS VARCHAR)
                      || 'r3'), 1, 15))::BIGINT % 1000000)
                    < CASE WHEN codec = 'wav' THEN 200000 ELSE 1000000 END
+        """,
+        "heavy_hitters_clips": f"""
+            WITH stacked AS (
+              SELECT 'codec' AS "column", codec AS value FROM {clips}
+               WHERE codec IS NOT NULL
+              UNION ALL
+              SELECT 'sr_hz', CAST(sr_hz AS VARCHAR) FROM {clips}
+               WHERE sr_hz IS NOT NULL
+            ), counts AS (
+              SELECT "column", value, COUNT(*) AS n
+                FROM stacked GROUP BY 1, 2
+            )
+            SELECT "column", value, n, rank FROM (
+              SELECT "column", value, n,
+                     ROW_NUMBER() OVER (PARTITION BY "column"
+                                        ORDER BY n DESC, value ASC) AS rank
+                FROM counts)
+             WHERE rank <= 5
         """,
         # The ANN probes are approximate vs brute force but exactly
         # reproducible: LSH planes come from RandomState(seed) and the

@@ -1,4 +1,4 @@
-from .stats import column_stats  # noqa: F401
+from .stats import column_stats, heavy_hitters  # noqa: F401
 from .uniqueness import duplicate_keys, unique_violations  # noqa: F401
 from .referential import ref_violations  # noqa: F401
 from .drift import (  # noqa: F401

@@ -85,3 +85,33 @@ def column_stats(
         "column string, n_rows long, null_rate double, min string, max string, "
         "approx_distinct long, quantiles array<double>",
     )
+
+
+def heavy_hitters(df: DataFrame, cols: Optional[Sequence[str]] = None,
+                  k: int = 10) -> DataFrame:
+    """Exact top-k most frequent values for ALL ``cols`` from ONE
+    stacked aggregation (column, value) -> count, ranked per column
+    with a fully deterministic tie-break (count DESC, value ASC).
+
+    Scale notes: the row-side explode is collapsed by map-side partial
+    aggregation to the per-partition distinct values, so shuffle volume
+    is O(distinct values), not O(rows x cols). The rank window then
+    sorts each column's aggregated value set on one reducer — fine for
+    enum/categorical/bounded-cardinality profiling (codec, sr_hz,
+    lang); for ID-like columns with ~n distinct values use
+    column_stats' approx_distinct to detect that shape first and skip
+    them (their "top k" is meaningless anyway). NULLs are excluded —
+    null_rate is column_stats' job."""
+    from pyspark.sql import Window
+    cols = list(cols or df.columns)
+    stacked = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(c).cast("string").alias("value"))
+        for c in cols])).alias("cv")).select("cv.*")
+    counts = (stacked.filter(F.col("value").isNotNull())
+              .groupBy("column", "value")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("column").orderBy(F.desc("n"), F.asc("value"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("column", "value", "n", "rank"))

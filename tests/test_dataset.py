@@ -184,3 +184,19 @@ def test_drift_violations_chi2_js_gates(spark):
     ok = drift_violations(shifted, snap, psi_threshold=1e9,
                           ks_threshold=1e9).collect()
     assert ok == []
+
+
+def test_heavy_hitters(spark):
+    from protovalidate_spark.dataset import heavy_hitters
+    rows = ([("wav", 8000)] * 5 + [("flac", 8000)] * 3 + [("mp3", 16000)] * 3
+            + [(None, 44100)])
+    df = spark.createDataFrame(rows, "codec string, sr int")
+    out = heavy_hitters(df, ["codec", "sr"], k=2).collect()
+    got = {(r["column"], r["rank"]): (r["value"], r["n"]) for r in out}
+    assert got[("codec", 1)] == ("wav", 5)
+    # flac/mp3 tie at 3 -> value ASC breaks it deterministically
+    assert got[("codec", 2)] == ("flac", 3)
+    assert got[("sr", 1)] == ("8000", 8)
+    assert got[("sr", 2)] == ("16000", 3)
+    # k caps the output; NULLs excluded
+    assert len(out) == 4

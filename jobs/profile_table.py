@@ -1,0 +1,108 @@
+"""spark-submit entry: table profiling pass — the read-only companion
+to the validation jobs (what does this table LOOK like before writing
+rules for it?).
+
+Runs, in three Spark actions total regardless of column count:
+  1. column_stats        (null rate, min/max, distinct, quantiles — 1 agg)
+  2. heavy_hitters       (exact per-column top-k, 1 stacked agg + rank)
+  3. drift snapshot      (histograms + numeric bounds — 2 actions),
+     written to --snapshot for later drift_violations runs; or, with
+     --baseline pointing at a previous snapshot, a PSI/KS(/chi2/JS)
+     drift report against it instead.
+
+Usage:
+  spark-submit --py-files protovalidate_spark.zip jobs/profile_table.py \
+      [--table PATH] [--cols a,b,c] [--top-k 10] \
+      [--snapshot OUT.json | --baseline PREV.json]
+
+With no --table, profiles the driver testdata clips-shaped scalar
+fixture columns on /root/testdata/sf0.01/lineitem.parquet's sibling —
+default keeps the job runnable out of the box.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table",
+                    default=os.path.join(REPO, "_fixtures",
+                                         "clips_scalar.parquet"))
+    ap.add_argument("--cols", default="")
+    ap.add_argument("--top-k", type=int, default=10)
+    ap.add_argument("--max-topk-distinct", type=int, default=100_000,
+                    help="skip heavy-hitters for columns whose "
+                         "approx-distinct exceeds this (ID-shaped)")
+    ap.add_argument("--snapshot", default="")
+    ap.add_argument("--baseline", default="")
+    args = ap.parse_args()
+
+    from protovalidate_spark.conf import apply_recommended
+    spark = apply_recommended(
+        SparkSession.builder.appName("protovalidate-profile")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from protovalidate_spark.dataset import (
+        column_stats, drift_violations, heavy_hitters, load_snapshot,
+        save_snapshot, snapshot,
+    )
+
+    df = spark.read.parquet(args.table)
+    cols = ([c for c in args.cols.split(",") if c] or
+            [c for c, t in df.dtypes if t != "binary"])
+    t0 = time.time()
+
+    stats = column_stats(df, cols).collect()
+    by_col = {r["column"]: r for r in stats}
+    # ID-shaped columns (distinct ~ rows) have no meaningful top-k and
+    # would pile their whole value set onto one rank-window reducer
+    hh_cols = [c for c in cols
+               if by_col[c]["approx_distinct"] <= args.max_topk_distinct]
+    hh = heavy_hitters(df, hh_cols, k=args.top_k).collect() if hh_cols else []
+
+    summary = {
+        "table": args.table,
+        "rows": stats[0]["n_rows"] if stats else 0,
+        "columns": len(cols),
+        "topk_columns": len(hh_cols),
+        "drifted": None,
+    }
+    if args.baseline:
+        base = load_snapshot(args.baseline)
+        drifted = drift_violations(df, base,
+                                   chi2_threshold=1.0, js_threshold=0.1)
+        rows = drifted.collect()
+        summary["drifted"] = len(rows)
+        for r in rows:
+            print(f"DRIFT {r['field_path']}: {r['actual']}", file=sys.stderr)
+    elif args.snapshot:
+        save_snapshot(snapshot(df, cols), args.snapshot)
+        summary["snapshot"] = args.snapshot
+
+    summary["wall_s"] = round(time.time() - t0, 2)
+    print(json.dumps(summary))
+
+    print("\n== column stats ==", file=sys.stderr)
+    for r in stats:
+        print(f"  {r['column']:>12s} nulls={r['null_rate']:.4f} "
+              f"distinct={r['approx_distinct']} min={r['min']} "
+              f"max={r['max']}", file=sys.stderr)
+    print("\n== heavy hitters ==", file=sys.stderr)
+    for r in hh:
+        print(f"  {r['column']:>12s} #{r['rank']}: {r['value']} "
+              f"(n={r['n']})", file=sys.stderr)
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

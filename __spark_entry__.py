@@ -167,6 +167,29 @@ def q_psi_returnflag(spark, sf_dir):
     return spark.createDataFrame([(val,)], "psi double")
 
 
+def q_stats_drift_lineitem(spark, sf_dir):
+    """Stats-delta drift gates: baseline = even-orderkey half, current =
+    odd half with three engineered regressions (l_extendedprice nulls
+    spike, l_returnflag collapses to one value, l_quantity doubles past
+    the baseline max); l_tax stays clean. Returns (field_path, rule_id)
+    only — value formatting stays engine-local. Exact SQL oracle
+    recomputes the same gates."""
+    from protovalidate_spark.dataset import (
+        stats_drift_violations, stats_snapshot)
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_tax", "l_returnflag", "l_extendedprice"]
+    snap = stats_snapshot(li.filter(F.col("l_orderkey") % 2 == 0),
+                          cols, exact_distinct=True)
+    cur = li.filter(F.col("l_orderkey") % 2 == 1).select(
+        (F.col("l_quantity") * 2).alias("l_quantity"),
+        "l_tax",
+        F.lit("N").alias("l_returnflag"),
+        F.when(F.col("l_orderkey") % 3 == 0, None)
+         .otherwise(F.col("l_extendedprice")).alias("l_extendedprice"))
+    v = stats_drift_violations(cur, snap, exact_distinct=True)
+    return v.select("field_path", "rule_id")
+
+
 def q_heavy_hitters_clips(spark, sf_dir):
     """Exact per-column top-5 values (codec, sr_hz) from ONE stacked
     aggregation with a deterministic tie-break — categorical profiling
@@ -912,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_clips": q_stratified_sample_clips,
         "chi2_js_returnflag": q_chi2_js_returnflag,
         "heavy_hitters_clips": q_heavy_hitters_clips,
+        "stats_drift_lineitem": q_stats_drift_lineitem,
         "dedup_exact_documents": q_dedup_exact_documents,
         "curate_documents": q_curate_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -1541,6 +1565,57 @@ def oracle_sql() -> dict[str, str]:
                AND (('0x' || substring(md5(CAST(clip_id AS VARCHAR)
                      || 'r3'), 1, 15))::BIGINT % 1000000)
                    < CASE WHEN codec = 'wav' THEN 200000 ELSE 1000000 END
+        """,
+        "stats_drift_lineitem": """
+            WITH base AS (
+              SELECT AVG(CASE WHEN l_quantity IS NULL THEN 1.0 ELSE 0 END) AS nr_q,
+                     COUNT(DISTINCT l_quantity) AS d_q,
+                     MIN(l_quantity) AS q_lo, MAX(l_quantity) AS q_hi,
+                     AVG(CASE WHEN l_tax IS NULL THEN 1.0 ELSE 0 END) AS nr_tax,
+                     COUNT(DISTINCT l_tax) AS d_tax,
+                     MIN(l_tax) AS tax_lo, MAX(l_tax) AS tax_hi,
+                     AVG(CASE WHEN l_returnflag IS NULL THEN 1.0 ELSE 0 END) AS nr_rf,
+                     COUNT(DISTINCT l_returnflag) AS d_rf,
+                     AVG(CASE WHEN l_extendedprice IS NULL THEN 1.0 ELSE 0 END) AS nr_ep,
+                     COUNT(DISTINCT l_extendedprice) AS d_ep,
+                     MIN(l_extendedprice) AS ep_lo, MAX(l_extendedprice) AS ep_hi
+                FROM lineitem WHERE l_orderkey % 2 = 0),
+                 cur AS (
+              SELECT AVG(CASE WHEN l_quantity IS NULL THEN 1.0 ELSE 0 END) AS nr_q,
+                     COUNT(DISTINCT l_quantity * 2) AS d_q,
+                     MIN(l_quantity * 2) AS q_lo, MAX(l_quantity * 2) AS q_hi,
+                     AVG(CASE WHEN l_tax IS NULL THEN 1.0 ELSE 0 END) AS nr_tax,
+                     COUNT(DISTINCT l_tax) AS d_tax,
+                     MIN(l_tax) AS tax_lo, MAX(l_tax) AS tax_hi,
+                     0.0 AS nr_rf, 1 AS d_rf,
+                     AVG(CASE WHEN l_orderkey % 3 = 0 OR l_extendedprice IS NULL
+                              THEN 1.0 ELSE 0 END) AS nr_ep,
+                     COUNT(DISTINCT CASE WHEN l_orderkey % 3 = 0 THEN NULL
+                                         ELSE l_extendedprice END) AS d_ep,
+                     MIN(CASE WHEN l_orderkey % 3 = 0 THEN NULL
+                              ELSE l_extendedprice END) AS ep_lo,
+                     MAX(CASE WHEN l_orderkey % 3 = 0 THEN NULL
+                              ELSE l_extendedprice END) AS ep_hi
+                FROM lineitem WHERE l_orderkey % 2 = 1)
+            SELECT '/l_quantity' AS field_path, 'DRIFT' AS rule_id
+              FROM base, cur
+             WHERE cur.nr_q - base.nr_q > 0.05
+                OR cur.d_q > base.d_q * 2 OR cur.d_q * 2 < base.d_q
+                OR cur.q_lo < base.q_lo OR cur.q_hi > base.q_hi
+            UNION ALL
+            SELECT '/l_tax', 'DRIFT' FROM base, cur
+             WHERE cur.nr_tax - base.nr_tax > 0.05
+                OR cur.d_tax > base.d_tax * 2 OR cur.d_tax * 2 < base.d_tax
+                OR cur.tax_lo < base.tax_lo OR cur.tax_hi > base.tax_hi
+            UNION ALL
+            SELECT '/l_returnflag', 'DRIFT' FROM base, cur
+             WHERE cur.nr_rf - base.nr_rf > 0.05
+                OR cur.d_rf > base.d_rf * 2 OR cur.d_rf * 2 < base.d_rf
+            UNION ALL
+            SELECT '/l_extendedprice', 'DRIFT' FROM base, cur
+             WHERE cur.nr_ep - base.nr_ep > 0.05
+                OR cur.d_ep > base.d_ep * 2 OR cur.d_ep * 2 < base.d_ep
+                OR cur.ep_lo < base.ep_lo OR cur.ep_hi > base.ep_hi
         """,
         "heavy_hitters_clips": f"""
             WITH stacked AS (

@@ -115,3 +115,70 @@ def heavy_hitters(df: DataFrame, cols: Optional[Sequence[str]] = None,
     return (counts.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("column", "value", "n", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Stats-delta drift: quality-regression gates against a stats snapshot
+# (the histogram-free complement to dataset/drift.py — catches null-rate
+# jumps, cardinality collapse/explosion, and numeric range escapes that
+# PSI on a bucketed histogram can under-report)
+# ---------------------------------------------------------------------------
+
+def stats_snapshot(df: DataFrame, cols: Optional[Sequence[str]] = None,
+                   exact_distinct: bool = False) -> dict:
+    """JSON-serializable per-column stats baseline (ONE aggregation)."""
+    rows = column_stats(df, cols, exact_distinct=exact_distinct).collect()
+    return {r["column"]: {
+        "n_rows": r["n_rows"], "null_rate": r["null_rate"],
+        "min": r["min"], "max": r["max"],
+        "distinct": r["approx_distinct"], "quantiles": r["quantiles"],
+    } for r in rows}
+
+
+def stats_drift_violations(df: DataFrame, baseline: dict,
+                           null_rate_jump: float = 0.05,
+                           distinct_ratio: float = 2.0,
+                           exact_distinct: bool = False) -> DataFrame:
+    """One violation row per column whose current stats regressed vs the
+    snapshot (rule_id=DRIFT, row keys not applicable):
+
+    - null_rate rose by more than ``null_rate_jump`` (absolute),
+    - distinct count changed by more than ``distinct_ratio``x either way
+      (cardinality collapse = a join key went constant; explosion = an
+      enum column started leaking free text),
+    - a numeric column's observed min/max escaped the baseline range
+      (new values outside every previously seen value).
+
+    ONE aggregation for all columns; thresholds are deliberately coarse
+    gates, not statistics — use dataset/drift.py for distribution shape.
+    """
+    spark = df.sparkSession
+    cols = [c for c in baseline.keys() if c in dict(df.dtypes)]
+    cur = {r["column"]: r for r in
+           column_stats(df, cols, exact_distinct=exact_distinct).collect()}
+    dtypes = dict(df.dtypes)
+    rows = []
+    for c in cols:
+        b, a = baseline[c], cur[c]
+        probs = []
+        if a["null_rate"] - b["null_rate"] > null_rate_jump:
+            probs.append(
+                f"null_rate {b['null_rate']:.4f}->{a['null_rate']:.4f}")
+        if b["distinct"] and a["approx_distinct"] and (
+                a["approx_distinct"] > b["distinct"] * distinct_ratio
+                or a["approx_distinct"] * distinct_ratio < b["distinct"]):
+            probs.append(
+                f"distinct {b['distinct']}->{a['approx_distinct']}")
+        if dtypes[c].split("(")[0] in _NUMERIC and b["min"] is not None:
+            if (a["min"] is not None
+                    and float(a["min"]) < float(b["min"])) or \
+               (a["max"] is not None
+                    and float(a["max"]) > float(b["max"])):
+                probs.append(f"range [{b['min']},{b['max']}] -> "
+                             f"[{a['min']},{a['max']}]")
+        if probs:
+            rows.append((f"/{c}", "DRIFT",
+                         "column statistics regressed vs baseline snapshot",
+                         "; ".join(probs)))
+    return spark.createDataFrame(
+        rows, "field_path string, rule_id string, message string, actual string")

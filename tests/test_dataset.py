@@ -200,3 +200,30 @@ def test_heavy_hitters(spark):
     assert got[("sr", 2)] == ("16000", 3)
     # k caps the output; NULLs excluded
     assert len(out) == 4
+
+
+def test_stats_drift_violations(spark):
+    from protovalidate_spark.dataset import (
+        stats_drift_violations, stats_snapshot)
+    base = spark.createDataFrame(
+        [(i, f"u{i % 50}", float(i % 100)) for i in range(1000)],
+        "id long, user string, score double")
+    snap = stats_snapshot(base, ["user", "score"], exact_distinct=True)
+    # same table -> no drift
+    assert stats_drift_violations(base, snap,
+                                  exact_distinct=True).collect() == []
+    # nulls spike on user, score escapes the [0,99] range, user
+    # cardinality collapses to 2 values
+    import pyspark.sql.functions as SF
+    bad = base.select(
+        "id",
+        SF.when(SF.col("id") % 3 == 0, None)
+          .otherwise(SF.concat(SF.lit("u"), (SF.col("id") % 2).cast("string")))
+          .alias("user"),
+        (SF.col("score") + 500.0).alias("score"))
+    v = {r["field_path"]: r["actual"]
+         for r in stats_drift_violations(bad, snap,
+                                         exact_distinct=True).collect()}
+    assert set(v) == {"/user", "/score"}
+    assert "null_rate" in v["/user"] and "distinct" in v["/user"]
+    assert "range" in v["/score"]

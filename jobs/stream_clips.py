@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--table", default="")
     ap.add_argument("--out", default="/tmp/protovalidate_stream_out")
     ap.add_argument("--rows", type=int, default=0)
+    ap.add_argument("--audio-checks", action="store_true",
+                    help="add PCM clipping/silence gates + speech-rate "
+                         "consistency to the streamed row plan")
     args = ap.parse_args()
 
     from protovalidate_spark.conf import apply_recommended
@@ -48,7 +51,7 @@ def main():
         write_clips(spark, table, profile)
 
     schema = spark.read.parquet(table).schema
-    suite = clips_suite(spark)
+    suite = clips_suite(spark, audio_checks=args.audio_checks)
     t0 = time.time()
     stream = spark.readStream.schema(schema).parquet(table)
     v = stream_suite_violations(stream, suite)

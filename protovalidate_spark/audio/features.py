@@ -129,7 +129,10 @@ def clipping_rule(bytes_col: str = "bytes", feat_col: str = "_afeat",
     Note: clip_level is an absolute full-scale threshold. G.711
     mu-law/A-law saturate at ~0.980/0.984 of int16 full scale, below
     the 0.999 default — for telephony tables pass
-    ``with_audio_features(..., clip_level=0.97)``."""
+    ``with_audio_features(..., clip_level=0.97)``. Unsigned PCM8 is
+    asymmetric: the positive rail is 127/128 = 0.9922 (only the -1.0
+    negative rail clears 0.999), so for 8-bit tables use
+    ``clip_level=0.99`` to count both rails."""
     return ObjectRule(
         rule_id=Code.MAX,
         predicate=lambda get: (~F.coalesce(get(feat_col)["ok"], F.lit(False)))

@@ -64,14 +64,16 @@ def _g711_table(law: str) -> np.ndarray:
             mant = u & 0xF
             mag = (((mant << 3) + 0x84) << exp) - 0x84
             val = np.where(u & 0x80, -mag, mag)
-        else:  # alaw
+        else:  # alaw — NOTE: in A-law the sign bit SET means POSITIVE
+            # (CCITT alaw2linear: `(a_val & SIGN_BIT) ? t : -t`), the
+            # opposite of mu-law's inverted-byte convention
             a = v ^ 0x55
             exp = (a >> 4) & 0x7
             mant = a & 0xF
             mag = np.where(exp > 0,
                            ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
                            (mant << 4) + 8)
-            val = np.where(a & 0x80, -mag, mag)
+            val = np.where(a & 0x80, mag, -mag)
         _TABLE_CACHE[law] = (val.astype(np.float32) / np.float32(32768.0))
     return _TABLE_CACHE[law]
 

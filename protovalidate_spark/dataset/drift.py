@@ -168,9 +168,12 @@ def chi2_distance(expected: Dict[str, float], actual: Dict[str, float],
     keys = set(expected) | set(actual)
     s = 0.0
     for k in keys:
-        e = max(expected.get(k, 0.0), eps)
+        e = expected.get(k, 0.0)
         a = actual.get(k, 0.0)
-        s += (a - e) * (a - e) / e
+        # clamp the DENOMINATOR only — the numerator keeps the true
+        # (a - e) gap so a brand-new category contributes a^2/eps,
+        # matching both the docstring and the SQL oracle formula
+        s += (a - e) * (a - e) / max(e, eps)
     return s
 
 

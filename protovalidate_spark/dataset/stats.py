@@ -149,15 +149,21 @@ def stats_drift_violations(df: DataFrame, baseline: dict,
     - a numeric column's observed min/max escaped the baseline range
       (new values outside every previously seen value).
 
+    A baseline column MISSING from the current schema is itself a
+    violation (rule_id=REQUIRED, the loudest regression of all) — it is
+    reported, never silently skipped.
+
     ONE aggregation for all columns; thresholds are deliberately coarse
     gates, not statistics — use dataset/drift.py for distribution shape.
     """
     spark = df.sparkSession
-    cols = [c for c in baseline.keys() if c in dict(df.dtypes)]
+    dtypes = dict(df.dtypes)
+    cols = [c for c in baseline.keys() if c in dtypes]
     cur = {r["column"]: r for r in
            column_stats(df, cols, exact_distinct=exact_distinct).collect()}
-    dtypes = dict(df.dtypes)
-    rows = []
+    rows = [(f"/{c}", "REQUIRED",
+             "baseline column missing from current schema", None)
+            for c in baseline.keys() if c not in dtypes]
     for c in cols:
         b, a = baseline[c], cur[c]
         probs = []
@@ -169,7 +175,9 @@ def stats_drift_violations(df: DataFrame, baseline: dict,
                 or a["approx_distinct"] * distinct_ratio < b["distinct"]):
             probs.append(
                 f"distinct {b['distinct']}->{a['approx_distinct']}")
-        if dtypes[c].split("(")[0] in _NUMERIC and b["min"] is not None:
+        base_type = dtypes[c].split("(")[0]
+        if (base_type in _NUMERIC or base_type == "decimal") \
+                and b["min"] is not None:
             if (a["min"] is not None
                     and float(a["min"]) < float(b["min"])) or \
                (a["max"] is not None

@@ -38,7 +38,12 @@ def with_split(df: DataFrame, id_col: str, weights: Dict[str, float],
     """Assign each row a split label ("train"/"val"/"test"/...) from the
     md5 of its id. Weights must sum to 1 (±1e-9). Deterministic,
     partition-independent, append-stable; a different ``salt`` yields an
-    independent re-split. Map-only — no shuffle at any scale."""
+    independent re-split. Map-only — no shuffle at any scale.
+
+    NULL ids get a NULL split — never silently concentrated into one
+    label (route them through a REQUIRED rule instead; a malformed-id
+    row must not contaminate the held-out split). ``sample_fraction``
+    and ``stratified_sample`` likewise always DROP NULL-id rows."""
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
@@ -52,6 +57,8 @@ def with_split(df: DataFrame, id_col: str, weights: Dict[str, float],
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
+    expr = F.when(F.col(id_col).isNull(),
+                  F.lit(None).cast("string")).otherwise(expr)
     return df.withColumn(out_col, expr)
 
 
@@ -64,7 +71,8 @@ def split_sql(id_col: str, weights: Dict[str, float], salt: str = "") -> str:
     bucket = (f"(('0x' || substring(md5(CAST({id_col} AS VARCHAR) || "
               f"'{salt}'), 1, 15))::BIGINT % {_BUCKETS})")
     items = list(weights.items())
-    parts, cum = [], 0.0
+    parts = [f"WHEN {id_col} IS NULL THEN NULL"]
+    cum = 0.0
     for name, w in items[:-1]:
         cum += w
         parts.append(f"WHEN {bucket} < {int(round(cum * _BUCKETS))} "

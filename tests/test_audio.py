@@ -285,7 +285,10 @@ def test_wav_format_bits_mismatch_rejected():
     assert not decode_wav(bytes(b)).ok
     struct.pack_into("<H", b, 20, 3)  # IEEE float with bits=16
     assert not decode_wav(bytes(b)).ok
-    struct.pack_into("<HH", b, 20, 1, 12)  # PCM with bits=12
+    # PCM with bits=12: fmt back to 1 (channels untouched at 1), the
+    # bits field lives at offset 34 — not offset 22, which is channels
+    struct.pack_into("<H", b, 20, 1)
+    struct.pack_into("<H", b, 34, 12)
     assert not decode_wav(bytes(b)).ok
 
 
@@ -322,6 +325,10 @@ def test_g711_tables_match_reference_points():
     assert abs(mu[0x00] - (-32124.0 / 32768.0)) < 1e-6
     assert abs(mu[0x80] - (32124.0 / 32768.0)) < 1e-6
     al = _g711_table("alaw")
+    # A-law sign bit SET (after the 0x55 toggle) means POSITIVE
+    # (CCITT alaw2linear): byte 0xD5 -> a=0x80 -> smallest positive +8
+    assert abs(al[0xD5] - 8.0 / 32768.0) < 1e-9
+    assert abs(al[0x55] + 8.0 / 32768.0) < 1e-9
     # A-law max magnitude is 32256 in int16 scale
     assert abs(al.min() + 32256.0 / 32768.0) < 1e-6
     assert abs(al.max() - 32256.0 / 32768.0) < 1e-6

@@ -227,3 +227,36 @@ def test_stats_drift_violations(spark):
     assert set(v) == {"/user", "/score"}
     assert "null_rate" in v["/user"] and "distinct" in v["/user"]
     assert "range" in v["/score"]
+
+
+def test_stats_drift_reports_dropped_columns_and_decimal_ranges(spark):
+    from protovalidate_spark.dataset import (
+        stats_drift_violations, stats_snapshot)
+    import pyspark.sql.functions as SF
+    base = spark.range(100).select(
+        SF.col("id").cast("decimal(12,2)").alias("price"),
+        SF.col("id").cast("string").alias("tag"))
+    snap = stats_snapshot(base, ["price", "tag"], exact_distinct=True)
+    # decimal range escape fires (finding: decimal was excluded from
+    # the numeric set, silently skipping the gate)
+    esc = base.select((SF.col("price") + 1000).cast("decimal(12,2)")
+                      .alias("price"), "tag")
+    v = {r["field_path"]: r["rule_id"]
+         for r in stats_drift_violations(esc, snap,
+                                         exact_distinct=True).collect()}
+    assert v == {"/price": "DRIFT"}
+    # dropped baseline column is REPORTED, not skipped
+    v2 = {(r["field_path"], r["rule_id"])
+          for r in stats_drift_violations(base.select("price"), snap,
+                                          exact_distinct=True).collect()}
+    assert ("/tag", "REQUIRED") in v2
+
+
+def test_chi2_unclamped_numerator_matches_oracle_formula():
+    """New-category case: engine must agree with the SQL oracle's
+    unclamped (a-e)^2 numerator (finding: numerator was clamped)."""
+    from protovalidate_spark.dataset import chi2_distance
+    e = {"x": 1.0}
+    a = {"x": 0.5, "y": 0.5}
+    # (0.5-1)^2/1 + (0.5-0)^2/1e-6 = 0.25 + 250000
+    assert abs(chi2_distance(e, a) - 250000.25) < 1e-6

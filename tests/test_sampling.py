@@ -119,3 +119,23 @@ def test_split_is_map_only(spark):
     plan = with_split(df, "k", WEIGHTS)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_null_ids_get_null_split_and_are_dropped_from_samples(spark):
+    """NULL ids must never be concentrated into one split label or
+    silently kept: with_split gives them a NULL label (Spark AND the
+    SQL oracle form), samplers always drop them."""
+    import duckdb
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "k string")
+    got = {r["k"]: r["split"]
+           for r in with_split(df, "k", WEIGHTS).collect()}
+    assert got[None] is None and got["a"] is not None
+    duck = dict(duckdb.sql(
+        "SELECT k, " + split_sql("k", WEIGHTS) + " FROM (VALUES ('a'), "
+        "(NULL), ('b')) t(k)").fetchall())
+    assert duck[None] is None and duck["a"] == got["a"]
+    assert sample_fraction(df, "k", 1.0).count() == 2
+    df2 = spark.createDataFrame([("a", "x"), (None, "x")], "k string, s string")
+    assert stratified_sample(df2, "k", "s", {}, default_fraction=1.0) \
+        .count() == 1

@@ -107,6 +107,8 @@ def main():
         "scaling_efficiency": round(eff, 3),
         "passes_sec_n": lo["passes_sec"],
         "passes_sec_4n": hi["passes_sec"],
+        "loadavg_at_pass_n": lo.get("loadavg_at_pass"),
+        "loadavg_at_pass_4n": hi.get("loadavg_at_pass"),
         "harness_wall_s": round(time.time() - t0, 1),
     }
     print(json.dumps(summary))

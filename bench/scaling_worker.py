@@ -82,14 +82,32 @@ def main():
         drift_violations(df, baseline).count()
         return time.time() - t0
 
+    def load1() -> float:
+        """1-min /proc/loadavg — an external-contention probe recorded
+        at each pass start, so a pooled analysis can stratify runs on a
+        RECORDED load signal instead of after-the-fact absolute times
+        (this box is shared; see BENCH.md's episode analysis). The
+        reading includes this job's own threads: the healthy baseline
+        is roughly the level's core count (~N..N+2); values well above
+        that are the neighbor's workload."""
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except OSError:
+            return -1.0
+
     one_pass()  # warm-up: python workers, JIT, page cache — untimed
-    secs = [round(one_pass(), 3) for _ in range(args.repeats)]
+    secs, loads = [], []
+    for _ in range(args.repeats):
+        loads.append(load1())
+        secs.append(round(one_pass(), 3))
 
     print(json.dumps({
         "cores": args.cores,
         "rows": n_rows,
         "plan_sec": plan_sec,
         "passes_sec": secs,
+        "loadavg_at_pass": loads,
         "median_sec": sorted(secs)[len(secs) // 2],
     }))
     spark.stop()

@@ -109,6 +109,8 @@ def main():
         "passes_sec_4n": hi["passes_sec"],
         "loadavg_at_pass_n": lo.get("loadavg_at_pass"),
         "loadavg_at_pass_4n": hi.get("loadavg_at_pass"),
+        "steal_cpu_sec_n": lo.get("steal_cpu_sec_per_pass"),
+        "steal_cpu_sec_4n": hi.get("steal_cpu_sec_per_pass"),
         "harness_wall_s": round(time.time() - t0, 1),
     }
     print(json.dumps(summary))

@@ -96,11 +96,27 @@ def main():
         except OSError:
             return -1.0
 
+    def steal_ticks() -> int:
+        """Cumulative CPU-steal ticks (/proc/stat field 8) — in this
+        Firecracker microVM the REAL contention source is the shared
+        HOST, which guest loadavg cannot see; steal time measures
+        exactly the cycles the host took away. Per-pass steal seconds
+        is the definitive recorded noisy-neighbor probe (BENCH.md
+        episode analysis)."""
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except (OSError, IndexError, ValueError):
+            return -1
+
     one_pass()  # warm-up: python workers, JIT, page cache — untimed
-    secs, loads = [], []
+    secs, loads, steals = [], [], []
     for _ in range(args.repeats):
         loads.append(load1())
+        s0 = steal_ticks()
         secs.append(round(one_pass(), 3))
+        # ticks are USER_HZ=100 across all cpus -> steal cpu-seconds
+        steals.append(round((steal_ticks() - s0) / 100.0, 2))
 
     print(json.dumps({
         "cores": args.cores,
@@ -108,6 +124,7 @@ def main():
         "plan_sec": plan_sec,
         "passes_sec": secs,
         "loadavg_at_pass": loads,
+        "steal_cpu_sec_per_pass": steals,
         "median_sec": sorted(secs)[len(secs) // 2],
     }))
     spark.stop()

@@ -52,6 +52,30 @@ def main(path: str) -> int:
         "per_run_efficiencies": run_effs,
     }))
 
+    # Probe-stratified pooled estimate: keep only passes whose recorded
+    # CPU-steal is under the threshold (steal = cycles the shared HOST
+    # took; see scaling_worker.steal_ticks). Runs predating the probe
+    # have no per-pass steal and are excluded from this stratum.
+    STEAL_MAX = 2.0  # cpu-seconds per pass
+    lo_clean = [x for r in runs
+                for x, st in zip(r["passes_sec_n"],
+                                 r.get("steal_cpu_sec_n") or
+                                 r.get("steal_cpu_sec_per_pass_n") or [])
+                if st is not None and st <= STEAL_MAX]
+    hi_clean = [x for r in runs
+                for x, st in zip(r["passes_sec_4n"],
+                                 r.get("steal_cpu_sec_4n") or [])
+                if st is not None and st <= STEAL_MAX]
+    if lo_clean and hi_clean:
+        ml, mh = statistics.median(lo_clean), statistics.median(hi_clean)
+        print(json.dumps({
+            "steal_clean_stratum": {
+                "steal_max_cpu_sec": STEAL_MAX,
+                "passes_n": len(lo_clean), "passes_4n": len(hi_clean),
+                "median_sec_n": round(ml, 1), "median_sec_4n": round(mh, 1),
+                "efficiency": round((rows / mh) / (4.0 * (rows / ml)), 3),
+            }}))
+
     print()
     print("| run | local[%d] passes (s) | local[%d] passes (s) | "
           "clips/s @%d | clips/s @%d | efficiency |" % (n, n4, n, n4))

@@ -59,8 +59,7 @@ def main(path: str) -> int:
     STEAL_MAX = 2.0  # cpu-seconds per pass
     lo_clean = [x for r in runs
                 for x, st in zip(r["passes_sec_n"],
-                                 r.get("steal_cpu_sec_n") or
-                                 r.get("steal_cpu_sec_per_pass_n") or [])
+                                 r.get("steal_cpu_sec_n") or [])
                 if st is not None and st <= STEAL_MAX]
     hi_clean = [x for r in runs
                 for x, st in zip(r["passes_sec_4n"],

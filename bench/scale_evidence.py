@@ -40,8 +40,12 @@ def big_embeddings(spark, n_rows: int = 200000, dim: int = 64,
             rng = np.random.RandomState(1234)
             out_ids, out_vecs = [], []
             for i in idx:
-                r = np.random.RandomState(int(i) % planted if i >= n_rows - planted
-                                          else int(i))
+                # planted rows copy row (i - (n_rows - planted)) — NOT
+                # i % planted, which only coincides when n_rows is a
+                # multiple of planted and otherwise pairs nothing
+                r = np.random.RandomState(
+                    int(i) - (n_rows - planted) if i >= n_rows - planted
+                    else int(i))
                 v = r.randn(dim)
                 if i >= n_rows - planted:
                     u = v / np.linalg.norm(v)

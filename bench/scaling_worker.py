@@ -115,8 +115,12 @@ def main():
         loads.append(load1())
         s0 = steal_ticks()
         secs.append(round(one_pass(), 3))
-        # ticks are USER_HZ=100 across all cpus -> steal cpu-seconds
-        steals.append(round((steal_ticks() - s0) / 100.0, 2))
+        s1 = steal_ticks()
+        # ticks are USER_HZ=100 across all cpus -> steal cpu-seconds;
+        # None (not 0.0) when unreadable so an unmeasured pass can
+        # never masquerade as steal-clean in the pooled stratum
+        steals.append(round((s1 - s0) / 100.0, 2)
+                      if s0 >= 0 and s1 >= 0 else None)
 
     print(json.dumps({
         "cores": args.cores,

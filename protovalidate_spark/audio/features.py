@@ -157,14 +157,14 @@ def silence_rule(bytes_col: str = "bytes", feat_col: str = "_afeat",
 
 
 def speech_rate(transcript_col: Column, dur_col: Column) -> Column:
-    """Whitespace tokens per second — pure JVM expression, same token
-    definition as pipeline.text.token_count (SQL-oracle-parity)."""
-    t = F.trim(transcript_col)
-    n_tok = F.when(F.length(t) == 0, F.lit(0)) \
-             .otherwise(F.size(F.split(t, r"\s+")))
+    """Whitespace tokens per second — pure JVM expression, THE same
+    token definition as pipeline.text.token_count (imported, not
+    re-implemented, so the two can never drift apart; SQL-oracle
+    parity rides on that single definition)."""
+    from ..pipeline.text import token_count
     # try_divide: NULL (not an ANSI error) on dur<=0 rows — those are the
     # MIN_EXCLUSIVE rule's findings, and `actual` must stay evaluable
-    return F.try_divide(n_tok.cast("double"),
+    return F.try_divide(token_count(transcript_col).cast("double"),
                         dur_col.cast("double") / F.lit(1000.0))
 
 

@@ -21,28 +21,13 @@ DEFAULT_QUANTILES = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
 
 
-def column_stats(
-    df: DataFrame,
-    cols: Optional[Sequence[str]] = None,
-    quantiles: Sequence[float] = DEFAULT_QUANTILES,
-    accuracy: int = 2500,
-    exact_distinct: bool = False,
-    rsd: float = 0.05,
-    exact_quantiles: bool = False,
-) -> DataFrame:
-    """One aggregation pass → one row per column:
-    (column, n_rows, null_rate, min, max, approx_distinct, quantiles).
-
-    ``exact_distinct`` switches HLL++ to exact count(distinct) — used by the
-    DuckDB oracle comparisons; default approx for scale. ``rsd`` stays at
-    Spark's 0.05 default: tightening to 0.01 grows the HLL register file
-    ~25× and measured 10× slower on string columns. ``exact_quantiles``
-    switches the GK sketch to exact interpolated ``percentile`` (the
-    quantile_cont analog) — oracle mode only; the approx path is pinned
-    within tolerance of it in tests/test_dataset.py.
-    """
-    dtypes = dict(df.dtypes)
-    cols = list(cols or df.columns)
+def stats_aggs(dtypes: dict, cols: Sequence[str],
+               quantiles: Sequence[float] = DEFAULT_QUANTILES,
+               accuracy: int = 2500, exact_distinct: bool = False,
+               rsd: float = 0.05, exact_quantiles: bool = False) -> list:
+    """The per-column aggregation expressions behind :func:`column_stats`
+    — shared with streaming.windowed_column_stats so the batch and
+    per-window stats definitions can never drift apart."""
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         base = dtypes[c].split("(")[0]
@@ -65,6 +50,34 @@ def column_stats(
                 ).alias(f"{c}__q"))
         else:
             aggs.append(F.lit(None).cast("array<double>").alias(f"{c}__q"))
+    return aggs
+
+
+def column_stats(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+    quantiles: Sequence[float] = DEFAULT_QUANTILES,
+    accuracy: int = 2500,
+    exact_distinct: bool = False,
+    rsd: float = 0.05,
+    exact_quantiles: bool = False,
+) -> DataFrame:
+    """One aggregation pass → one row per column:
+    (column, n_rows, null_rate, min, max, approx_distinct, quantiles).
+
+    ``exact_distinct`` switches HLL++ to exact count(distinct) — used by the
+    DuckDB oracle comparisons; default approx for scale. ``rsd`` stays at
+    Spark's 0.05 default: tightening to 0.01 grows the HLL register file
+    ~25× and measured 10× slower on string columns. ``exact_quantiles``
+    switches the GK sketch to exact interpolated ``percentile`` (the
+    quantile_cont analog) — oracle mode only; the approx path is pinned
+    within tolerance of it in tests/test_dataset.py.
+    """
+    dtypes = dict(df.dtypes)
+    cols = list(cols or df.columns)
+    aggs = stats_aggs(dtypes, cols, quantiles=quantiles, accuracy=accuracy,
+                      exact_distinct=exact_distinct, rsd=rsd,
+                      exact_quantiles=exact_quantiles)
     row: Row = df.agg(*aggs).collect()[0]
 
     n = row["__n"]

@@ -203,9 +203,14 @@ def collection_status(df, by=None, code_col: str = "rule_id"):
     per group — a single aggregation either way."""
     from pyspark.sql import functions as F
     typed = with_error_type(df, code_col, "__etype")
-    any_int = F.max((F.col("__etype") == ERROR_TYPE_INTERNAL).cast("int")) == 1
-    any_perm = F.max(
-        (F.col("__etype") == ERROR_TYPE_PERMISSION).cast("int")) == 1
+    # coalesce: F.max over ZERO rows is NULL — an empty collection must
+    # report internal=permission=False (collection.go), not None
+    any_int = F.coalesce(
+        F.max((F.col("__etype") == ERROR_TYPE_INTERNAL).cast("int")),
+        F.lit(0)) == 1
+    any_perm = F.coalesce(
+        F.max((F.col("__etype") == ERROR_TYPE_PERMISSION).cast("int")),
+        F.lit(0)) == 1
     n = F.count(F.lit(1))
     aggs = [
         any_int.alias("internal"),

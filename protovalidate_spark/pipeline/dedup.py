@@ -593,9 +593,12 @@ def embedding_near_dups(df: DataFrame, id_col: str, vec_col: str,
     from .similarity import band_planes, hyperplane_signature, \
         hyperplane_signatures
 
+    # probe dim from the PRE-spread frame: first() on the spread frame
+    # would execute the round-robin exchange's whole map stage (a full
+    # shuffle write of every vector) just to read one row
+    dim = len(df.select(F.col(vec_col)).first()[0])
     base = _spread(df.select(F.col(id_col).alias("__id"),
                              F.col(vec_col).alias("__v")))
-    dim = len(base.select("__v").first()[0])
     if bands <= 1:
         hp = band_planes(1, planes, dim, seed)[0]
         bucketed = base.select(

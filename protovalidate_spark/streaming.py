@@ -169,25 +169,13 @@ def windowed_column_stats(
     Append-mode: a window's row emits exactly once, when the watermark
     passes its end. The per-column reshape is a STATELESS post-agg
     explode, so this stays a single stateful operator."""
-    from pyspark.sql import types as T
+    from .dataset.stats import stats_aggs
 
-    dtypes = dict(stream_df.dtypes)
-    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        base = dtypes[c].split("(")[0]
-        aggs.append(F.sum(F.col(c).isNull().cast("long"))
-                    .alias(f"{c}__nulls"))
-        aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
-        aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
-        aggs.append(F.approx_count_distinct(c, rsd).alias(f"{c}__distinct"))
-        if base in numeric and quantiles:
-            aggs.append(F.percentile_approx(
-                F.col(c).cast("double"), list(quantiles), accuracy
-            ).alias(f"{c}__q"))
-        else:
-            aggs.append(F.lit(None).cast(T.ArrayType(T.DoubleType()))
-                        .alias(f"{c}__q"))
+    # the SAME aggregation expressions as the batch column_stats —
+    # imported, not re-implemented, so the streaming per-window stats
+    # can never drift from the batch baseline they are compared against
+    aggs = stats_aggs(dict(stream_df.dtypes), list(cols),
+                      quantiles=quantiles, accuracy=accuracy, rsd=rsd)
     agg = (stream_df
            .withWatermark(ts_col, watermark)
            .groupBy(F.window(F.col(ts_col), window).alias("w"))
@@ -318,20 +306,28 @@ def stream_drift_violations(
     """End-to-end streaming drift monitor: watermarked windowed
     histogram aggregation (distributed, bounded state) → per-closed-
     window PSI/KS verdicts vs the frozen baseline (driver-side over the
-    tiny closed-window count rows) → violation rows appended to
-    ``out_path`` as Parquet. Exactly-once per window: append-mode emits
-    a window's counts in the single micro-batch whose watermark closes
-    it, and the ``foreachBatch`` sink is checkpointed."""
+    tiny closed-window count rows) → violation rows written to
+    ``out_path`` as Parquet. Effectively-once per window: append-mode
+    emits a window's counts in the single micro-batch whose watermark
+    closes it, and the sink writes each epoch's rows under an
+    ``__epoch=<id>`` partition OVERWRITTEN in place — foreachBatch is
+    inherently at-least-once (a retry after a committed append but
+    before the checkpoint records the epoch would duplicate rows), and
+    the epoch-keyed dynamic-partition overwrite makes the retry
+    idempotent."""
     counts = windowed_histogram_counts(
         stream_df, baseline, ts_col, window, watermark)
 
-    def _sink(batch_df: DataFrame, _epoch: int) -> None:
+    def _sink(batch_df: DataFrame, epoch: int) -> None:
         rows = window_drift_rows(batch_df.collect(), baseline,
                                  psi_threshold, ks_threshold)
         if rows:
             (batch_df.sparkSession.createDataFrame(
                 rows, _DRIFT_WINDOW_SCHEMA)
-             .coalesce(1).write.mode("append").parquet(out_path))
+             .withColumn("__epoch", F.lit(int(epoch)))
+             .coalesce(1).write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("__epoch").parquet(out_path))
 
     w = (counts.writeStream.foreachBatch(_sink)
          .outputMode("append")

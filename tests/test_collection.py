@@ -74,3 +74,16 @@ def test_collection_status_precedence(spark, viols):
     assert (whole["internal"], whole["permission"], whole["validation"]) == \
         (True, False, False)
     assert whole["n_errors"] == 6
+
+
+def test_collection_status_empty_collection_is_all_false(spark):
+    """Empty collection: internal/permission/validation are False (not
+    NULL) — F.max over zero rows is NULL without the coalesce guard
+    (reference collection.go: an empty collection has no status)."""
+    from protovalidate_spark.errors import collection_status
+    empty = spark.createDataFrame([], "rule_id string")
+    r = collection_status(empty).collect()[0]
+    assert r["internal"] is False
+    assert r["permission"] is False
+    assert r["validation"] is False
+    assert r["n_errors"] == 0

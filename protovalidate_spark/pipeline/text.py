@@ -22,11 +22,20 @@ STOPWORDS: Dict[str, Sequence[str]] = {
     "it": ("il", "la", "di", "che", "e", "un", "una", "per", "con", "non"),
     "pt": ("o", "a", "de", "que", "e", "do", "da", "em", "um", "para"),
     "nl": ("de", "het", "een", "en", "van", "is", "dat", "op", "te", "niet"),
+    "sv": ("och", "att", "det", "som", "är", "på", "av", "inte", "jag", "har"),
+    "da": ("og", "jeg", "det", "at", "til", "er", "som", "på", "ikke", "med"),
+    "pl": ("nie", "się", "jest", "na", "do", "że", "co", "jak", "ale", "tak"),
+    "tr": ("bir", "ve", "bu", "için", "ile", "ne", "gibi", "çok", "ama", "daha"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
+           "dari", "akan"),
 }
 
 #: Stopword-language tie-break order (first listed wins on equal counts)
-#: — the oracle SQL composes its CASE chain from this same tuple.
-LANG_ORDER: Sequence[str] = ("en", "de", "fr", "es", "it", "pt", "nl")
+#: — the oracle SQL composes its CASE chain from this same tuple. New
+#: languages append at the END so they only claim a document by
+#: strictly out-scoring every earlier language.
+LANG_ORDER: Sequence[str] = ("en", "de", "fr", "es", "it", "pt", "nl",
+                             "sv", "da", "pl", "tr", "id")
 
 #: Script-based branches, checked BEFORE stopwords in this order (ja
 #: before zh: Japanese text carries kanji, but kana are unique to it).

@@ -26,6 +26,12 @@ ROWS = [
     (16, "นี่คือประโยคภาษาไทยที่เขียนด้วยอักษรไทยทั้งหมด", "th"),
     (17, "zxqv wk jh plm qrs", "und"),
     (18, "", "und"),
+    (19, "jag har inte sett det som är på teve och att du vet", "sv"),
+    (20, "jeg er ikke glad og det er til at se som regel på den", "da"),
+    (21, "nie wiem czy to jest tak jak się wydaje ale że co", "pl"),
+    (22, "bu bir deneme ve çok daha iyi ama ne için gibi ile", "tr"),
+    (23, "ini adalah kalimat yang ditulis dengan bahasa itu dan di"
+         " untuk tidak dari akan", "id"),
 ]
 
 

@@ -20,6 +20,18 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CLIPS_SCALAR = os.path.join(REPO, "_fixtures", "clips_scalar.parquet")
 EXPECTED_DIR = os.path.join(REPO, "_fixtures", "expected")
 
+# The sweep runner owns the SparkSession, so we can't set
+# spark.python.sql.dataFrameDebugging.enabled=false at session build
+# (protovalidate_spark.conf does for the engine's own sessions). Seed
+# pyspark's module-level cache instead: call-site capture costs a Python
+# stack walk + 2-3 py4j round-trips on EVERY DataFrame API call, which
+# dominated plan-construction time for the build-heavy queries here.
+try:  # pyspark 4.x internal — harmless no-op if the attribute moves
+    import pyspark.errors.utils as _pyspark_errors_utils
+    _pyspark_errors_utils._enable_debugging_cache = False
+except Exception:
+    pass
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -893,6 +905,18 @@ def q_lsh_topk_embeddings(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_lineitem": q_validate_lineitem,
+        # The similarity/ANN family runs EARLY: round 3's driver sweep
+        # stopped after 50 of 57 queries, and these — then the last 7
+        # dict entries — were the ones dropped. Dict order is the
+        # driver's execution order; front-loading the least-recently-
+        # verified queries bounds the damage if a sweep truncates again.
+        "ann_topk_embeddings": q_ann_topk_embeddings,
+        "neardup_embeddings": q_neardup_embeddings,
+        "neardup_embeddings_lsh": q_neardup_embeddings_lsh,
+        "minhash_neardup_documents": q_minhash_neardup_documents,
+        "simhash_documents": q_simhash_documents,
+        "lsh_topk_embeddings": q_lsh_topk_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "collection_lineitem": q_collection_lineitem,
         "conditional_orders": q_conditional_orders,
         "cross_column_lineitem": q_cross_column_lineitem,
@@ -942,13 +966,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_documents": q_token_count_documents,
         "quality_documents": q_quality_documents,
         "langid_documents": q_langid_documents,
-        "ann_topk_embeddings": q_ann_topk_embeddings,
-        "neardup_embeddings": q_neardup_embeddings,
-        "neardup_embeddings_lsh": q_neardup_embeddings_lsh,
-        "minhash_neardup_documents": q_minhash_neardup_documents,
-        "simhash_documents": q_simhash_documents,
-        "lsh_topk_embeddings": q_lsh_topk_embeddings,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
     }
 
 

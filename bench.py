@@ -41,6 +41,26 @@ BENCH_QUERIES = [
 _FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "_fixtures")
 
+
+def steal_ticks() -> int:
+    """Cumulative CPU-steal ticks (/proc/stat field 8). This box is a
+    microVM on a shared host with documented multi-hour steal episodes
+    (BENCH.md); recording per-pass steal INSIDE the bench artifact lets a
+    reader tell a regression from a noisy-neighbor episode without
+    cross-referencing anything. -1 when unreadable."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return -1
+
+
+def steal_delta_secs(s0: int, s1: int):
+    """Steal cpu-seconds between two tick readings (USER_HZ=100 across
+    all cpus); None when either reading failed — an unmeasured pass must
+    never look steal-clean."""
+    return round((s1 - s0) / 100.0, 2) if s0 >= 0 and s1 >= 0 else None
+
 DRIFT_COLS = ("sr_hz", "dur_ms", "codec")
 STATS_COLS = ("clip_id", "sr_hz", "dur_ms", "codec", "transcript")
 
@@ -180,6 +200,7 @@ def main():
      .mode("overwrite").save())
     timings = {}
     total = 0.0
+    s_sweep0 = steal_ticks()
     for name in BENCH_QUERIES:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
@@ -187,6 +208,7 @@ def main():
         dt = round(time.time() - t0, 3)
         timings[name] = dt
         total += dt
+    steal_sweep = steal_delta_secs(s_sweep0, steal_ticks())
 
     nd = run_neardup_compare(spark, ensure_embeddings_bench())
     timings["neardup_lsh_20k"] = nd["neardup_lsh_20k"]
@@ -202,9 +224,11 @@ def main():
     # run-to-run at high core counts (BENCH.md), so a single-pass
     # headline would make round-over-round deltas noise, not signal
     n, nv, dt_cold = run_clips_pass(spark, path, baseline)
-    passes = []
+    passes, steal_passes = [], []
     for _ in range(3):
+        s0 = steal_ticks()
         n, nv, dt_i = run_clips_pass(spark, path, baseline)
+        steal_passes.append(steal_delta_secs(s0, steal_ticks()))
         passes.append(dt_i)
     dt = sorted(passes)[1]
     timings["clips_full_pass"] = round(dt, 3)
@@ -223,6 +247,8 @@ def main():
         "clips_per_sec": round(n / dt, 1),
         "clips_per_sec_cold": round(n / dt_cold, 1),
         "clips_pass_secs": [round(x, 3) for x in passes],
+        "steal_cpu_secs": {"query_sweep": steal_sweep,
+                           "clips_passes": steal_passes},
         "neardup_pairs": {"lsh": nd["neardup_lsh_20k_pairs"],
                           "lsh_mb": nd["neardup_lsh_mb_20k_pairs"],
                           "brute": nd["neardup_brute_20k_pairs"]},

@@ -58,6 +58,11 @@ def main():
     df = spark.read.parquet(args.table)
     cols = ([c for c in args.cols.split(",") if c] or
             [c for c, t in df.dtypes if t != "binary"])
+    unknown = [c for c in cols if c not in df.columns]
+    if unknown:
+        raise SystemExit(
+            f"--cols names not in table: {unknown}; "
+            f"available columns: {df.columns}")
     t0 = time.time()
 
     stats = column_stats(df, cols).collect()

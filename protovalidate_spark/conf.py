@@ -37,6 +37,11 @@ RECOMMENDED = {
     # enough that wave quantization cost the 4N level its scaling
     # (efficiency 0.785 vs 0.82 at 256MB, same absolute throughput)
     "spark.sql.files.maxPartitionBytes": "268435456",
+    # PySpark 4 wraps every DataFrame API call with call-site capture
+    # (a Python stack walk + 2-3 extra py4j round-trips per call) for
+    # error-context decoration; on build-heavy plans (rule-set compile,
+    # lang-ID CASE chains) this was ~60% of plan-construction wall time
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 

@@ -183,11 +183,15 @@ def stats_drift_violations(df: DataFrame, baseline: dict,
         if a["null_rate"] - b["null_rate"] > null_rate_jump:
             probs.append(
                 f"null_rate {b['null_rate']:.4f}->{a['null_rate']:.4f}")
-        if b["distinct"] and a["approx_distinct"] and (
-                a["approx_distinct"] > b["distinct"] * distinct_ratio
-                or a["approx_distinct"] * distinct_ratio < b["distinct"]):
-            probs.append(
-                f"distinct {b['distinct']}->{a['approx_distinct']}")
+        bd, ad = b["distinct"], a["approx_distinct"]
+        if bd is not None and ad is not None:
+            # zero on either side is the loudest cardinality regression
+            # (all-NULL collapse / explosion from all-NULL), not a skip
+            if (bd == 0) != (ad == 0):
+                probs.append(f"distinct {bd}->{ad}")
+            elif bd and ad and (ad > bd * distinct_ratio
+                                or ad * distinct_ratio < bd):
+                probs.append(f"distinct {bd}->{ad}")
         base_type = dtypes[c].split("(")[0]
         if (base_type in _NUMERIC or base_type == "decimal") \
                 and b["min"] is not None:

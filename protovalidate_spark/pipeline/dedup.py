@@ -424,6 +424,59 @@ def _truncate_bucket(pdf: pd.DataFrame, max_bucket: int) -> pd.DataFrame:
 _PAIR_CHUNK = 1024  # rows per pairwise block: memory = chunk × bucket, not n²
 
 
+def _grouped_run_map(bucketed: DataFrame, group_keys, kernel, schema: str,
+                     max_bucket: int) -> DataFrame:
+    """Run a per-bucket kernel over key-sorted partition runs.
+
+    Replaces ``groupBy(keys).applyInPandas(kernel)``: with thousands of
+    tiny buckets (the LSH regime — most buckets hold <5 vectors) the
+    per-GROUP Arrow slice + pandas construction + UDF dispatch cost
+    ~2 ms each and dominated wall time (measured 6.7 s → 1.3 s on the
+    12-band near-dup at sf0.01). Here the shuffle is the same hash
+    exchange (``repartition(keys)``, sized by spark.sql.shuffle.partitions
+    / AQE), but each PARTITION arrives as one Arrow stream; buckets are
+    contiguous runs after ``sortWithinPartitions`` and are sliced with
+    numpy run-boundary detection at ~50 µs per bucket.
+
+    A run that straddles Arrow batch boundaries is carried into the next
+    batch; the carry is capped at ``max_bucket`` smallest ids so a
+    monster bucket streams at O(max_bucket) memory — keep-smallest-k
+    composes incrementally, so the truncation result is identical to
+    capping the whole bucket at once. The kernel receives one bucket's
+    rows as a pandas slice and returns a DataFrame matching ``schema``
+    (or empty)."""
+    kcols = list(group_keys)
+    part = bucketed.repartition(*kcols).sortWithinPartitions(*kcols)
+
+    def run(batches):
+        carry = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            keys = pdf[kcols].to_numpy()
+            change = np.ones(len(pdf), dtype=bool)
+            change[1:] = (keys[1:] != keys[:-1]).any(axis=1)
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(pdf))
+            for s, e in zip(starts[:-1], ends[:-1]):
+                out = kernel(pdf.iloc[s:e])
+                if out is not None and len(out):
+                    yield out
+            last = pdf.iloc[starts[-1]:]
+            carry = (_truncate_bucket(last, max_bucket)
+                     if len(last) > max_bucket else last).reset_index(
+                         drop=True)
+        if carry is not None and len(carry):
+            out = kernel(carry)
+            if out is not None and len(out):
+                yield out
+
+    return part.mapInPandas(run, schema)
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's slot count when the input has
     fewer partitions (small table, one parquet file) so the expensive
@@ -443,11 +496,13 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     probing is the standard recall extension).
 
     One shuffle on the bucket, then each bucket's pairwise XOR-popcount
-    runs inside ``applyInPandas`` in fixed-size row chunks (memory
-    O(chunk × bucket), never a dense n×n block), with hot buckets capped
-    at ``max_bucket`` smallest ids — the previous self-join evaluated the
-    SimHash kernel once per join SIDE (Catalyst does not CSE across join
-    branches) and shuffled every signature twice."""
+    runs in fixed-size row chunks (memory O(chunk × bucket), never a
+    dense n×n block) inside the sorted-run ``mapInPandas`` (see
+    ``_grouped_run_map`` — 2^prefix_bits mostly-tiny buckets made
+    per-group applyInPandas dispatch the bottleneck), with hot buckets
+    capped at ``max_bucket`` smallest ids — the previous self-join
+    evaluated the SimHash kernel once per join SIDE (Catalyst does not
+    CSE across join branches) and shuffled every signature twice."""
     sh = _spread(df.select(F.col(id_col).alias("__id"),
                            F.col(text_col).alias("__t"))) \
         .select("__id", simhash_udf()(F.col("__t")).alias("__sh"))
@@ -476,7 +531,8 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
         return pd.concat(outs, ignore_index=True)
 
-    return (bucketed.groupBy("bucket").applyInPandas(bucket_pairs, schema)
+    return (_grouped_run_map(bucketed, ["bucket"], bucket_pairs, schema,
+                             max_bucket)
             .select("id_a", "id_b", "hamming"))
 
 
@@ -557,9 +613,11 @@ def _brute_force_near_dups(df: DataFrame, id_col: str, vec_col: str,
                                 "cosine": sims[ai, bi]})
 
     par = sc.defaultParallelism
+    # round(9), not round(6): see embedding_near_dups — double rounding
+    # through 6 flips coarser contract roundings at the 4th decimal
     return (df.select(id_col, vec_col).repartition(par)
             .mapInPandas(gen, schema)
-            .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+            .select("id_a", "id_b", F.round("cosine", 9).alias("cosine")))
 
 
 def embedding_near_dups(df: DataFrame, id_col: str, vec_col: str,
@@ -623,9 +681,10 @@ def embedding_near_dups(df: DataFrame, id_col: str, vec_col: str,
 
     # In-bucket verification: ONE shuffle on the (band, signature) key,
     # then each bucket computes its pairwise-cosine blocks in fixed-size
-    # row chunks (Arrow-batched applyInPandas). Replaces the self-join
-    # whose per-pair dot was an interpreted aggregate/zip_with lambda —
-    # and shuffles each vector copy once instead of twice.
+    # row chunks (Arrow-batched, via the sorted-run mapInPandas — see
+    # _grouped_run_map for why not groupBy().applyInPandas). Replaces the
+    # self-join whose per-pair dot was an interpreted aggregate/zip_with
+    # lambda — and shuffles each vector copy once instead of twice.
     id_t = dict(df.dtypes)[id_col]
     schema = f"id_a {id_t}, id_b {id_t}, cosine double"
 
@@ -652,8 +711,15 @@ def embedding_near_dups(df: DataFrame, id_col: str, vec_col: str,
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         return pd.concat(outs, ignore_index=True)
 
-    pairs = (bucketed.groupBy(*group_keys).applyInPandas(bucket_pairs, schema)
-             .select("id_a", "id_b", F.round("cosine", 6).alias("cosine")))
+    # round(9), not round(6): consumers re-round to a coarser contract
+    # precision (e.g. 4 decimals), and double rounding through 6 shifted
+    # values up to 5e-7 — enough to flip a 4th-decimal boundary vs an
+    # oracle that rounds the raw cosine once. At 9 decimals the residual
+    # is 5e-10, far below cross-engine float64 disagreement concerns,
+    # while still absorbing last-bit BLAS differences between bands.
+    pairs = (_grouped_run_map(bucketed, group_keys, bucket_pairs, schema,
+                              max_bucket)
+             .select("id_a", "id_b", F.round("cosine", 9).alias("cosine")))
     if bands > 1:
         # OR-construction can surface a pair in several bands; collapse
         # to one row per pair (min is deterministic even if BLAS blocking

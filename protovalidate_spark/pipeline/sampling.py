@@ -94,21 +94,27 @@ def sample_fraction(df: DataFrame, id_col: str, fraction: float,
 
 def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
                       fractions: Dict[str, float], salt: str = "",
-                      default_fraction: float = 0.0) -> DataFrame:
+                      default_fraction: float = 0.0,
+                      null_fraction: float = None) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. downsample the dominant
     codec, keep 100% of rare ones). ``fractions`` maps stratum value →
-    keep fraction; unlisted strata keep ``default_fraction``. Pure
+    keep fraction; unlisted strata keep ``default_fraction``. Rows whose
+    stratum value is NULL keep ``null_fraction`` (default: same as
+    ``default_fraction`` — so at the 0.0 default a NULL stratum DROPS
+    the row; pass ``null_fraction=1.0`` to always keep them). Pure
     map-side filter: threshold = CASE over the stratum column, compared
     to the id-hash bucket — no shuffle, no sampleBy partition
     sensitivity."""
-    for k, v in fractions.items():
+    if null_fraction is None:
+        null_fraction = default_fraction
+    for k, v in list(fractions.items()) + [("default", default_fraction),
+                                           ("null", null_fraction)]:
         if not 0.0 <= v <= 1.0:
             raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
-    thr = None
+    thr = F.when(F.col(strata_col).isNull(),
+                 F.lit(int(round(null_fraction * _BUCKETS))))
     for k, v in fractions.items():
-        cond = F.col(strata_col) == k
-        t = F.lit(int(round(v * _BUCKETS)))
-        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
-    thr = (F.lit(int(round(default_fraction * _BUCKETS))) if thr is None
-           else thr.otherwise(int(round(default_fraction * _BUCKETS))))
+        thr = thr.when(F.col(strata_col) == k,
+                       F.lit(int(round(v * _BUCKETS))))
+    thr = thr.otherwise(int(round(default_fraction * _BUCKETS)))
     return df.filter(_hash_bucket(F.col(id_col), salt) < thr)

@@ -92,7 +92,7 @@ def upper_ratio(col: Column) -> Column:
 
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
     toks = tokens(F.lower(col))
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    sw = F.lit(list(STOPWORDS[lang]))
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
@@ -139,30 +139,47 @@ def lang_id(df: DataFrame, text_col: str = "text",
     of per-language stopword hit counts over ``LANG_ORDER`` (first
     listed wins ties); 'und' when nothing matches. The DuckDB oracle
     composes the identical CASE chain from these same constants."""
-    c = F.col(text_col)
-    toks = tokens(F.lower(c))
+    # Leaves are composed as SQL strings and parsed JVM-side with ONE
+    # F.expr call each: the Column-combinator form made len(stopwords) x
+    # languages py4j round-trips just to build the plan (~3s of driver
+    # wall time per call at 12 languages, before any data moved).
+    tc = f"`{text_col}`"
+    toks = rf"split(trim(lower({tc})), '\\s+')"
     scores = {}
     for lang in LANG_ORDER:
-        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        # empty/whitespace-only text: split yields [''] and no stopword
+        # is '', so the score is 0 — identical to the tokens() guard
+        scores[lang] = F.expr(
+            f"size(filter({toks}, t -> array_contains(array({words}), t)))")
 
     # ASCII fast path: every script range is non-ASCII, and a string is
     # pure ASCII iff its UTF-8 byte length equals its char length — one
     # cheap byte-op guard short-circuits all nine regex scans for the
     # (dominant) ASCII rows. AND short-circuits in codegen; results are
     # identical, so the committed oracle CASE chain is unchanged.
-    non_ascii = F.octet_length(c) != F.length(c)
     pred = None
     for lang, rng in CHARSET_RANGES.items():
-        share = F.length(F.regexp_replace(c, f"[^{rng}]", ""))
-        cond = non_ascii & (share > F.length(c) * 0.2)
+        cond = F.expr(
+            f"octet_length({tc}) != length({tc}) AND "
+            f"length(regexp_replace({tc}, '[^{rng}]', '')) > "
+            f"length({tc}) * 0.2")
         pred = F.when(cond, F.lit(lang)) if pred is None \
             else pred.when(cond, F.lit(lang))
-    best = F.greatest(*scores.values())
+    # Two projections, not one: inlining each score into the CASE chain
+    # (13 occurrences x 12 lambda subtrees) made Catalyst ANALYSIS the
+    # bottleneck (~2.5s per plan). Scores are analyzed once here; the
+    # CASE references cheap attribute refs, and CollapseProject keeps
+    # them separate because re-inlining would duplicate non-cheap exprs.
+    stage = df.select("*", *[scores[lang].alias(f"__langid_s_{lang}")
+                             for lang in LANG_ORDER])
+    refs = {lang: F.col(f"__langid_s_{lang}") for lang in LANG_ORDER}
+    best = F.greatest(*refs.values())
     for lang in LANG_ORDER:  # deterministic tie-break: LANG_ORDER
-        pred = pred.when((best > 0) & (scores[lang] == best), F.lit(lang))
+        pred = pred.when((best > 0) & (refs[lang] == best), F.lit(lang))
     pred = pred.otherwise(F.lit("und"))
-    return df.withColumn(out_col, pred)
+    return (stage.withColumn(out_col, pred)
+            .drop(*[f"__langid_s_{lang}" for lang in LANG_ORDER]))
 
 
 def normalize_text(col: Column) -> Column:

@@ -63,6 +63,7 @@ class ObjectRuleSet(RuleSet):
     allow_unknown: bool = False
     from_json: bool = False
     json_source: str = ""
+    bucket_specs: tuple = ()
 
     SPARK_TYPE: str = "struct"
 
@@ -92,6 +93,34 @@ class ObjectRuleSet(RuleSet):
 
     def with_unknown(self) -> "ObjectRuleSet":
         return self._clone(allow_unknown=True)
+
+    def with_dynamic_bucket(self, pattern: str, bucket: str) -> "ObjectRuleSet":
+        """Struct-side dynamic buckets (reference WithDynamicBucket over
+        struct output, object.go:237-264 + setter.go:30-52): undeclared
+        columns whose name matches ``pattern`` are routed into the
+        ``map<string,string>`` bucket named ``bucket`` instead of
+        tripping UNEXPECTED. Columns with explicit key rules are never
+        bucketed; a column matching several buckets lands in all of
+        them. Retrieve the routed maps with :meth:`bucket_output`;
+        :meth:`apply` drops routed columns from the top level and
+        appends one map column per bucket."""
+        from .map_ import MapBucketSpec
+        return self._clone(bucket_specs=self.bucket_specs + (
+            MapBucketSpec(pattern, bucket),))
+
+    def with_conditional_dynamic_bucket(
+            self, pattern: str, condition: ColumnsFn,
+            bucket: str) -> "ObjectRuleSet":
+        """Like :meth:`with_dynamic_bucket` but routes a row's value only
+        when ``condition(get)`` holds for that row (reference
+        WithConditionalDynamicBucket, object.go:266-279). The SCHEMA is
+        fixed, so when the condition fails the column still exists at
+        top level and trips UNEXPECTED for that row (unless
+        :meth:`with_unknown`) — the per-row analog of the reference's
+        unconsumed-key behavior."""
+        from .map_ import MapBucketSpec
+        return self._clone(bucket_specs=self.bucket_specs + (
+            MapBucketSpec(pattern, bucket, condition),))
 
     def with_json(self, source_col: str) -> "ObjectRuleSet":
         """Parse a JSON string column into the declared keys first
@@ -188,13 +217,29 @@ class ObjectRuleSet(RuleSet):
                 get(s.name), f"/{s.name}",
                 dtypes.get(s.name, s.rule_set.SPARK_TYPE), presence=presence))
 
-        # unknown columns ⇒ UNEXPECTED unless with_unknown (object.go:647-656)
+        # unknown columns ⇒ UNEXPECTED unless with_unknown or routed to a
+        # dynamic bucket (object.go:647-656; buckets object.go:237-279)
         if not self.allow_unknown and not self.from_json:
+            import re
             for c in df.columns:
                 if c not in declared and not c.startswith("_"):
-                    parts.append(F.array(violation_struct(
+                    matched = [s for s in self.bucket_specs
+                               if re.search(s.pattern, c)]
+                    if any(s.condition is None for s in matched):
+                        continue  # unconditionally routed — never unknown
+                    unexpected = F.array(violation_struct(
                         f"/{c}", Code.UNEXPECTED,
-                        "unexpected field", F.lit(None))))
+                        "unexpected field", F.lit(None)))
+                    if matched:
+                        # conditional buckets: unknown only on rows where
+                        # NO routing condition holds
+                        routed = matched[0].condition(get)
+                        for s in matched[1:]:
+                            routed = routed | s.condition(get)
+                        unexpected = F.when(
+                            ~F.coalesce(routed, F.lit(False)),
+                            unexpected).otherwise(typed_empty_array())
+                    parts.append(unexpected)
 
         # whole-object rules run after key rules (object.go:662-693)
         for r in self.object_rules:
@@ -213,6 +258,48 @@ class ObjectRuleSet(RuleSet):
         one projection appending the violations array."""
         return df.withColumn(violations_col, self.compile_violations_column(df))
 
+    def _bucket_columns(self, df: DataFrame):
+        """Per bucket spec: the undeclared columns it routes."""
+        import re
+        declared = {s.name for s in self._resolve_keys(df.columns,
+                                                       dict(df.dtypes))}
+        out = []
+        for spec in self.bucket_specs:
+            out.append((spec, [c for c in df.columns
+                               if c not in declared
+                               and not c.startswith("_")
+                               and re.search(spec.pattern, c)]))
+        return out
+
+    def bucket_output(self, df: DataFrame) -> Column:
+        """The routed buckets for a struct row, as
+        ``map<bucket_name, map<column, value-as-string>>`` — the struct
+        analog of :meth:`MapRuleSet.bucket_output` (setter.go SetBucket:
+        a bucket key exists only when at least one column routed).
+        Values stringify because a fixed-schema bucket map must pick one
+        value type; the reference's ``map[string]any`` has no Spark
+        equivalent."""
+        get = lambda name: F.col(name)  # noqa: E731
+        entries = []
+        for spec, cols in self._bucket_columns(df):
+            if not cols:
+                continue
+            m = F.map_from_arrays(
+                F.array(*[F.lit(c) for c in cols]),
+                F.array(*[F.col(c).cast("string") for c in cols]))
+            if spec.condition is not None:
+                m = F.when(F.coalesce(spec.condition(get), F.lit(False)),
+                           m).otherwise(
+                    F.map_from_entries(F.array().cast(
+                        "array<struct<key:string,value:string>>")))
+            entries.append(F.struct(F.lit(spec.bucket).alias("key"),
+                                    m.alias("value")))
+        if not entries:
+            return F.map_from_entries(F.array().cast(
+                "array<struct<key:string,value:map<string,string>>>"))
+        arr = F.filter(F.array(*entries), lambda e: F.size(e["value"]) > 0)
+        return F.map_from_entries(arr)
+
     def apply(self, df: DataFrame, violations_col: str = "violations") -> DataFrame:
         """Full Apply semantics (reference object.go:711-876): coerce →
         evaluate → ASSIGN. Declared key columns are replaced by their
@@ -225,13 +312,29 @@ class ObjectRuleSet(RuleSet):
         violations = self.compile_violations_column(df)
         specs = {s.name: s for s in self._resolve_keys(df.columns, dtypes)
                  if s.name in dtypes}
+        # columns consumed by an UNconditional bucket leave the top level
+        # (setter.go:30-52: routed keys are set on the bucket field, not
+        # the struct); conditionally routed columns keep their top-level
+        # slot — the schema cannot vary per row
+        consumed = set()
+        for spec, bcols in self._bucket_columns(df):
+            if spec.condition is None:
+                consumed.update(bcols)
         cols = []
         for c in df.columns:
+            if c in consumed:
+                continue
             s = specs.get(c)
             if s is not None and s.rule_set.SPARK_TYPE not in ("struct", "any"):
                 cols.append(s.rule_set.coerced(F.col(c), dtypes[c]).alias(c))
             else:
                 cols.append(F.col(c))
+        if self.bucket_specs:
+            buckets = self.bucket_output(df)
+            # one map<string,string> column per distinct bucket name;
+            # NULL where nothing routed (the map analog omits the key)
+            for bname in dict.fromkeys(s.bucket for s in self.bucket_specs):
+                cols.append(F.element_at(buckets, F.lit(bname)).alias(bname))
         if self.from_json:
             # parsed keys appended as typed top-level columns
             ddl = ", ".join(

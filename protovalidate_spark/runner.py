@@ -7,34 +7,54 @@ Parquet table (a real Iceberg catalog slots in by replacing
 ``list_partitions``/``read_partition`` with snapshot + manifest reads).
 
 Manifest: one JSON line per completed partition —
-(part_date, snapshot_id, file_list, rows_scanned, violations, wall_ms,
-completed_at). A rerun skips partitions already present (resume), then
-re-runs the cheap GLOBAL phase (uniqueness/ref/drift span partitions) and
-records it under the ``__global__`` key.
+(part, snapshot_id, file_list, rows_scanned, violations, wall_ms,
+completed_at, status). ``status`` is ``complete`` (default, also assumed
+for manifests written before the field existed), ``TIMEOUT`` (the
+partition's wall-clock budget expired mid-job — the job was cancelled)
+or ``CANCELED`` (the whole-run budget expired before the partition
+started). A rerun skips only ``complete`` partitions (resume; the LAST
+line per partition wins, so a retried partition's ``complete`` rec
+supersedes its earlier ``TIMEOUT`` rec), then re-runs the cheap GLOBAL
+phase (uniqueness/ref/drift span partitions) and records it under the
+``__global__`` key.
+
+Timeout/cancel semantics mirror the reference's context handling
+(``pkg/rules/object.go:416-427``, ``slice.go:289-292``: ctx deadline ⇒
+``TIMEOUT``, ctx cancel ⇒ ``CANCELED``, both first-class validation
+errors): an over-budget partition emits a violation ROW (rule_id=TIMEOUT,
+field_path="/") into its violations sink and stays resumable; partitions
+never started because the run budget expired are recorded CANCELED.
 
 Scale notes: each partition job reads ONLY its directory (partition
 pruning); violations stream to a partitioned Parquet sink; the manifest is
-O(partitions). Skew: a hot partition (70% ``wav``) still parallelizes
-internally across its files/row-groups; dataset-level aggs use map-side
-partial aggregation + optional salting (see dataset/uniqueness.py).
+O(partitions). At very high partition cardinality, ``partitions_per_job``
+unions N partitions into one Spark job (per-partition rows/violations
+still ride the same job via conditional Observation aggregates) so the
+driver's job-scheduling overhead is O(partitions/N). Skew: a hot
+partition (70% ``wav``) still parallelizes internally across its
+files/row-groups; dataset-level aggs use map-side partial aggregation +
+optional salting (see dataset/uniqueness.py).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import threading
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import List, Optional
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from .errors import Code
 from .sources import read_partition, read_table, table_partitions, table_snapshot_id
 from .suite import ValidationSuite
 
 MANIFEST_NAME = "manifest.jsonl"
 GLOBAL_KEY = "__global__"
+STATUS_COMPLETE = "complete"
 
 
 def list_partitions(table_path: str, partition_col: str) -> List[str]:
@@ -54,6 +74,8 @@ def partition_files(table_path: str, partition_col: str, value: str) -> List[str
 
 
 def read_manifest(manifest_dir: str) -> dict:
+    """Latest manifest record per partition (append-only file, last line
+    wins — a retry's ``complete`` supersedes an earlier ``TIMEOUT``)."""
     path = os.path.join(manifest_dir, MANIFEST_NAME)
     done = {}
     if os.path.exists(path):
@@ -64,6 +86,12 @@ def read_manifest(manifest_dir: str) -> dict:
                     rec = json.loads(line)
                     done[rec["part"]] = rec
     return done
+
+
+def completed_partitions(manifest_dir: str) -> dict:
+    """Manifest records that count as done for resume purposes."""
+    return {p: r for p, r in read_manifest(manifest_dir).items()
+            if r.get("status", STATUS_COMPLETE) == STATUS_COMPLETE}
 
 
 def append_manifest(manifest_dir: str, rec: dict) -> None:
@@ -78,6 +106,73 @@ class RunReport:
     partitions_skipped: List[str]
     total_rows: int
     total_violations: int
+    partitions_timed_out: List[str] = field(default_factory=list)
+    partitions_canceled: List[str] = field(default_factory=list)
+
+
+def _manifest_rec(pv, snapshot_id, files, rows, viols, wall_ms,
+                  status=STATUS_COMPLETE):
+    return {
+        "part": pv, "snapshot_id": snapshot_id, "file_list": files,
+        "rows_scanned": rows, "violations": viols, "wall_ms": wall_ms,
+        "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "status": status,
+    }
+
+
+def _control_violation_row(spark: SparkSession, schema, code: str,
+                           message: str) -> DataFrame:
+    """One suite-shaped violation row (all row keys NULL) carrying a
+    runner-level code — TIMEOUT/CANCELED are first-class violations in
+    the reference's error model, not just log lines."""
+    from pyspark.sql import types as T
+    # the suite schema may carry non-nullable fields (lit() partition
+    # values); the control row holds NULL keys, so relax nullability
+    schema = T.StructType([T.StructField(f_.name, f_.dataType, True)
+                           for f_ in schema.fields])
+    vals = []
+    for f_ in schema.fields:
+        if f_.name == "field_path":
+            vals.append("/")
+        elif f_.name == "rule_id":
+            vals.append(code)
+        elif f_.name == "message":
+            vals.append(message)
+        else:
+            vals.append(None)
+    return spark.createDataFrame([tuple(vals)], schema)
+
+
+class _JobGroupTimeout:
+    """Watchdog that cancels a job group when its wall budget expires —
+    the Spark analog of a context deadline. Cooperative at stage-task
+    granularity (interruptOnCancel interrupts running tasks)."""
+
+    def __init__(self, spark: SparkSession, group: str,
+                 timeout_secs: Optional[float]):
+        self.sc = spark.sparkContext
+        self.group = group
+        self.timeout_secs = timeout_secs
+        self.fired = False
+        self._timer = None
+
+    def __enter__(self):
+        self.sc.setJobGroup(self.group, "protovalidate partition job",
+                            interruptOnCancel=True)
+        if self.timeout_secs is not None:
+            def _cancel():
+                self.fired = True
+                self.sc.cancelJobGroup(self.group)
+            self._timer = threading.Timer(self.timeout_secs, _cancel)
+            self._timer.daemon = True
+            self._timer.start()
+        return self
+
+    def __exit__(self, *exc):
+        if self._timer is not None:
+            self._timer.cancel()
+        self.sc.setJobGroup("", "")
+        return False
 
 
 def run_checkpointed(
@@ -88,6 +183,9 @@ def run_checkpointed(
     snapshot_id: str = "",
     fail_fast: bool = False,
     max_partitions: Optional[int] = None,
+    partition_timeout_secs: Optional[float] = None,
+    time_budget_secs: Optional[float] = None,
+    partitions_per_job: int = 1,
 ) -> RunReport:
     """Validate partition-by-partition with resume.
 
@@ -95,63 +193,138 @@ def run_checkpointed(
     checks (uniqueness/referential/drift are cross-partition by nature) run
     in a final global phase over the full table — recorded separately so a
     resumed run redoes only un-checkpointed partitions + the global phase.
+
+    ``partition_timeout_secs``: wall budget per partition JOB. On expiry
+    the job is cancelled, a TIMEOUT violation row is written to the
+    partition's violations sink, and the manifest records status=TIMEOUT —
+    NOT complete, so a resume retries it. With ``partitions_per_job`` > 1
+    the budget covers the whole batch job and expiry marks every partition
+    in the batch.
+
+    ``time_budget_secs``: wall budget for the whole call, checked between
+    jobs (a running job is never interrupted by it). On expiry the
+    remaining partitions are recorded status=CANCELED (resumable) and the
+    run returns.
+
+    ``partitions_per_job``: union N pending partitions into one Spark job.
+    Per-partition rows/violations still come from the same job via
+    conditional Observation aggregates, and the manifest keeps one rec per
+    partition; only driver job-scheduling overhead changes.
     """
     pc = suite.partition_col or "part_date"
     manifest_dir = os.path.join(output_dir, "_manifest")
     viol_dir = os.path.join(output_dir, "violations")
-    done = read_manifest(manifest_dir)
+    done = completed_partitions(manifest_dir)
     # source seam: Iceberg catalog table (partitions/snapshots from
     # metadata tables) or directory-partitioned Parquet (fixtures)
     parts = table_partitions(spark, table_path, pc)
     snapshot_id = snapshot_id or table_snapshot_id(spark, table_path)
+    run_t0 = time.time()
 
-    ran, skipped = [], []
+    ran, skipped, timed_out, canceled = [], [], [], []
     total_rows = total_viol = 0
-    n_run = 0
-    for pv in parts:
-        if pv in done:
-            skipped.append(pv)
-            continue
-        if max_partitions is not None and n_run >= max_partitions:
+
+    pending = [pv for pv in parts if pv not in done]
+    skipped = [pv for pv in parts if pv in done]
+    if max_partitions is not None:
+        pending = pending[:max_partitions]
+
+    n = max(int(partitions_per_job), 1)
+    chunks = [pending[i:i + n] for i in range(0, len(pending), n)]
+    stop = False
+    for ci, chunk in enumerate(chunks):
+        if stop:
+            break
+        if (time_budget_secs is not None
+                and time.time() - run_t0 > time_budget_secs):
+            # run budget exhausted: everything not yet started is
+            # CANCELED — resumable, recorded, never silently dropped
+            for rest in chunks[ci:]:
+                for pv in rest:
+                    append_manifest(manifest_dir, _manifest_rec(
+                        pv, snapshot_id, [], 0, 0, 0, status=Code.CANCELED))
+                    canceled.append(pv)
             break
         t0 = time.time()
-        files = (partition_files(table_path, pc, pv)
-                 if os.path.isdir(table_path) else [])
-        pdf = read_partition(spark, table_path, pc, pv)
-        if pdf is None:
-            # partition vanished between the listing and the read
-            # (compaction/expiry race) — record an empty completion so the
-            # run continues and a resume doesn't retry it forever
-            append_manifest(manifest_dir, {
-                "part": pv, "snapshot_id": snapshot_id, "file_list": [],
-                "rows_scanned": 0, "violations": 0, "wall_ms": 0,
-                "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
-                                              time.gmtime()),
-            })
-            ran.append(pv)
-            n_run += 1
+        live = []  # (pv, files, pdf)
+        for pv in chunk:
+            files = (partition_files(table_path, pc, pv)
+                     if os.path.isdir(table_path) else [])
+            pdf = read_partition(spark, table_path, pc, pv)
+            if pdf is None:
+                # partition vanished between the listing and the read
+                # (compaction/expiry race) — record an empty completion so
+                # the run continues and a resume doesn't retry it forever
+                append_manifest(manifest_dir, _manifest_rec(
+                    pv, snapshot_id, [], 0, 0, 0))
+                ran.append(pv)
+                continue
+            live.append((pv, files, pdf))
+        if not live:
             continue
-        rows = pdf.count()
-        rv = suite.row_violations(pdf)
-        # Observation rides the write action — no second job / re-read
-        # of the written files just to count them
-        obs = Observation()
-        (rv.observe(obs, F.count(F.lit(1)).alias("n"))
-           .write.mode("overwrite")
-           .parquet(os.path.join(viol_dir, f"{pc}={pv}")))
-        nv = obs.get["n"]
+
+        batch = live[0][2]
+        for _, _, pdf in live[1:]:
+            batch = batch.unionByName(pdf)
+        # per-partition input rows + violation counts ride the SAME job
+        # as the violations write (conditional Observation aggregates) —
+        # no separate count job per partition
+        pvs = [pv for pv, _, _ in live]
+        obs_in, obs_out = Observation(), Observation()
+        # string-compare the partition key so the aggregates are
+        # type-agnostic (date fixtures, string/int partition specs alike)
+        in_aggs = [F.count(F.when(
+            F.col(pc).cast("string") == F.lit(str(pv)), 1))
+            .alias(f"r{i}") for i, pv in enumerate(pvs)]
+        out_aggs = [F.count(F.when(
+            F.col(pc).cast("string") == F.lit(str(pv)), 1))
+            .alias(f"v{i}") for i, pv in enumerate(pvs)]
+        rv = suite.row_violations(batch.observe(obs_in, *in_aggs))
+        rv = rv.observe(obs_out, *out_aggs)
+
+        group = f"protovalidate-{pc}-{pvs[0]}-{len(pvs)}"
+        watch = _JobGroupTimeout(spark, group, partition_timeout_secs)
+        try:
+            with watch:
+                if len(live) == 1:
+                    (rv.write.mode("overwrite")
+                       .parquet(os.path.join(viol_dir, f"{pc}={pvs[0]}")))
+                else:
+                    (rv.write.mode("overwrite")
+                       .option("partitionOverwriteMode", "dynamic")
+                       .partitionBy(pc).parquet(viol_dir))
+        except Exception:
+            if not watch.fired:
+                raise
+            # deadline exceeded: first-class TIMEOUT violation row per
+            # partition + a resumable (non-complete) manifest rec
+            wall_ms = int((time.time() - t0) * 1000)
+            for pv, files, pdf in live:
+                row = _control_violation_row(
+                    spark, rv.schema, Code.TIMEOUT,
+                    f"partition job exceeded {partition_timeout_secs}s")
+                (row.write.mode("overwrite")
+                    .parquet(os.path.join(viol_dir, f"{pc}={pv}")))
+                append_manifest(manifest_dir, _manifest_rec(
+                    pv, snapshot_id, files, 0, 1, wall_ms,
+                    status=Code.TIMEOUT))
+                timed_out.append(pv)
+            continue
+
         wall_ms = int((time.time() - t0) * 1000)
-        append_manifest(manifest_dir, {
-            "part": pv, "snapshot_id": snapshot_id, "file_list": files,
-            "rows_scanned": rows, "violations": nv, "wall_ms": wall_ms,
-            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        })
-        ran.append(pv)
-        total_rows += rows
-        total_viol += nv
-        n_run += 1
-        if fail_fast and nv:
-            break
+        in_vals, out_vals = obs_in.get, obs_out.get
+        for i, (pv, files, _) in enumerate(live):
+            rows = in_vals[f"r{i}"]
+            nv = out_vals[f"v{i}"]
+            rec = _manifest_rec(pv, snapshot_id, files, rows, nv, wall_ms)
+            if len(live) > 1:
+                rec["batch_size"] = len(live)
+            append_manifest(manifest_dir, rec)
+            ran.append(pv)
+            total_rows += rows
+            total_viol += nv
+            if fail_fast and nv:
+                stop = True
 
     # global phase: dataset-level checks over the whole table — only once
     # every partition is checkpointed (a truncated run resumes later)
@@ -167,22 +340,22 @@ def run_checkpointed(
             gn = spark.read.parquet(os.path.join(output_dir, "global_violations")).count()
         else:
             gn = 0
-        append_manifest(manifest_dir, {
-            "part": GLOBAL_KEY, "snapshot_id": snapshot_id, "file_list": [],
-            "rows_scanned": 0, "violations": gn,
-            "wall_ms": int((time.time() - t0) * 1000),
-            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        })
+        append_manifest(manifest_dir, _manifest_rec(
+            GLOBAL_KEY, snapshot_id, [], 0, gn,
+            int((time.time() - t0) * 1000)))
         total_viol += gn
 
-    return RunReport(ran, skipped, total_rows, total_viol)
+    return RunReport(ran, skipped, total_rows, total_viol,
+                     timed_out, canceled)
 
 
 def verdicts_from_outputs(spark: SparkSession, output_dir: str,
                           partition_col: str = "part_date") -> DataFrame:
     """Reconstruct per-partition verdicts from the manifest + violation
     sink (pass ⇔ zero violations in partition, FIXTURES.md §5). Global
-    violations with a non-null partition key count against that partition."""
+    violations with a non-null partition key count against that partition.
+    TIMEOUT/CANCELED partitions report pass=false (their violation count
+    includes the control row; they are retried on resume)."""
     done = read_manifest(os.path.join(output_dir, "_manifest"))
     rows = []
     gv_path = os.path.join(output_dir, "global_violations")
@@ -197,7 +370,9 @@ def verdicts_from_outputs(spark: SparkSession, output_dir: str,
             continue
         extra = (gv or {}).get(pv, 0)
         n = rec["violations"] + extra
-        rows.append((pv, n == 0, rec["rows_scanned"], n, rec["wall_ms"]))
+        complete = rec.get("status", STATUS_COMPLETE) == STATUS_COMPLETE
+        rows.append((pv, complete and n == 0, rec["rows_scanned"], n,
+                     rec["wall_ms"]))
     return spark.createDataFrame(
         rows, "part_date string, pass boolean, rows_scanned long, "
               "violations long, wall_ms long")

@@ -218,6 +218,14 @@ def windowed_histogram_counts(
 
     nb = n_buckets or N_BUCKETS
     dtypes = dict(stream_df.dtypes)
+    missing = [c for c in baseline if c not in dtypes]
+    if missing:
+        raise ValueError(
+            f"baseline column(s) {missing} missing from the stream schema "
+            f"{sorted(dtypes)} — drop them from the baseline snapshot or "
+            f"add them to the stream (batch stats_drift_violations reports "
+            f"a missing column as a REQUIRED violation; a stream cannot, "
+            f"since its bucket projection is fixed at setup time)")
     entries = []
     for c in baseline:
         base = dtypes[c].split("(")[0]

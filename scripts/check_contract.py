@@ -59,9 +59,12 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    import time as _time
+    t_start = _time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t_q = _time.time()
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -98,7 +101,9 @@ def main():
                   f"oracle-only={diff_o}")
             failures += 1
             continue
-        print(f"OK    {name}: {len(srows)} rows match")
+        print(f"OK    {name}: {len(srows)} rows match "
+              f"[{_time.time() - t_q:.2f}s]")
+    print(f"TOTAL {_time.time() - t_start:.1f}s")
     spark.stop()
     sys.exit(1 if failures else 0)
 

@@ -146,3 +146,57 @@ def test_path_serializers():
     assert path_dot(segs) == "a.b[0]"
     assert path_json_pointer(["a/b", "c~d"]) == "/a~1b/c~0d"
     assert path_jsonpath(segs) == "$.a.b[0]"
+
+
+# -- struct-side dynamic buckets (object.go:237-279 + setter.go:30-52) -----
+
+def test_object_dynamic_bucket_routes_and_suppresses_unknown(spark):
+    """Undeclared columns matching the bucket pattern route to the bucket
+    map and stop being UNEXPECTED; explicit keys are never bucketed;
+    non-matching unknowns still trip UNEXPECTED; apply() consumes routed
+    columns from the top level (setter.go:30-52)."""
+    df = spark.createDataFrame(
+        [("a", 7, 9)], "name string, x_a int, y_z int")
+    rs = Object().with_key("name", String()).with_dynamic_bucket("^x_", "xs")
+    assert viols(spark, rs, df) == {("/y_z", Code.UNEXPECTED)}
+    b = df.select(rs.bucket_output(df).alias("b")).first()["b"]
+    assert b == {"xs": {"x_a": "7"}}
+    out = rs.with_unknown().apply(df)
+    assert "x_a" not in out.columns and "y_z" in out.columns
+    assert out.first()["xs"] == {"x_a": "7"}
+
+
+def test_object_dynamic_bucket_multi_membership_and_absent(spark):
+    """A column matching several bucket patterns lands in ALL of them; a
+    bucket with no matches does not appear (setter.go SetBucket)."""
+    df = spark.createDataFrame([(1, 5)], "id int, ab int")
+    rs = (Object().with_unknown()
+          .with_dynamic_bucket("^a", "bucket_a")
+          .with_dynamic_bucket("b$", "bucket_b")
+          .with_dynamic_bucket("^zz", "bucket_zz"))
+    b = df.select(rs.bucket_output(df).alias("b")).first()["b"]
+    assert b == {"bucket_a": {"ab": "5"}, "bucket_b": {"ab": "5"}}
+    out = rs.apply(df).first()
+    assert out["bucket_a"] == {"ab": "5"}
+    assert out["bucket_zz"] is None  # nothing routed
+
+
+def test_object_conditional_dynamic_bucket(spark):
+    """Routed only on rows where the condition holds; on other rows the
+    column falls back to UNEXPECTED (per-row analog of object.go:266-279
+    — the column itself cannot leave a fixed schema)."""
+    df = spark.createDataFrame(
+        [(99, 3), (1, 4)], "k int, y_b int")
+    rs = (Object().with_key("k", Int32())
+          .with_conditional_dynamic_bucket(
+              "^y_", lambda get: get("k") >= 50, "ys"))
+    v = {(r["k"], r["field_path"], r["rule_id"])
+         for r in rs.violations(df, row_key_cols=("k",)).collect()}
+    assert v == {(1, "/y_b", Code.UNEXPECTED)}
+    rows = {r["k"]: r["b"] for r in df.select(
+        "k", rs.bucket_output(df).alias("b")).collect()}
+    assert rows[99] == {"ys": {"y_b": "3"}}
+    assert rows[1] == {}
+    # conditional buckets keep the column at top level in apply()
+    out = rs.with_unknown().apply(df)
+    assert "y_b" in out.columns

@@ -8,6 +8,7 @@ distribution drift, audio decode) per SURVEY.md / BASELINE.json.
 
 from .errors import (  # noqa: F401
     Code, CompileError, collection_status, error_type, violations_for,
+    violations_for_as,
     with_error_type,
 )
 from .rules import (  # noqa: F401

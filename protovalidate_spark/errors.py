@@ -181,6 +181,17 @@ def violations_for(df, path: str, serializer: str = "default",
     return df.filter(F.col(path_col) == canonical)
 
 
+def violations_for_as(df, path: str, serializer: str,
+                      path_col: str = "field_path"):
+    """Collection.ForPathAs(path, serializer) (collection.go:85-102):
+    identical filter to :func:`violations_for`, with the serializer
+    REQUIRED — the reference compares ``err.PathAs(serializer) == path``;
+    since every serializer is a bijection on path segments, normalizing
+    the query to the stored default form is the same comparison, kept as
+    a pushable equality instead of re-serializing every row."""
+    return violations_for(df, path, serializer, path_col)
+
+
 def with_error_type(df, code_col: str = "rule_id",
                     out_col: str = "error_type"):
     """Append the classification column (validation | permission |

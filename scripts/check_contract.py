@@ -44,9 +44,14 @@ def main():
 
     import __spark_entry__ as entrymod
 
+    # driver memory is a knob: the replica collects both engines' full
+    # result sets, and at the 10x sweep (scripts/gen_sf1.py) a default-1g
+    # driver OOMs on the 2M-row validate_lineitem collect
+    dmem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
     spark = (SparkSession.builder.master("local[8]")
              .config("spark.sql.shuffle.partitions", "8")
              .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", dmem)
              .config("spark.sql.session.timeZone", "UTC")
              .appName("contract-check").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")

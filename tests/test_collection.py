@@ -87,3 +87,12 @@ def test_collection_status_empty_collection_is_all_false(spark):
     assert r["permission"] is False
     assert r["validation"] is False
     assert r["n_errors"] == 0
+
+
+def test_violations_for_as_alias(spark, viols):
+    """ForPathAs (collection.go:85-102): serializer-required variant is
+    the same pushable-equality filter."""
+    from protovalidate_spark import violations_for_as
+    assert {r["actual"] for r in
+            violations_for_as(viols, "tags[0]", "dot").collect()} == {"spam"}
+    assert violations_for_as(viols, "/email", "json_pointer").count() == 2

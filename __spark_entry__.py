@@ -804,6 +804,45 @@ def q_langid_documents(spark, sf_dir):
     return lang_id(d, "text").select("doc_id", "lang_pred")
 
 
+def q_repetition_documents(spark, sf_dir):
+    """Gopher/C4 repetition signals (pipeline/text.py) — map-only JVM
+    expressions; the oracle composes the identical arithmetic from
+    DuckDB list functions."""
+    from protovalidate_spark.pipeline import repetition_features
+    d = _t(spark, sf_dir, "documents")
+    r = repetition_features(d, "text")
+    return r.select("doc_id", "n_tokens",
+                    F.round("dup_word_frac", 6).alias("dup_w"),
+                    F.round("dup_2gram_frac", 6).alias("dup_2g"),
+                    F.round("mean_word_len", 6).alias("mwl"))
+
+
+def q_gopher_quality_documents(spark, sf_dir):
+    """Gopher-rule quality gates as violation rows."""
+    from protovalidate_spark.pipeline import gopher_quality_violations
+    d = _t(spark, sf_dir, "documents")
+    return gopher_quality_violations(d, "doc_id", "text") \
+        .select("doc_id", "field_path", "rule_id", "message")
+
+
+_PII_INJECT = (" contact bob@example.com or +1 (555) 123-4567 "
+               "from 10.0.0.1")
+
+
+def q_pii_documents(spark, sf_dir):
+    """PII pattern counts; the fixture corpus is synthetic word salad,
+    so deterministic PII text is injected into every 7th doc in BOTH the
+    Spark query and the SQL oracle (same pattern as curate_documents'
+    injected duplicates)."""
+    from protovalidate_spark.pipeline import pii_counts
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn("text", F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(_PII_INJECT))).otherwise(F.col("text")))
+    return pii_counts(d, "text").select(
+        "doc_id", "n_emails", "n_ipv4", "n_phones")
+
+
 def q_ann_topk_embeddings(spark, sf_dir):
     from protovalidate_spark.pipeline import cosine_topk
     e = _t(spark, sf_dir, "embeddings")
@@ -917,6 +956,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": q_simhash_documents,
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        # round-4 additions also run early (least driver history)
+        "repetition_documents": q_repetition_documents,
+        "gopher_quality_documents": q_gopher_quality_documents,
+        "pii_documents": q_pii_documents,
         "collection_lineitem": q_collection_lineitem,
         "conditional_orders": q_conditional_orders,
         "cross_column_lineitem": q_cross_column_lineitem,
@@ -1506,6 +1549,103 @@ def oracle_sql() -> dict[str, str]:
               FROM f
         """,
         "langid_documents": _langid_oracle_sql(),
+        "repetition_documents": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\s+')
+                     END AS w
+                FROM documents),
+            g AS (
+              SELECT doc_id, w,
+                     CASE WHEN len(w) >= 2 THEN
+                       list_transform(generate_series(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i + 1])
+                     ELSE CAST([] AS VARCHAR[]) END AS g2
+                FROM t)
+            SELECT doc_id, len(w)::BIGINT AS n_tokens,
+                   ROUND(CASE WHEN len(w) > 0 THEN
+                     1.0 - len(list_distinct(w))::DOUBLE / len(w)
+                     ELSE 0.0 END, 6) AS dup_w,
+                   ROUND(CASE WHEN len(g2) > 0 THEN
+                     1.0 - len(list_distinct(g2))::DOUBLE / len(g2)
+                     ELSE 0.0 END, 6) AS dup_2g,
+                   ROUND(CASE WHEN len(w) > 0 THEN
+                     list_sum(list_transform(w, x -> length(x)))::DOUBLE
+                       / len(w)
+                     ELSE 0.0 END, 6) AS mwl
+              FROM g
+        """,
+        "gopher_quality_documents": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\s+')
+                     END AS w
+                FROM documents),
+            f AS (
+              SELECT doc_id,
+                     len(w) AS n,
+                     CASE WHEN len(w) > 0 THEN
+                       1.0 - len(list_distinct(w))::DOUBLE / len(w)
+                       ELSE 0.0 END AS dup_w,
+                     CASE WHEN len(w) >= 3 THEN
+                       1.0 - len(list_distinct(
+                         list_transform(generate_series(1, len(w) - 2),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                         ))::DOUBLE / (len(w) - 2)
+                       ELSE 0.0 END AS dup_3g,
+                     CASE WHEN len(w) > 0 THEN
+                       list_sum(list_transform(w, x -> length(x)))::DOUBLE
+                         / len(w) ELSE 0.0 END AS mwl,
+                     CASE WHEN len(w) > 0 THEN
+                       len(regexp_extract_all(text,
+                           '(#|\.\.\.|…)'))::DOUBLE / len(w)
+                       ELSE 0.0 END AS symr
+                FROM t)
+            SELECT doc_id, '/text' AS field_path, 'MIN_LEN' AS rule_id,
+                   'fewer than 50 tokens' AS message
+              FROM f WHERE n < 50
+            UNION ALL
+            SELECT doc_id, '/text', 'MAX_LEN', 'more than 100000 tokens'
+              FROM f WHERE n > 100000
+            UNION ALL
+            SELECT doc_id, '/text', 'RANGE',
+                   'mean word length outside band'
+              FROM f WHERE n >= 50 AND (mwl < 3.0 OR mwl > 10.0)
+            UNION ALL
+            SELECT doc_id, '/text', 'REPETITION',
+                   'duplicate-word fraction above cap'
+              FROM f WHERE dup_w > 0.5
+            UNION ALL
+            SELECT doc_id, '/text', 'REPETITION',
+                   'duplicate-3gram fraction above cap'
+              FROM f WHERE dup_3g > 0.6
+            UNION ALL
+            SELECT doc_id, '/text', 'MAX',
+                   'symbol-to-word ratio above cap'
+              FROM f WHERE symr > 0.1
+        """,
+        "pii_documents": rf"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || '{_PII_INJECT}'
+                          ELSE text END AS text
+                FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'
+                     ))::BIGINT AS n_emails,
+                   len(regexp_extract_all(text,
+                     '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b'
+                     ))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(text,
+                     '\+\d[\d()\- ]{{7,}}\d'))::BIGINT AS n_phones
+              FROM d
+        """,
         "ann_topk_embeddings": """
             WITH q AS (SELECT embedding::DOUBLE[] v FROM embeddings
                        ORDER BY vec_id LIMIT 1)

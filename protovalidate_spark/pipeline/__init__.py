@@ -1,7 +1,8 @@
 from .text import (  # noqa: F401
-    bpe_ish_token_count, fingerprint, lang_id, normalize_text, punct_ratio,
-    quality_features, quality_score, rolling_hash_fingerprint,
-    stopword_ratio, token_count, tokens,
+    bpe_ish_token_count, fingerprint, gopher_quality_violations, lang_id,
+    normalize_text, pii_counts, punct_ratio, quality_features, quality_score,
+    repetition_features, rolling_hash_fingerprint, stopword_ratio,
+    token_count, tokens,
 )
 from .dedup import (  # noqa: F401
     connected_components, cosine_sim, embedding_near_dups, exact_duplicates,

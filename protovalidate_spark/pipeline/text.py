@@ -13,6 +13,8 @@ from typing import Dict, Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..errors import Code
+
 # Minimal stopword sets per language for the n-gram/stopword heuristic.
 STOPWORDS: Dict[str, Sequence[str]] = {
     "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
@@ -180,6 +182,131 @@ def lang_id(df: DataFrame, text_col: str = "text",
     pred = pred.otherwise(F.lit("und"))
     return (stage.withColumn(out_col, pred)
             .drop(*[f"__langid_s_{lang}" for lang in LANG_ORDER]))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style repetition signals, pure JVM map-only expressions
+    (the standard "remove boilerplate / degenerate text" gates a
+    training-data pipeline runs before dedup):
+
+    - ``n_tokens`` — whitespace tokens;
+    - ``dup_word_frac`` — 1 - distinct/total tokens (word-level
+      repetition; 0 for empty docs);
+    - ``dup_2gram_frac`` / ``dup_3gram_frac`` — same at n-gram level
+      (catches loops/boilerplate the word level misses);
+    - ``mean_word_len`` — characters per token (degenerate text sits
+      far from the ~4-6 natural-language band);
+    - ``symbol_word_ratio`` — '#'/ellipsis occurrences per token
+      (Gopher's symbol gate);
+    - ``max_line_frac`` — longest line's share of characters (1.0 for
+      single-line docs; boilerplate pages repeat one long line).
+
+    At 100 TB: no shuffle, no UDF — one whole-stage-codegen projection,
+    fully pushdown-friendly. The DuckDB oracle composes the identical
+    arithmetic from list functions (test parity + contract query)."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n = F.size(toks)
+
+    def dup_frac(arr):
+        m = F.size(arr)
+        return F.when(m > 0, 1.0 - F.size(F.array_distinct(arr)) / m) \
+                .otherwise(F.lit(0.0))
+
+    def ngrams(k):
+        # guard: sequence(1, 0) DESCENDS in Spark, so docs shorter than
+        # k tokens must short-circuit to an empty n-gram list
+        return F.when(n >= k, F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        ).otherwise(F.array().cast("array<string>"))
+
+    total_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0),
+        lambda acc, v: acc + v)
+    lines = F.split(c, r"\n")
+    max_line = F.array_max(F.transform(lines, F.length))
+    n_sym = F.size(F.regexp_extract_all(c, F.lit(r"(#|\.\.\.|…)"), 0))
+    return df.select(
+        "*",
+        n.cast("bigint").alias("n_tokens"),
+        dup_frac(toks).alias("dup_word_frac"),
+        dup_frac(ngrams(2)).alias("dup_2gram_frac"),
+        dup_frac(ngrams(3)).alias("dup_3gram_frac"),
+        F.when(n > 0, total_chars / n).otherwise(F.lit(0.0))
+         .alias("mean_word_len"),
+        F.when(n > 0, n_sym / n).otherwise(F.lit(0.0))
+         .alias("symbol_word_ratio"),
+        F.when(F.length(c) > 0, max_line / F.length(c))
+         .otherwise(F.lit(0.0)).alias("max_line_frac"),
+    )
+
+
+def gopher_quality_violations(df: DataFrame, id_col: str,
+                              text_col: str = "text",
+                              min_tokens: int = 50,
+                              max_tokens: int = 100_000,
+                              min_mean_word_len: float = 3.0,
+                              max_mean_word_len: float = 10.0,
+                              max_dup_word_frac: float = 0.5,
+                              max_dup_3gram_frac: float = 0.6,
+                              max_symbol_word_ratio: float = 0.1) -> DataFrame:
+    """Gopher-rule quality gates as violation rows (field_path, rule_id
+    matching the engine's error shape): doc-length band, mean-word-length
+    band, word/3-gram repetition caps, symbol ratio cap. Thresholds
+    default to the published Gopher ranges; every gate is one boolean
+    over the :func:`repetition_features` projection."""
+    f = repetition_features(df, text_col)
+    gates = [
+        (F.col("n_tokens") < min_tokens, Code.MIN_LEN,
+         f"fewer than {min_tokens} tokens"),
+        (F.col("n_tokens") > max_tokens, Code.MAX_LEN,
+         f"more than {max_tokens} tokens"),
+        ((F.col("n_tokens") >= min_tokens)
+         & ((F.col("mean_word_len") < min_mean_word_len)
+            | (F.col("mean_word_len") > max_mean_word_len)), Code.RANGE,
+         "mean word length outside band"),
+        (F.col("dup_word_frac") > max_dup_word_frac, "REPETITION",
+         "duplicate-word fraction above cap"),
+        (F.col("dup_3gram_frac") > max_dup_3gram_frac, "REPETITION",
+         "duplicate-3gram fraction above cap"),
+        (F.col("symbol_word_ratio") > max_symbol_word_ratio, Code.MAX,
+         "symbol-to-word ratio above cap"),
+    ]
+    parts = []
+    for cond, code, msg in gates:
+        parts.append(f.filter(F.coalesce(cond, F.lit(False))).select(
+            F.col(id_col),
+            F.lit(f"/{text_col}").alias("field_path"),
+            F.lit(code).alias("rule_id"),
+            F.lit(msg).alias("message")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_PII_PATTERNS = {
+    # shared verbatim with the DuckDB oracle (Java regex ∩ RE2 syntax)
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "n_phones": r"\+\d[\d()\- ]{7,}\d",
+}
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII pattern counts (emails, IPv4 literals,
+    international-format phone numbers) — the scrub-before-training
+    scan. Pure ``regexp_extract_all`` projections (map-only, no UDF);
+    patterns are deliberately in the Java-regex ∩ RE2 subset so the
+    DuckDB oracle runs them verbatim. Detection counts only — redaction
+    would be one ``regexp_replace`` per column with the same patterns."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        *[F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+          .cast("bigint").alias(name)
+          for name, pat in _PII_PATTERNS.items()])
 
 
 def normalize_text(col: Column) -> Column:

@@ -73,3 +73,57 @@ def test_lang_id_japanese_beats_cjk(spark):
         [(1, "日本語の文章は漢字とかなで書かれています")],
         "doc_id int, text string")
     assert lang_id(df, "text").collect()[0]["lang_pred"] == "ja"
+
+
+# -- Gopher/C4 repetition + PII operators (round 4) -------------------------
+
+def test_repetition_features_values(spark):
+    from protovalidate_spark.pipeline import repetition_features
+    df = spark.createDataFrame([
+        (1, "the cat sat on the mat with the cat again and again today"),
+        (2, "a a a a a a a a a a"),
+        (3, ""),
+        (4, "line one\n" + "x" * 80 + "\nline three"),
+    ], "doc_id int, text string")
+    r = {x["doc_id"]: x for x in repetition_features(df).collect()}
+    assert r[1]["n_tokens"] == 13
+    assert r[1]["dup_word_frac"] == pytest.approx(4 / 13)
+    assert r[1]["dup_3gram_frac"] == 0.0
+    assert r[2]["dup_word_frac"] == pytest.approx(0.9)
+    assert r[2]["dup_2gram_frac"] == pytest.approx(8 / 9)
+    assert r[2]["mean_word_len"] == 1.0
+    # empty doc: every feature 0, never NULL/NaN
+    assert all(r[3][k] == 0 for k in
+               ("n_tokens", "dup_word_frac", "dup_2gram_frac",
+                "dup_3gram_frac", "mean_word_len", "symbol_word_ratio",
+                "max_line_frac"))
+    assert r[4]["max_line_frac"] == pytest.approx(80 / len(
+        "line one\n" + "x" * 80 + "\nline three"))
+
+
+def test_gopher_gates(spark):
+    from protovalidate_spark.pipeline import gopher_quality_violations
+    df = spark.createDataFrame([
+        (1, "a a a a a a a a a a"),            # repetition + short + mwl
+        (2, "normal words flowing nicely here"),  # short only (min 5 ok)
+        (3, "### ## # lots of # symbols here plus more words"),
+    ], "doc_id int, text string")
+    got = {(r["doc_id"], r["rule_id"])
+           for r in gopher_quality_violations(
+               df, "doc_id", min_tokens=5).collect()}
+    assert (1, "REPETITION") in got and (1, "RANGE") in got
+    assert (3, "MAX") in got          # symbol ratio
+    assert not any(d == 2 for d, _ in got)
+
+
+def test_pii_counts(spark):
+    from protovalidate_spark.pipeline import pii_counts
+    df = spark.createDataFrame([
+        (1, "reach a@b.io and c.d+tag@ex.co.uk or +44 20 7946 0958"),
+        (2, "server at 192.168.0.1 and 10.0.0.255; version 1.2 is not an ip"),
+        (3, "clean text with no identifiers at all"),
+    ], "doc_id int, text string")
+    r = {x["doc_id"]: x for x in pii_counts(df).collect()}
+    assert (r[1]["n_emails"], r[1]["n_phones"]) == (2, 1)
+    assert r[2]["n_ipv4"] == 2 and r[2]["n_emails"] == 0
+    assert (r[3]["n_emails"], r[3]["n_ipv4"], r[3]["n_phones"]) == (0, 0, 0)

@@ -490,24 +490,56 @@ def _spread(df: DataFrame) -> DataFrame:
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                       prefix_bits: int = 16, max_hamming: int = 3,
-                      max_bucket: int = 20000) -> DataFrame:
+                      max_bucket: int = 20000,
+                      rotations: int = 1) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on the top ``prefix_bits`` bits,
-    verify Hamming distance within buckets (one rotation; multi-rotation
-    probing is the standard recall extension).
+    verify Hamming distance within buckets.
 
-    One shuffle on the bucket, then each bucket's pairwise XOR-popcount
-    runs in fixed-size row chunks (memory O(chunk × bucket), never a
-    dense n×n block) inside the sorted-run ``mapInPandas`` (see
-    ``_grouped_run_map`` — 2^prefix_bits mostly-tiny buckets made
-    per-group applyInPandas dispatch the bottleneck), with hot buckets
-    capped at ``max_bucket`` smallest ids — the previous self-join
-    evaluated the SimHash kernel once per join SIDE (Catalyst does not
-    CSE across join branches) and shuffled every signature twice."""
+    ``rotations`` is the standard multi-probe recall knob (the SimHash
+    analog of the embedding path's OR-amplified bands): rotation r
+    buckets on the top bits of the signature rotated left by
+    r·(64/rotations), so a pair whose differing bits fall inside the
+    top-``prefix_bits`` window of one rotation still collides in
+    another. A pair with Hamming distance d survives ≥1 rotation with
+    probability ≈ 1-(1-(1-prefix_bits/64)^d)^rotations. Hamming is
+    always verified on the ORIGINAL signature; duplicate collisions
+    across rotations collapse in one tiny pair-level agg.
+
+    One shuffle on the (rotation, bucket) key, then each bucket's
+    pairwise XOR-popcount runs in fixed-size row chunks (memory
+    O(chunk × bucket), never a dense n×n block) inside the sorted-run
+    ``mapInPandas`` (see ``_grouped_run_map`` — 2^prefix_bits
+    mostly-tiny buckets made per-group applyInPandas dispatch the
+    bottleneck), with hot buckets capped at ``max_bucket`` smallest
+    ids — the previous self-join evaluated the SimHash kernel once per
+    join SIDE (Catalyst does not CSE across join branches) and
+    shuffled every signature twice."""
+    if not 1 <= rotations <= 64:
+        raise ValueError("rotations must be in [1, 64]")
     sh = _spread(df.select(F.col(id_col).alias("__id"),
                            F.col(text_col).alias("__t"))) \
         .select("__id", simhash_udf()(F.col("__t")).alias("__sh"))
-    bucketed = sh.withColumn(
-        "bucket", F.shiftrightunsigned(F.col("__sh"), 64 - prefix_bits))
+    if rotations == 1:
+        bucketed = sh.withColumn(
+            "bucket", F.shiftrightunsigned(F.col("__sh"), 64 - prefix_bits))
+        group_keys = ["bucket"]
+    else:
+        step = 64 // rotations
+        c = F.col("__sh")
+
+        def rot_bucket(r):
+            k = r * step
+            rolled = c if k == 0 else (
+                F.shiftleft(c, k).bitwiseOR(F.shiftrightunsigned(c, 64 - k)))
+            return F.shiftrightunsigned(rolled, 64 - prefix_bits)
+
+        rots = [F.struct(F.lit(r).alias("rot"),
+                         rot_bucket(r).alias("bucket"))
+                for r in range(rotations)]
+        bucketed = (sh.select("__id", "__sh",
+                              F.explode(F.array(*rots)).alias("rb"))
+                    .select("__id", "__sh", "rb.rot", "rb.bucket"))
+        group_keys = ["rot", "bucket"]
     id_t = dict(df.dtypes)[id_col]
     schema = f"id_a {id_t}, id_b {id_t}, hamming int"
 
@@ -531,9 +563,15 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
         return pd.concat(outs, ignore_index=True)
 
-    return (_grouped_run_map(bucketed, ["bucket"], bucket_pairs, schema,
-                             max_bucket)
-            .select("id_a", "id_b", "hamming"))
+    pairs = (_grouped_run_map(bucketed, group_keys, bucket_pairs, schema,
+                              max_bucket)
+             .select("id_a", "id_b", "hamming"))
+    if rotations > 1:
+        # a pair can collide in several rotations; hamming is computed
+        # from the original signature, so min == the single value
+        pairs = pairs.groupBy("id_a", "id_b").agg(
+            F.min("hamming").alias("hamming"))
+    return pairs
 
 
 # ---------------------------------------------------------------------------

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from protovalidate_spark.pipeline import (
     build_lsh_index, cosine_topk, embedding_near_dups, ivf_assign, ivf_topk,
-    lsh_topk, train_centroids,
+    lsh_topk, simhash_near_dups, train_centroids,
 )
 from protovalidate_spark.pipeline.similarity import (
     cosine_to_query, signature_of,
@@ -490,3 +490,34 @@ def test_signature_null_and_ragged_vectors(spark):
     assert got["nul"] is None and got["rag"] is None
     assert got["ok1"] == signature_of(rows[0][1], hp)
     assert got["ok2"] == signature_of(rows[1][1], hp)
+
+
+def test_simhash_multi_rotation_recall(spark):
+    """Multi-probe rotations (the SimHash analog of OR-amplified bands):
+    rotations>1 must be a SUPERSET of the single-rotation pairs (pairs
+    whose differing bits fall in the top-prefix window of one rotation
+    collide in another), with hamming verified on the original
+    signature, the kernel evaluated once, and only the bucket + pair-
+    dedup exchanges in the plan."""
+    base = ["the quick brown fox jumps over the lazy dog and runs far home",
+            "spark rows columns shuffle partition join agg scan filter sort"]
+    rows = []
+    for i in range(40):
+        rows.append((f"d{i:03d}",
+                     base[i % 2] + f" extra{i} words{i*7%13} here{i*3%11}"))
+    for i in range(10):
+        rows.append((f"n{i:03d}",
+                     base[i % 2] + f" extra{i} words{i*7%13} changed{i}"))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    kw = dict(prefix_bits=16, max_hamming=8)
+    p1 = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(
+        df, "doc_id", "text", **kw).collect()}
+    p4 = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(
+        df, "doc_id", "text", rotations=4, **kw).collect()}
+    assert p1 <= p4 and len(p4) > len(p1)
+    # plan from a FRESH query: after execution AQE's toString prints
+    # Final + Initial sections and double-counts every node
+    plan = simhash_near_dups(df, "doc_id", "text", rotations=4, **kw) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1  # simhash kernel once
+    assert plan.count("Exchange") <= 3

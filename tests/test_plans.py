@@ -86,3 +86,37 @@ def test_rule_queries_are_shuffle_free(spark):
                  "domain_suffix_customer"]:
         plan = _plan(qs[name](spark, "/root/testdata/sf0.001"))
         assert "Exchange" not in plan, f"{name} shuffles"
+
+
+def test_lsh_neardup_plan_shape(spark):
+    """The sorted-run bucket verify (pipeline/dedup._grouped_run_map)
+    must compile to: one hash Exchange on the (band,bucket) key + one
+    in-partition sort + ONE MapInPandas (not per-group FlatMapGroups),
+    and one more Exchange only for the tiny pair-level dedup agg. An
+    extra exchange or a re-evaluated signature stage here multiplies
+    the dominant shuffle at 100 TB."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from protovalidate_spark.pipeline import embedding_near_dups
+    rng = np.random.RandomState(3)
+    X = rng.randn(300, 16)
+    import tempfile
+    path = tempfile.mktemp(suffix=".parquet")
+    vecs = pa.FixedSizeListArray.from_arrays(
+        pa.array(X.reshape(-1)), 16).cast(pa.list_(pa.float64()))
+    pq.write_table(pa.table(
+        {"vec_id": pa.array([f"v{i}" for i in range(300)]), "vec": vecs}),
+        path)
+    df = spark.read.parquet(path)
+    pairs = embedding_near_dups(df, "vec_id", "vec", threshold=0.9,
+                                planes=8, seed=11, bands=4)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan  # the per-group slow path
+    assert plan.count("ArrowEvalPython") == 1   # signature kernel once
+    # exchanges: bucket repartition, pair-dedup agg, (optional) initial
+    # round-robin spread of the single-file input — never more
+    assert plan.count("Exchange") <= 3

@@ -911,6 +911,18 @@ def q_simhash_documents(spark, sf_dir):
                              max_hamming=6)
 
 
+def q_ngram_jaccard_documents(spark, sf_dir):
+    """Exact all-pairs n-gram Jaccard with lossless PPJoin-style prefix
+    filtering (pipeline/dedup.py prefix_jaccard_pairs). Output is the
+    integer (inter, uni) set sizes — the SQL oracle does the naive
+    quadratic blocking version; prefix filtering only shrinks the
+    CANDIDATE set, the verified output is provably identical."""
+    from protovalidate_spark.pipeline import prefix_jaccard_pairs
+    d = _t(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(d, "doc_id", "text", shingle_n=3,
+                                threshold_num=1, threshold_den=2)
+
+
 def q_ivf_topk_embeddings(spark, sf_dir):
     """IVF ANN probe: driver-side k-means on a bounded sample, argmax
     cell assignment, exact cosine within n_probe nearest cells —
@@ -957,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         # round-4 additions also run early (least driver history)
+        "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "repetition_documents": q_repetition_documents,
         "gopher_quality_documents": q_gopher_quality_documents,
         "pii_documents": q_pii_documents,
@@ -1549,6 +1562,37 @@ def oracle_sql() -> dict[str, str]:
               FROM f
         """,
         "langid_documents": _langid_oracle_sql(),
+        # naive quadratic blocking; the Spark side prefix-filters the
+        # candidate set (lossless for the threshold) — identical output
+        "ngram_jaccard_documents": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(
+                         lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                         '\s+', ' ', 'g')), ' ') AS t
+                FROM documents WHERE text IS NOT NULL),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN list_distinct(
+                       [array_to_string(t[i:i+2], ' ')
+                        for i in generate_series(1, len(t) - 2)])
+                     ELSE [] END AS s
+                FROM toks),
+            sizes AS (SELECT doc_id, len(s) AS sz FROM sh WHERE len(s) > 0),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS inter
+                FROM ex a JOIN ex b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+            SELECT id_a, id_b, CAST(inter AS INT) AS inter,
+                   CAST(sa.sz + sb.sz - inter AS INT) AS uni
+              FROM cand
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+             WHERE inter * 2 >= (sa.sz + sb.sz - inter) * 1
+        """,
         "repetition_documents": r"""
             WITH t AS (
               SELECT doc_id,

@@ -7,8 +7,8 @@ from .text import (  # noqa: F401
 from .dedup import (  # noqa: F401
     connected_components, cosine_sim, embedding_near_dups, exact_duplicates,
     jaccard_pairs, minhash_from_hashes, minhash_lsh_candidates,
-    minhash_signature, ngram_jaccard_dedup, shingle_hashes, simhash_near_dups,
-    word_shingles,
+    minhash_signature, ngram_jaccard_dedup, prefix_jaccard_pairs,
+    shingle_hashes, simhash_near_dups, word_shingles,
 )
 from .similarity import (  # noqa: F401
     band_planes, build_lsh_index, cosine_topk, hyperplane_signatures,

@@ -19,7 +19,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -339,6 +339,89 @@ def ngram_jaccard_dedup(df: DataFrame, id_col: str, text_col: str,
         out = jaccard_pairs(df, id_col, text_col, cand, shingle_n, threshold,
                             shingles=sh)
         return out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+
+
+def prefix_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                         shingle_n: int = 3,
+                         threshold_num: int = 1, threshold_den: int = 2,
+                         freq_order: bool = True) -> DataFrame:
+    """EXACT all-pairs n-gram-Jaccard join with lossless prefix filtering
+    (the SSJoin/PPJoin family): (id_a, id_b, inter, uni) for every pair
+    with Jaccard = inter/uni >= threshold_num/threshold_den.
+
+    Naive all-pairs blocking ("docs sharing any shingle") floods the
+    candidate join with every pair that shares a stop-shingle. Prefix
+    filtering fixes the scale shape: order each doc's shingle set by a
+    global canonical order and index only its first
+    ``|s| - ceil(theta*|s|) + 1`` shingles — any pair with Jaccard >=
+    theta MUST collide inside both prefixes, so the exact verify stage
+    sees a candidate set near output size, not corpus-squared. With
+    ``freq_order`` (the default, and the order that matters at scale)
+    the canonical order is global-frequency-ascending, so prefixes land
+    on each doc's RAREST shingles; ``freq_order=False`` skips the
+    frequency pass and uses lexicographic order (still lossless, larger
+    candidate set — fine for small corpora / tests).
+
+    The threshold is an integer ratio and the output columns are
+    integer set sizes: the accept test ``inter * den >= uni * num`` and
+    the emitted (inter, uni) are exact in ANY engine, so an external
+    SQL oracle that does the naive quadratic version must agree
+    bit-for-bit — prefix filtering is lossless, only the candidate set
+    differs. (Reference parity: dedup/near-dup has no Go counterpart —
+    this is the training-pipeline extension family; string shingles
+    reuse word_shingles/normalize_text so fingerprints line up.)"""
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError("threshold must be a ratio in (0, 1]: "
+                         f"{threshold_num}/{threshold_den}")
+    num, den = int(threshold_num), int(threshold_den)
+    sh = (_spread(df.select(F.col(id_col).alias("__id"),
+                            F.col(text_col).alias("__t")))
+          .select("__id", word_shingles(F.col("__t"), shingle_n).alias("s"))
+          .filter(F.size("s") > 0)
+          .withColumn("sz", F.size("s"))
+          .persist())
+    try:
+        # prefix length p = sz - ceil(theta*sz) + 1, in exact integer math
+        p = (F.col("sz") - F.floor((num * F.col("sz") + den - 1) / den)
+             + 1).cast("int")
+        if freq_order:
+            ex = sh.select("__id", "sz", F.explode("s").alias("g"))
+            freq = ex.groupBy("g").agg(F.count("*").alias("freq"))
+            w = Window.partitionBy("__id").orderBy("freq", "g")
+            pref = (ex.join(freq, "g")
+                      .withColumn("rnk", F.row_number().over(w))
+                      .filter(F.col("rnk") <= p)
+                      .select("__id", "sz", "g"))
+        else:
+            pref = sh.select(
+                "__id", "sz",
+                F.explode(F.slice(F.array_sort("s"), F.lit(1), p))
+                 .alias("g"))
+        a, b = pref.alias("a"), pref.alias("b")
+        # size filter: J >= theta forces num*max(|A|,|B|) <= den*min
+        cand = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                       & (F.col("a.__id") < F.col("b.__id"))
+                       & (num * F.greatest("a.sz", "b.sz")
+                          <= den * F.least("a.sz", "b.sz")))
+                 .select(F.col("a.__id").alias("id_a"),
+                         F.col("b.__id").alias("id_b"))
+                 .distinct())
+        verified = (cand
+                    .join(sh.select(F.col("__id").alias("id_a"),
+                                    F.col("s").alias("sa"),
+                                    F.col("sz").alias("sza")), "id_a")
+                    .join(sh.select(F.col("__id").alias("id_b"),
+                                    F.col("s").alias("sb"),
+                                    F.col("sz").alias("szb")), "id_b")
+                    .withColumn("inter",
+                                F.size(F.array_intersect("sa", "sb")))
+                    .withColumn("uni",
+                                F.col("sza") + F.col("szb") - F.col("inter"))
+                    .filter(F.col("inter") * den >= F.col("uni") * num)
+                    .select("id_a", "id_b", "inter", "uni"))
+        return verified.localCheckpoint(eager=True)
     finally:
         sh.unpersist()
 

@@ -324,6 +324,61 @@ def test_shingle_hashes_match_string_shingles(spark):
     assert ("a", "c") not in got
 
 
+def test_prefix_jaccard_pairs_exact_and_lossless(spark):
+    """prefix_jaccard_pairs is an EXACT join: output must equal the
+    naive quadratic ground truth (prefix filtering only prunes
+    candidates), under both canonical orders, with integer set sizes."""
+    import itertools
+    import re
+
+    from protovalidate_spark.pipeline import prefix_jaccard_pairs
+    docs = [
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "one two three four five six seven eight nine eleven"),
+        (3, "totally different words appear in this document here now"),
+        (4, "One, two three FOUR five six seven eight nine ten!"),
+        (5, "one two"),            # < n tokens: no shingles
+        (6, ""),                   # empty
+        (7, None),                 # null text
+        (8, "totally different words appear in this document here today"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def shingles(t, n=3):
+        t = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", " ", t.lower())).strip()
+        w = t.split()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    truth = {}
+    sets = {i: shingles(t) for i, t in docs if t}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter, uni = len(sa & sb), len(sa | sb)
+        if inter * 2 >= uni:
+            truth[(a, b)] = (inter, uni)
+
+    for freq_order in (True, False):
+        got = {(r["id_a"], r["id_b"]): (r["inter"], r["uni"])
+               for r in prefix_jaccard_pairs(
+                   df, "doc_id", "text", shingle_n=3,
+                   threshold_num=1, threshold_den=2,
+                   freq_order=freq_order).collect()}
+        assert got == truth, (freq_order, got, truth)
+    assert (1, 4) in truth  # case/punct-noise pair survives normalize
+
+    # threshold 1/1: exact-duplicate shingle sets only (inter == uni)
+    exact = prefix_jaccard_pairs(df, "doc_id", "text", shingle_n=3,
+                                 threshold_num=1, threshold_den=1).collect()
+    assert {(r["id_a"], r["id_b"]) for r in exact} == \
+        {p for p, (i, u) in truth.items() if i == u} == {(1, 4)}
+
+    with pytest.raises(ValueError):
+        prefix_jaccard_pairs(df, "doc_id", "text", threshold_num=3,
+                             threshold_den=2)
+
+
 def test_minhash_signature_estimates_jaccard(spark):
     """MinHash quality gate: the fraction of agreeing signature
     coordinates must track the true Jaccard similarity (this is the

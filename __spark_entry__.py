@@ -923,6 +923,18 @@ def q_ngram_jaccard_documents(spark, sf_dir):
                                 threshold_num=1, threshold_den=2)
 
 
+def q_decontaminate_documents(spark, sf_dir):
+    """Benchmark decontamination (pipeline/dedup.py contamination_hits):
+    docs sharing any 4-gram with the deterministic eval split
+    (doc_id % 50 == 0), hits = distinct shared shingles. Broadcast
+    semi-join shape: the eval gram set is tiny next to the corpus."""
+    from protovalidate_spark.pipeline import contamination_hits
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return contamination_hits(train, bench, "doc_id", "text", shingle_n=4)
+
+
 def q_ivf_topk_embeddings(spark, sf_dir):
     """IVF ANN probe: driver-side k-means on a bounded sample, argmax
     cell assignment, exact cosine within n_probe nearest cells —
@@ -970,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         # round-4 additions also run early (least driver history)
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "decontaminate_documents": q_decontaminate_documents,
         "repetition_documents": q_repetition_documents,
         "gopher_quality_documents": q_gopher_quality_documents,
         "pii_documents": q_pii_documents,
@@ -1592,6 +1605,28 @@ def oracle_sql() -> dict[str, str]:
               JOIN sizes sa ON sa.doc_id = id_a
               JOIN sizes sb ON sb.doc_id = id_b
              WHERE inter * 2 >= (sa.sz + sb.sz - inter) * 1
+        """,
+        "decontaminate_documents": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(
+                         lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                         '\s+', ' ', 'g')), ' ') AS t
+                FROM documents WHERE text IS NOT NULL),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 4 THEN list_distinct(
+                       [array_to_string(t[i:i+3], ' ')
+                        for i in generate_series(1, len(t) - 3)])
+                     ELSE [] END AS s
+                FROM toks),
+            bg AS (SELECT DISTINCT unnest(s) AS g FROM sh
+                    WHERE doc_id % 50 = 0),
+            train AS (SELECT doc_id, unnest(s) AS g FROM sh
+                       WHERE doc_id % 50 <> 0)
+            SELECT train.doc_id, count(*) AS hits
+              FROM train JOIN bg ON train.g = bg.g
+             GROUP BY 1
         """,
         "repetition_documents": r"""
             WITH t AS (

@@ -5,7 +5,8 @@ from .text import (  # noqa: F401
     token_count, tokens,
 )
 from .dedup import (  # noqa: F401
-    connected_components, cosine_sim, embedding_near_dups, exact_duplicates,
+    connected_components, contamination_hits, cosine_sim,
+    embedding_near_dups, exact_duplicates,
     jaccard_pairs, minhash_from_hashes, minhash_lsh_candidates,
     minhash_signature, ngram_jaccard_dedup, prefix_jaccard_pairs,
     shingle_hashes, simhash_near_dups, word_shingles,

@@ -426,6 +426,35 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         sh.unpersist()
 
 
+def contamination_hits(df: DataFrame, bench_df: DataFrame,
+                       id_col: str, text_col: str,
+                       shingle_n: int = 4) -> DataFrame:
+    """Benchmark decontamination scan: (id, hits) for every training
+    document sharing at least one n-gram shingle with ANY document in
+    ``bench_df`` (the eval/benchmark corpus); ``hits`` counts the
+    distinct shared shingles.
+
+    Scale shape: eval suites are MB-sized next to a 100-TB training
+    corpus, so the DISTINCT benchmark gram set is broadcast and the
+    corpus side is a map-only explode + broadcast hash join — the only
+    shuffle is the per-doc count over the (rare) contaminated grams.
+    Shingles reuse word_shingles/normalize_text, so the gram space is
+    identical to the dedup family's. Callers decontaminate by
+    anti-joining ids with ``hits`` above their budget (flag-and-review
+    is the usual pipeline posture, not silent drops)."""
+    grams = (bench_df
+             .select(word_shingles(F.col(text_col), shingle_n).alias("s"))
+             .select(F.explode("s").alias("g"))
+             .distinct())
+    train = df.select(F.col(id_col).alias(id_col),
+                      word_shingles(F.col(text_col), shingle_n).alias("s")) \
+              .select(id_col, F.explode("s").alias("g"))
+    # per-doc shingles are already distinct, so count(*) == distinct hits
+    return (train.join(F.broadcast(grams), "g")
+                 .groupBy(id_col)
+                 .agg(F.count("*").alias("hits")))
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

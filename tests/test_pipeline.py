@@ -379,6 +379,33 @@ def test_prefix_jaccard_pairs_exact_and_lossless(spark):
                              threshold_den=2)
 
 
+def test_contamination_hits_counts_and_broadcasts(spark):
+    """Decontamination scan: hits must equal the distinct shared-shingle
+    count vs the WHOLE benchmark set (union over eval docs), clean docs
+    must be absent, and the gram join must be a broadcast (the 100-TB
+    shape: eval suites are tiny next to the corpus)."""
+    from protovalidate_spark.pipeline import contamination_hits
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"),
+         (101, "one two three four five")],
+        "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon eta"),   # 2 shared 4-grams
+         (2, "one two three four five six"),           # 2 shared
+         (3, "totally clean document with no overlap at all"),
+         (4, "x alpha beta gamma delta y one two three four z")],  # 1+1
+        "doc_id long, text string")
+    out = contamination_hits(train, bench, "doc_id", "text", shingle_n=4)
+    got = {r["doc_id"]: r["hits"] for r in out.collect()}
+    assert got == {1: 2, 2: 2, 4: 2}, got
+    # fresh (un-executed) query: AQE's executedPlan of a finished query
+    # prints Final+Initial sections and breaks negative assertions
+    plan = contamination_hits(train, bench, "doc_id", "text", 4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_minhash_signature_estimates_jaccard(spark):
     """MinHash quality gate: the fraction of agreeing signature
     coordinates must track the true Jaccard similarity (this is the

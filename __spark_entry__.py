@@ -923,6 +923,31 @@ def q_ngram_jaccard_documents(spark, sf_dir):
                                 threshold_num=1, threshold_den=2)
 
 
+def q_audio_dup_clips(spark, sf_dir):
+    """Duplicate-AUDIO detection (audio/fingerprint.py): the same sine
+    content re-encoded across sample formats / rates / gains must land
+    in one spectral-fingerprint group; distinct content must not.
+    Non-SQL (Arrow decode+FFT stage); deterministic (fixed synth args),
+    so the oracle is a committed expected-output snapshot."""
+    from protovalidate_spark.audio import audio_dup_groups
+    from protovalidate_spark.audio.wav import synth_sine_wav
+
+    encs = [("pcm16", 8000, 0.5, False), ("pcm8", 16000, 0.4, False),
+            ("float32", 44100, 0.25, True), ("alaw", 8000, 0.6, False)]
+    rows = []
+    for k in range(12):
+        freq = 330.0 * 2 ** (k / 6.0)  # 2-semitone grid, distinct content
+        for e in range(1 + (k % 4)):   # group sizes 1..4
+            fmt, sr, amp, ext = encs[e]
+            rows.append((f"clip-{k:02d}-{e}",
+                         synth_sine_wav(freq, sr, 480, amp, fmt=fmt,
+                                        extensible=ext)))
+    rows.append(("corrupt-0", b"RIFF not a wav"))
+    rows.append(("null-0", None))
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    return audio_dup_groups(df, "clip_id", "bytes")
+
+
 def q_decontaminate_documents(spark, sf_dir):
     """Benchmark decontamination (pipeline/dedup.py contamination_hits):
     docs sharing any 4-gram with the deterministic eval split
@@ -983,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions also run early (least driver history)
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "decontaminate_documents": q_decontaminate_documents,
+        "audio_dup_clips": q_audio_dup_clips,
         "repetition_documents": q_repetition_documents,
         "gopher_quality_documents": q_gopher_quality_documents,
         "pii_documents": q_pii_documents,
@@ -1789,6 +1815,10 @@ def oracle_sql() -> dict[str, str]:
         "clips_audio_features": f"""
             SELECT clip_id, feat_ok, peak, clip_ratio, silence_ratio, zcr
               FROM read_parquet('{EXPECTED_DIR}/clips_audio_features.parquet')
+        """,
+        "audio_dup_clips": f"""
+            SELECT id, group_id, group_size
+              FROM read_parquet('{EXPECTED_DIR}/audio_dup_clips.parquet')
         """,
         "split_documents": (
             "SELECT doc_id, " + _split_sql_oracle() + " AS split "

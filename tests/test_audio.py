@@ -354,3 +354,70 @@ def test_batch_decoder_delegates_format_family(spark):
         assert r["ok"] and r["sr"] == 8000 and r["dur_ms"] == 125, f
         assert r["n_samples"] == 1000, f
         assert abs(r["rms"] - 0.4 / np.sqrt(2)) < 0.005, f
+
+
+# ---------------------------------------------------------------------------
+# Spectral fingerprint / duplicate-audio detection
+# ---------------------------------------------------------------------------
+
+def test_spectral_tokens_invariant_across_encodings():
+    """The same sine content re-encoded (format, rate, depth, gain,
+    EXTENSIBLE wrapping) must produce identical token sets; content a
+    semitone apart must not."""
+    from protovalidate_spark.audio.fingerprint import spectral_tokens
+    from protovalidate_spark.audio.wav import decode_bytes, synth_sine_wav
+
+    def toks(b):
+        d = decode_bytes(b, "wav", True)
+        assert d.ok
+        return list(spectral_tokens(d.pcm, d.sr))
+
+    base = toks(synth_sine_wav(440.0, 8000, 400, 0.5, fmt="pcm16"))
+    assert base, "sine must produce tokens"
+    for fmt, sr, amp, ext in [("pcm8", 16000, 0.4, False),
+                              ("float32", 44100, 0.25, False),
+                              ("alaw", 8000, 0.6, False),
+                              ("mulaw", 22050, 0.5, False),
+                              ("pcm24", 16000, 0.5, True)]:
+        b = synth_sine_wav(440.0, sr, 400, amp, fmt=fmt, extensible=ext)
+        assert toks(b) == base, (fmt, sr)
+    up = toks(synth_sine_wav(440.0 * 2 ** (1 / 12), 8000, 400, 0.5))
+    assert up != base
+    # G.711 / 8-bit quantization noise must not mint extra tokens
+    assert len(base) == 4  # one dominant peak per chunk
+
+
+def test_spectral_tokens_edge_inputs():
+    from protovalidate_spark.audio.fingerprint import spectral_tokens
+    import numpy as np
+    assert spectral_tokens(np.array([], dtype=np.float32), 8000).size == 0
+    assert spectral_tokens(np.zeros(8000, dtype=np.float32), 8000).size == 0
+    assert spectral_tokens(np.ones(1, dtype=np.float32), 8000).size == 0
+
+
+def test_audio_dup_groups(spark):
+    """Re-encodings group; distinct content and undecodable rows do
+    not; the dup-key join-back is a broadcast (scale shape)."""
+    from protovalidate_spark.audio import audio_dup_groups
+    from protovalidate_spark.audio.wav import synth_sine_wav
+
+    rows = [
+        ("a0", synth_sine_wav(440.0, 8000, 400, 0.5, fmt="pcm16")),
+        ("a1", synth_sine_wav(440.0, 44100, 400, 0.3, fmt="float32")),
+        ("a2", synth_sine_wav(440.0, 8000, 400, 0.6, fmt="alaw")),
+        ("b0", synth_sine_wav(660.0, 16000, 400, 0.5, fmt="pcm16")),
+        ("c0", synth_sine_wav(523.25, 8000, 400, 0.5, fmt="pcm16")),
+        ("c1", synth_sine_wav(523.25, 16000, 400, 0.5, fmt="pcm8")),
+        ("bad", b"RIFF not audio"),
+        ("nul", None),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    out = audio_dup_groups(df, "clip_id", "bytes")
+    got = {(r["id"], r["group_id"], r["group_size"]) for r in out.collect()}
+    assert got == {("a0", "a0", 3), ("a1", "a0", 3), ("a2", "a0", 3),
+                   ("c0", "c0", 2), ("c1", "c0", 2)}
+    plan = audio_dup_groups(df, "clip_id", "bytes") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1  # ONE decode+FFT stage
+    assert "Join" not in plan  # window grouping, no self-join re-decode
+    assert plan.count("Exchange") == 1  # one shuffle on the 16-byte key

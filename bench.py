@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "ivf_topk_embeddings",
     "minhash_neardup_documents",
     "simhash_documents",
+    "ngram_jaccard_documents",
+    "decontaminate_documents",
 ]
 
 _FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -376,6 +376,7 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         raise ValueError("threshold must be a ratio in (0, 1]: "
                          f"{threshold_num}/{threshold_den}")
     num, den = int(threshold_num), int(threshold_den)
+    pref = None
     sh = (_spread(df.select(F.col(id_col).alias("__id"),
                             F.col(text_col).alias("__t")))
           .select("__id", word_shingles(F.col("__t"), shingle_n).alias("s"))
@@ -399,6 +400,12 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                 "__id", "sz",
                 F.explode(F.slice(F.array_sort("s"), F.lit(1), p))
                  .alias("g"))
+        # Catalyst does no cross-branch CSE: without a pin, the whole
+        # explode -> freq-join -> window subtree re-executes once PER
+        # SIDE of the self-join below (same re-eval trap as the minhash
+        # band frame). Persist is the right pin here — the prefix frame
+        # is O(sum of prefix lengths), far smaller than the corpus.
+        pref = pref.persist()
         a, b = pref.alias("a"), pref.alias("b")
         # size filter: J >= theta forces num*max(|A|,|B|) <= den*min
         cand = (a.join(b, (F.col("a.g") == F.col("b.g"))
@@ -423,6 +430,8 @@ def prefix_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                     .select("id_a", "id_b", "inter", "uni"))
         return verified.localCheckpoint(eager=True)
     finally:
+        if pref is not None:
+            pref.unpersist()
         sh.unpersist()
 
 

@@ -923,6 +923,27 @@ def q_ngram_jaccard_documents(spark, sf_dir):
                                 threshold_num=1, threshold_den=2)
 
 
+def q_pack_documents(spark, sf_dir):
+    """Sequence packing (pipeline/packing.py pack_offsets): global
+    token offset + start/end training-window ids per document, under a
+    deterministic doc_id order. Spark runs the distributed two-level
+    prefix sum (one range shuffle, O(P) driver merge, shuffle-free
+    Arrow cumsum); the oracle is the serial windowed SQL the prefix
+    sum must agree with exactly."""
+    from protovalidate_spark.pipeline import pack_offsets
+    d = _t(spark, sf_dir, "documents")
+    return pack_offsets(d, "doc_id", text_col="text", window_tokens=512)
+
+
+def q_vocab_topk_documents(spark, sf_dir):
+    """Corpus vocabulary top-k (pipeline/text.py vocab_topk): 100 most
+    frequent whitespace tokens, tie-broken by token so the k-boundary
+    is a deterministic set. TakeOrderedAndProject — no global sort."""
+    from protovalidate_spark.pipeline import vocab_topk
+    d = _t(spark, sf_dir, "documents")
+    return vocab_topk(d, "text", 100)
+
+
 def q_audio_dup_clips(spark, sf_dir):
     """Duplicate-AUDIO detection (audio/fingerprint.py): the same sine
     content re-encoded across sample formats / rates / gains must land
@@ -1009,6 +1030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "decontaminate_documents": q_decontaminate_documents,
         "audio_dup_clips": q_audio_dup_clips,
+        "pack_documents": q_pack_documents,
+        "vocab_topk_documents": q_vocab_topk_documents,
         "repetition_documents": q_repetition_documents,
         "gopher_quality_documents": q_gopher_quality_documents,
         "pii_documents": q_pii_documents,
@@ -1569,6 +1592,37 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(regexp_replace(lower(text),
                        '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
               FROM documents
+        """,
+        "pack_documents": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR length(trim(text)) = 0
+                          THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END::BIGINT AS n_tokens
+                FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0)::BIGINT AS "offset"
+                FROM t
+            )
+            SELECT doc_id, n_tokens, "offset",
+                   ("offset" // 512)::BIGINT AS chunk_id,
+                   (("offset" + greatest(n_tokens - 1, 0)) // 512)::BIGINT
+                       AS chunk_end
+              FROM c
+        """,
+        "vocab_topk_documents": r"""
+            SELECT token, COUNT(*)::BIGINT AS freq
+              FROM (SELECT unnest(string_split_regex(trim(text), '\s+'))
+                           AS token
+                      FROM documents
+                     WHERE text IS NOT NULL AND length(trim(text)) > 0)
+             GROUP BY token
+             ORDER BY freq DESC, token
+             LIMIT 100
         """,
         "token_count_documents": r"""
             SELECT doc_id,

@@ -2,8 +2,9 @@ from .text import (  # noqa: F401
     bpe_ish_token_count, fingerprint, gopher_quality_violations, lang_id,
     normalize_text, pii_counts, punct_ratio, quality_features, quality_score,
     repetition_features, rolling_hash_fingerprint, stopword_ratio,
-    token_count, tokens,
+    token_count, tokens, vocab_topk,
 )
+from .packing import pack_offsets  # noqa: F401
 from .dedup import (  # noqa: F401
     connected_components, contamination_hits, cosine_sim,
     embedding_near_dups, exact_duplicates,

@@ -339,3 +339,23 @@ def rolling_hash_fingerprint(col: Column, n: int = 4) -> Column:
         shingles, F.lit(0).cast("bigint"),
         lambda acc, h: (acc * F.lit(31) + h) % F.lit(2**61 - 1))
     return F.when(F.size(toks) == 0, F.lit(0).cast("bigint")).otherwise(combined)
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text",
+               k: int = 100) -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent whitespace tokens as
+    ``(token, freq)``, tie-broken by token ascending so the result is
+    a deterministic SET (a tie at the k-th rank cannot flip rows).
+
+    Scale shape: explode is map-only; the groupBy count does map-side
+    partial aggregation (one row per distinct token per partition
+    reaches the shuffle); the top-k is ``orderBy(...).limit(k)``, which
+    Spark executes as TakeOrderedAndProject — a per-partition heap of k
+    rows and a driver merge, NOT a global sort shuffle. Tokenization is
+    ``tokens()`` (pipeline/text.py), the same expression the
+    token_count_documents oracle pins, so an external engine's split
+    agrees exactly."""
+    return (df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+              .groupBy("token").agg(F.count("*").alias("freq"))
+              .orderBy(F.desc("freq"), F.asc("token"))
+              .limit(k))

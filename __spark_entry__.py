@@ -935,6 +935,19 @@ def q_pack_documents(spark, sf_dir):
     return pack_offsets(d, "doc_id", text_col="text", window_tokens=512)
 
 
+def q_pack_clips(spark, sf_dir):
+    """Audio-payload packing: the same distributed prefix sum with
+    dur_ms as the weight — clips packed into 30 s training windows in
+    row_idx order (row_idx is the unique total order; clip_id has the
+    fixture's deliberate NULLs/dups). NULL/negative durations consume
+    nothing, same clamp as NULL text."""
+    from protovalidate_spark.pipeline import pack_offsets
+    df = spark.read.parquet(CLIPS_SCALAR)
+    out = pack_offsets(df, "row_idx", token_count_col="dur_ms",
+                       window_tokens=30_000)
+    return out.withColumnRenamed("n_tokens", "dur_ms_w")
+
+
 def q_vocab_topk_documents(spark, sf_dir):
     """Corpus vocabulary top-k (pipeline/text.py vocab_topk): 100 most
     frequent whitespace tokens, tie-broken by token so the k-boundary
@@ -1031,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_documents": q_decontaminate_documents,
         "audio_dup_clips": q_audio_dup_clips,
         "pack_documents": q_pack_documents,
+        "pack_clips": q_pack_clips,
         "vocab_topk_documents": q_vocab_topk_documents,
         "repetition_documents": q_repetition_documents,
         "gopher_quality_documents": q_gopher_quality_documents,
@@ -1612,6 +1626,25 @@ def oracle_sql() -> dict[str, str]:
                    ("offset" // 512)::BIGINT AS chunk_id,
                    (("offset" + greatest(n_tokens - 1, 0)) // 512)::BIGINT
                        AS chunk_end
+              FROM c
+        """,
+        "pack_clips": f"""
+            WITH t AS (
+              SELECT row_idx,
+                     (CASE WHEN dur_ms IS NULL OR dur_ms < 0 THEN 0
+                           ELSE dur_ms END)::BIGINT AS dur_ms_w
+                FROM (SELECT * FROM {clips})
+            ), c AS (
+              SELECT row_idx, dur_ms_w,
+                     COALESCE(SUM(dur_ms_w) OVER (ORDER BY row_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0)::BIGINT AS "offset"
+                FROM t
+            )
+            SELECT row_idx, dur_ms_w, "offset",
+                   ("offset" // 30000)::BIGINT AS chunk_id,
+                   (("offset" + greatest(dur_ms_w - 1, 0))
+                        // 30000)::BIGINT AS chunk_end
               FROM c
         """,
         "vocab_topk_documents": r"""

@@ -67,6 +67,11 @@ def pack_offsets(df: DataFrame, id_col: str,
     whitespace ``token_count(text_col)`` (pipeline/text.py — the same
     expression the token_count_documents contract query pins).
 
+    ``id_col`` must be a UNIQUE total order (a doc id, a row index):
+    with duplicate keys the order among the tied rows is engine-
+    dependent, so their individual offsets are nondeterministic even
+    though every downstream sum still agrees.
+
     ``eager=True`` (default) materializes via localCheckpoint so the
     internal cache can be released here; pass ``eager=False`` to get
     the lazy frame (the range-partitioned cache is unpersisted by a

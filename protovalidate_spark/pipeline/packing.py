@@ -67,10 +67,12 @@ def pack_offsets(df: DataFrame, id_col: str,
     whitespace ``token_count(text_col)`` (pipeline/text.py — the same
     expression the token_count_documents contract query pins).
 
-    ``id_col`` must be a UNIQUE total order (a doc id, a row index):
-    with duplicate keys the order among the tied rows is engine-
-    dependent, so their individual offsets are nondeterministic even
-    though every downstream sum still agrees.
+    ``id_col`` must be a UNIQUE, NON-NULL total order (a doc id, a
+    row index): with duplicate keys the order among the tied rows is
+    engine-dependent, so their individual offsets are nondeterministic
+    even though every downstream sum still agrees — and NULL keys sort
+    first in Spark but last in most SQL engines (DuckDB), so a NULL id
+    shifts every offset differently per engine.
 
     ``eager=True`` (default) materializes via localCheckpoint so the
     internal cache can be released here; pass ``eager=False`` to get
@@ -84,8 +86,14 @@ def pack_offsets(df: DataFrame, id_col: str,
     if window_tokens <= 0:
         raise ValueError(f"window_tokens must be positive: {window_tokens}")
     spark = df.sparkSession
-    p = int(partitions
-            or spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if partitions:
+        p = int(partitions)
+    else:
+        try:  # AQE coalescing may set this to the literal "auto"
+            p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        except ValueError:
+            p = spark.sparkContext.defaultParallelism
+    p = max(1, p)
 
     # NULL text -> size(split(NULL)) = -1; a NULL/negative count must
     # consume nothing, not walk the global offset backwards

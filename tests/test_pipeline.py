@@ -406,6 +406,20 @@ def test_contamination_hits_counts_and_broadcasts(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_contamination_hits_empty_and_null_edges(spark):
+    """Empty eval corpus -> zero contaminated docs (not an error); NULL
+    and sub-n-gram texts on either side contribute no shingles."""
+    from protovalidate_spark.pipeline import contamination_hits
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, "too short")],
+        "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert contamination_hits(train, empty, "doc_id", "text", 4).count() == 0
+    nulls = spark.createDataFrame([(9, None), (10, "tiny")],
+                                  "doc_id long, text string")
+    assert contamination_hits(train, nulls, "doc_id", "text", 4).count() == 0
+
+
 def test_minhash_signature_estimates_jaccard(spark):
     """MinHash quality gate: the fraction of agreeing signature
     coordinates must track the true Jaccard similarity (this is the

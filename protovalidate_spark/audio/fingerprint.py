@@ -108,6 +108,32 @@ def fingerprint_key(fp_col: Column) -> Column:
         F.transform(fp_col["tokens"], lambda t: t.cast("string")), ","))
 
 
+def keyed_fingerprints(df: DataFrame, id_col: str = "clip_id",
+                       bytes_col: str = "bytes", chunks: int = 4,
+                       peaks: int = 3,
+                       min_rel_mag: float = 0.1) -> DataFrame:
+    """(id, fp_key, is_content) per row — the shared front half of
+    batch ``audio_dup_groups`` and the streaming content-dedup check.
+
+    Everything derived from the UDF struct lives in ONE projection: an
+    early ``.filter(is_content)`` would be pushed below the project and
+    Catalyst would re-instantiate the Python stage in both operators
+    (no cross-operator CSE). Non-content rows get a per-row sentinel
+    key — singleton groups the consumers drop — instead of a shared
+    NULL key, which at scale would funnel every undecodable clip into
+    one skewed shuffle partition."""
+    fp = with_fingerprint(df, bytes_col, "_fp", chunks, peaks, min_rel_mag)
+    fpc = F.col("_fp")
+    is_content = fpc["ok"] & (F.size(fpc["tokens"]) > 0)
+    key = F.when(is_content, fingerprint_key(fpc)) \
+           .otherwise(F.concat(F.lit("__undup__:"),
+                               F.coalesce(F.col(id_col).cast("string"),
+                                          F.lit("")),
+                               F.lit(":"), F.crc32(F.col(bytes_col))))
+    return fp.select(F.col(id_col).alias("id"), key.alias("fp_key"),
+                     is_content.alias("is_content"))
+
+
 def audio_dup_groups(df: DataFrame, id_col: str = "clip_id",
                      bytes_col: str = "bytes", chunks: int = 4,
                      peaks: int = 3, min_rel_mag: float = 0.1) -> DataFrame:
@@ -121,23 +147,8 @@ def audio_dup_groups(df: DataFrame, id_col: str = "clip_id",
     test_audio."""
     from pyspark.sql import Window
 
-    fp = with_fingerprint(df, bytes_col, "_fp", chunks, peaks, min_rel_mag)
-    fpc = F.col("_fp")
-    is_content = fpc["ok"] & (F.size(fpc["tokens"]) > 0)
-    # Everything derived from the UDF struct lives in ONE projection: an
-    # early .filter(is_content) would be pushed below the project and
-    # Catalyst would re-instantiate the Python stage in both operators
-    # (no cross-operator CSE). Non-content rows get a per-row sentinel
-    # key — singleton groups that the final size filter drops — instead
-    # of a shared NULL key, which at scale would funnel every
-    # undecodable clip into one skewed window partition.
-    key = F.when(is_content, fingerprint_key(fpc)) \
-           .otherwise(F.concat(F.lit("__undup__:"),
-                               F.coalesce(F.col(id_col).cast("string"),
-                                          F.lit("")),
-                               F.lit(":"), F.crc32(F.col(bytes_col))))
-    keyed = fp.select(F.col(id_col).alias("id"), key.alias("fp_key"),
-                      is_content.alias("is_content"))
+    keyed = keyed_fingerprints(df, id_col, bytes_col, chunks, peaks,
+                               min_rel_mag)
     w = Window.partitionBy("fp_key")
     return (keyed
             .withColumn("group_size", F.count("*").over(w))

@@ -85,6 +85,8 @@ def windowed_unique_violations(
 def stateful_unique_violations(
     stream_df: DataFrame, key_col: str,
     state_timeout_ms: int = 3_600_000,
+    field_path: str = None, rule_id: str = None,
+    drop_null_keys: bool = True,
 ) -> DataFrame:
     """EXACT cross-batch duplicate detection via keyed state
     (``applyInPandasWithState`` — the brief's custom-stateful-operator
@@ -101,6 +103,8 @@ def stateful_unique_violations(
     from pyspark.sql.streaming.state import (
         GroupState, GroupStateTimeout)
 
+    field_path = field_path or f"/{key_col}"
+    rule_id = rule_id or Code.UNIQUE
     out_schema = (f"{key_col} string, dup_count_batch long, "
                   "total_seen long, field_path string, rule_id string, "
                   "message string, actual string")
@@ -120,19 +124,54 @@ def stateful_unique_violations(
             yield pd.DataFrame({
                 key_col: [key[0]], "dup_count_batch": [dups],
                 "total_seen": [total],
-                "field_path": [f"/{key_col}"],
-                "rule_id": [Code.UNIQUE],
+                "field_path": [field_path],
+                "rule_id": [rule_id],
                 "message": [f"value of {key_col!r} duplicated "
                             f"(stateful exact check)"],
                 "actual": [str(key[0])],
             })
 
-    return (stream_df
-            .filter(F.col(key_col).isNotNull())
+    # drop_null_keys=False is for callers whose key column is DERIVED
+    # from an expensive (e.g. Python-stage) projection and already
+    # guaranteed non-null: the isNotNull predicate would be pushed
+    # below that projection and re-instantiate the stage (no
+    # cross-operator CSE — pinned in test_streaming)
+    src = (stream_df.filter(F.col(key_col).isNotNull())
+           if drop_null_keys else stream_df)
+    return (src
             .groupBy(key_col)
             .applyInPandasWithState(
                 flag_dups, out_schema, state_schema, "append",
                 GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def streaming_audio_dup_violations(
+    stream_df: DataFrame, id_col: str = "clip_id",
+    bytes_col: str = "bytes", state_timeout_ms: int = 3_600_000,
+    chunks: int = 4, peaks: int = 3, min_rel_mag: float = 0.1,
+) -> DataFrame:
+    """Cross-batch duplicate-AUDIO detection: the batch spectral
+    fingerprint stage (audio/fingerprint.py — encoding-invariant
+    semitone peak tokens from one Arrow decode+FFT pass) keyed per
+    row, then the stateful exact check on the 16-byte content key.
+    The same recording re-encoded (other rate / bit depth / gain)
+    arriving in a LATER micro-batch is flagged, which byte-level or
+    clip_id dedup cannot do. Undecodable rows keep their per-row
+    sentinel keys (never flagged; singleton state entries expire at
+    the TTL) INSTEAD of being filtered: an isNotNull predicate on a
+    key derived from the Python stage would be pushed below the
+    projection and run the decode+FFT twice (drop_null_keys=False —
+    the single Python stage is pinned in test_streaming). Violation
+    rows carry field_path /<bytes_col> (content identity, not id
+    collision), rule_id UNIQUE."""
+    from .audio.fingerprint import keyed_fingerprints
+
+    keyed = keyed_fingerprints(stream_df, id_col, bytes_col, chunks,
+                               peaks, min_rel_mag)
+    return stateful_unique_violations(
+        keyed.select("fp_key"), "fp_key",
+        state_timeout_ms=state_timeout_ms,
+        field_path=f"/{bytes_col}", drop_null_keys=False)
 
 
 def write_violations_stream(

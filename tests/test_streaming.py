@@ -264,3 +264,56 @@ def test_stream_drift_violations(spark, tmp_path):
     batch_flagged = {r["field_path"]
                      for r in drift_violations(w2, snap).collect()}
     assert batch_flagged == {p for ws, p in flagged if ws == "02:00"}
+
+
+def test_streaming_audio_dup_across_batches(spark, tmp_path):
+    """Cross-batch duplicate-AUDIO: the same sine content re-encoded
+    (other rate / bit depth / gain) arriving in a LATER micro-batch is
+    flagged on the spectral content key; distinct content and
+    undecodable bytes are not. Also pins the single-Python-stage plan:
+    the drop_null_keys pre-filter would re-instantiate the decode+FFT
+    stage below the key projection (no cross-operator CSE)."""
+    from protovalidate_spark.audio.fingerprint import keyed_fingerprints
+    from protovalidate_spark.audio.wav import synth_sine_wav
+    from protovalidate_spark.streaming import (
+        streaming_audio_dup_violations, write_violations_stream)
+
+    src = str(tmp_path / "audio_src")
+    out, ckpt = str(tmp_path / "audio_out"), str(tmp_path / "audio_ck")
+    schema = "clip_id string, bytes binary"
+    # drop 1: two distinct contents
+    b1 = spark.createDataFrame(
+        [("a1", synth_sine_wav(440, 16000, 400)),
+         ("b1", synth_sine_wav(550, 16000, 400))], schema)
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(b1.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    v = streaming_audio_dup_violations(stream)
+    write_violations_stream(v, out, ckpt).awaitTermination(120)
+    assert spark.read.parquet(out).count() == 0
+    # drop 2: 440 Hz re-encoded (8-bit, 8 kHz, half gain) + garbage
+    b2 = spark.createDataFrame(
+        [("a2", synth_sine_wav(440, 8000, 400, amp=0.25, fmt="pcm8")),
+         ("junk", b"\x00not-a-wav")], schema)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(b1.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    v2 = streaming_audio_dup_violations(stream2)
+    write_violations_stream(v2, out, ckpt).awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["dup_count_batch"], r["total_seen"],
+            r["field_path"], r["rule_id"]) == (1, 2, "/bytes", "UNIQUE")
+
+    # plan pin (batch equivalent of the streaming projection, single
+    # source — a union holds one Python node per branch): the
+    # keyed->select path must hold ONE ArrowEvalPython node, while an
+    # isNotNull filter on the derived key duplicates the stage
+    good = keyed_fingerprints(b1).select("fp_key")
+    plan = good._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    bad = keyed_fingerprints(b1).select("fp_key") \
+        .filter(F.col("fp_key").isNotNull())
+    plan2 = bad._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("ArrowEvalPython") == 2  # the trap, demonstrated

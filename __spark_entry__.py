@@ -923,6 +923,19 @@ def q_ngram_jaccard_documents(spark, sf_dir):
                                 threshold_num=1, threshold_den=2)
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric per-vector int8 quantization for materialized ANN
+    indexes (pipeline/similarity.py quantize_embeddings). JVM-only
+    higher-order expressions with cross-engine-exact arithmetic
+    (float→double promotion, one division, half-away round), so the
+    oracle is the same formula in plain SQL — integer output, no
+    float-boundary risk on q8 itself."""
+    from protovalidate_spark.pipeline import quantize_embeddings
+    d = _t(spark, sf_dir, "embeddings")
+    return (quantize_embeddings(d, "embedding")
+            .select("vec_id", "q8", "q8_scale"))
+
+
 def q_pack_documents(spark, sf_dir):
     """Sequence packing (pipeline/packing.py pack_offsets): global
     token offset + start/end training-window ids per document, under a
@@ -1043,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "decontaminate_documents": q_decontaminate_documents,
         "audio_dup_clips": q_audio_dup_clips,
+        "quantize_embeddings": q_quantize_embeddings,
         "pack_documents": q_pack_documents,
         "pack_clips": q_pack_clips,
         "vocab_topk_documents": q_vocab_topk_documents,
@@ -1606,6 +1620,22 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(regexp_replace(lower(text),
                        '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
               FROM documents
+        """,
+        "quantize_embeddings": r"""
+            SELECT vec_id,
+                   CASE WHEN amax > 0
+                        THEN list_transform(embedding,
+                             x -> CAST(round(CAST(x AS DOUBLE)
+                                       / (amax / 127.0)) AS TINYINT))
+                        ELSE list_transform(embedding,
+                             x -> CAST(0 AS TINYINT))
+                   END AS q8,
+                   CASE WHEN amax > 0 THEN amax / 127.0
+                        ELSE 0.0 END AS q8_scale
+              FROM (SELECT vec_id, embedding,
+                           CAST(list_max(list_transform(embedding,
+                                y -> abs(y))) AS DOUBLE) AS amax
+                      FROM embeddings)
         """,
         "pack_documents": r"""
             WITH t AS (

@@ -14,8 +14,8 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import (  # noqa: F401
     band_planes, build_lsh_index, cosine_topk, hyperplane_signatures,
-    ivf_assign, ivf_topk, lsh_topk, read_ivf_probe, read_lsh_probe,
-    train_centroids, write_ivf_index, write_lsh_index,
+    ivf_assign, ivf_topk, lsh_topk, quantize_embeddings, read_ivf_probe,
+    read_lsh_probe, train_centroids, write_ivf_index, write_lsh_index,
 )
 from .curate import curate_documents  # noqa: F401
 from .multimodal import (  # noqa: F401

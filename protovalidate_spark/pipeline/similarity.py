@@ -350,3 +350,33 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str,
     sim = cosine_to_query(cand, vec_col, query_vec)
     return (cand.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
             .orderBy(F.desc("cosine"), F.col(id_col)).limit(k))
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str,
+                        out_col: str = "q8",
+                        scale_col: str = "q8_scale") -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q_i = round(x_i / scale)`` in [-127, 127] — a 4x (float32) / 8x
+    (float64) memory cut for a MATERIALIZED ANN index, with per-
+    coordinate dequantization error bounded by ``scale / 2``.
+
+    Unlike the per-query kernels above (which must be matmuls — see the
+    module docstring), this is a one-off index-build pass, so it stays
+    in JVM higher-order expressions on purpose: no Python stage, and
+    the arithmetic (float→double promotion, one division, half-away-
+    from-zero round) is reproducible bit-for-bit in an external SQL
+    engine, which is what lets a plain SQL oracle verify it. A zero /
+    empty vector quantizes to all-zero with scale 0 (NOT a NULL — the
+    index keeps the row; dequantization is exact for it)."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (amax.cast("double") / F.lit(127.0))
+    q = F.when(
+        amax.cast("double") > 0,
+        F.transform(v, lambda x: F.round(x.cast("double") / scale)
+                    .cast("tinyint"))) \
+         .otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return (df.withColumn(out_col, q)
+              .withColumn(scale_col,
+                          F.when(amax.cast("double") > 0, scale)
+                           .otherwise(F.lit(0.0))))

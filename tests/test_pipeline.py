@@ -617,3 +617,43 @@ def test_simhash_multi_rotation_recall(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1  # simhash kernel once
     assert plan.count("Exchange") <= 3
+
+
+def test_quantize_embeddings_error_bound_and_recall(spark):
+    """int8 quantization quality gates: per-coordinate dequantization
+    error must respect the scale/2 bound, q must stay in [-127, 127],
+    zero/empty vectors must quantize to zeros with scale 0 (row kept),
+    and top-10 cosine over DEQUANTIZED vectors must overlap the exact
+    top-10 (the property that makes a quantized ANN index usable)."""
+    import math
+
+    import numpy as np
+
+    from protovalidate_spark.pipeline import quantize_embeddings
+
+    dim, n = 16, 200
+    rows = [(i, [math.sin(0.7 * i * j + 0.3 * j + 1.0) * (1 + i % 5)
+                 for j in range(dim)]) for i in range(n)]
+    rows.append((n, [0.0] * dim))      # zero vector
+    rows.append((n + 1, []))           # empty vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: (r["embedding"], r["q8"], r["q8_scale"])
+           for r in quantize_embeddings(df, "embedding").collect()}
+
+    for i in range(n):
+        emb, q, s = out[i]
+        assert s > 0 and all(-127 <= v <= 127 for v in q)
+        for x, v in zip(emb, q):
+            assert abs(x - v * s) <= s / 2 + 1e-12
+    assert out[n][1] == [0] * dim and out[n][2] == 0.0
+    assert out[n + 1][1] == [] and out[n + 1][2] == 0.0
+
+    # recall of the dequantized index vs exact cosine, same query
+    X = np.array([out[i][0] for i in range(n)])
+    D = np.array([np.array(out[i][1]) * out[i][2] for i in range(n)])
+    qv = X[0]
+    def topk(M):
+        sims = (M @ qv) / (np.linalg.norm(M, axis=1)
+                           * np.linalg.norm(qv) + 1e-12)
+        return set(np.argsort(-sims)[:10])
+    assert len(topk(X) & topk(D)) >= 8

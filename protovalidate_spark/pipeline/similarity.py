@@ -367,7 +367,17 @@ def quantize_embeddings(df: DataFrame, vec_col: str,
     from-zero round) is reproducible bit-for-bit in an external SQL
     engine, which is what lets a plain SQL oracle verify it. A zero /
     empty vector quantizes to all-zero with scale 0 (NOT a NULL — the
-    index keeps the row; dequantization is exact for it)."""
+    index keeps the row; dequantization is exact for it).
+
+    Composes with the materialized-index path with NO probe changes:
+    cosine is scale-invariant, so ranking (and IVF cell assignment)
+    over the int8 column equals ranking over the dequantized vectors —
+    build with ``write_lsh_index(quantize_embeddings(index_df,
+    vec).drop(vec), path)`` / ``write_ivf_index(quantize_embeddings(
+    df, vec), path, "q8", centroids)`` and probe with
+    ``vec_col="q8"`` (the Arrow kernels stack any numeric dtype to
+    float64). Pinned in test_pipeline: quantized-probe top-k vs exact,
+    and the on-disk index shrink."""
     v = F.col(vec_col)
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     scale = (amax.cast("double") / F.lit(127.0))

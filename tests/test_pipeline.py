@@ -657,3 +657,53 @@ def test_quantize_embeddings_error_bound_and_recall(spark):
                            * np.linalg.norm(qv) + 1e-12)
         return set(np.argsort(-sims)[:10])
     assert len(topk(X) & topk(D)) >= 8
+
+
+def test_quantized_index_probe_composition(spark, vecs, tmp_path):
+    """int8 index composition: cosine is SCALE-INVARIANT, so probing a
+    quantized materialized index with vec_col='q8' needs no kernel or
+    probe changes — ranking over int8 equals ranking over dequantized
+    vectors up to quantization error. Pins: the query vector ranks
+    first against its own quantized index, quantized top-5 stays inside
+    the exact top-15, and the int8 index is materially smaller on disk
+    than the float one."""
+    import os
+
+    from protovalidate_spark.pipeline import (
+        quantize_embeddings, read_lsh_probe, write_lsh_index)
+
+    df, lookup = vecs
+    q = lookup["v0007"]
+    index, hp = build_lsh_index(df, "vec_id", "vec", planes=8, seed=11)
+    fpath, qpath = str(tmp_path / "f_idx"), str(tmp_path / "q_idx")
+    write_lsh_index(index, fpath)
+    write_lsh_index(quantize_embeddings(index, "vec").drop("vec"), qpath)
+
+    top_q = read_lsh_probe(spark, qpath, hp, q, "vec_id", "q8", k=5).collect()
+    assert top_q[0]["vec_id"] == "v0007"
+    exact15 = {r["vec_id"] for r in
+               cosine_topk(df, "vec_id", "vec", q, k=15).collect()}
+    assert {r["vec_id"] for r in top_q} <= exact15
+
+    # size: compare the VECTOR COLUMN's compressed chunk bytes — at this
+    # fixture size per-file parquet overhead (footers across 2^planes
+    # bucket dirs) dominates the directory total and would hide the win
+    import pyarrow.parquet as pq
+
+    def vec_bytes(p, col):
+        total = 0
+        for r, _, fs in os.walk(p):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(r, f)).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    total += sum(
+                        g.column(c).total_compressed_size
+                        for c in range(g.num_columns)
+                        if g.column(c).path_in_schema.startswith(col))
+        return total
+    # asymptotically 8x (double -> int8); at 126 rows spread over the
+    # bucket dirs the per-chunk metadata floor caps the visible ratio
+    assert vec_bytes(qpath, "q8") < 0.7 * vec_bytes(fpath, "vec")

@@ -180,3 +180,31 @@ def test_swar_popcount_property(n):
     import numpy as np
     from protovalidate_spark.pipeline.dedup import _popcount64
     assert int(_popcount64(np.array([n], dtype=np.uint64))[0]) == bin(n).count("1")
+
+
+@settings(max_examples=5, deadline=None)
+@given(counts=st.lists(st.integers(min_value=0, max_value=5000),
+                       min_size=1, max_size=40),
+       window=st.integers(min_value=1, max_value=4096),
+       parts=st.integers(min_value=1, max_value=7))
+def test_pack_offsets_is_the_serial_prefix_sum(spark, counts, window,
+                                               parts):
+    """For ANY token counts, window size and partition count, the
+    distributed two-level prefix sum must equal the serial scan:
+    offsets strictly reconstruct (offset[i] = offset[i-1] + n[i-1] in
+    id order), chunk ids are the floor divisions, and the total is
+    order-independent of partitioning."""
+    from protovalidate_spark.pipeline import pack_offsets
+
+    df = spark.createDataFrame(
+        [(i, int(n)) for i, n in enumerate(counts)], "k long, n long")
+    got = {r["k"]: (r["offset"], r["chunk_id"], r["chunk_end"])
+           for r in pack_offsets(df.repartition(parts), "k",
+                                 token_count_col="n",
+                                 window_tokens=window,
+                                 partitions=parts).collect()}
+    off = 0
+    for i, n in enumerate(counts):
+        assert got[i] == (off, off // window,
+                          (off + max(n - 1, 0)) // window), i
+        off += n

@@ -208,3 +208,32 @@ def test_pack_offsets_is_the_serial_prefix_sum(spark, counts, window,
         assert got[i] == (off, off // window,
                           (off + max(n - 1, 0)) // window), i
         off += n
+
+
+@settings(max_examples=5, deadline=None)
+@given(vecs=st.lists(
+    st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                       allow_nan=False, allow_infinity=False,
+                       width=32),
+             min_size=0, max_size=24),
+    min_size=1, max_size=30))
+def test_quantize_embeddings_invariants(spark, vecs):
+    """For ANY finite float vectors: q in [-127, 127], dequantization
+    error within scale/2 (+ float slack), zero/empty vectors -> zeros
+    with scale 0, and the componentwise max always hits |q| = 127."""
+    from protovalidate_spark.pipeline import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "k long, emb array<double>")
+    out = {r["k"]: (r["emb"], r["q8"], r["q8_scale"])
+           for r in quantize_embeddings(df, "emb").collect()}
+    for i, v in enumerate(vecs):
+        emb, q, s = out[i]
+        if not v or max(abs(x) for x in v) == 0.0:
+            assert q == [0] * len(v) and s == 0.0
+            continue
+        assert s > 0 and all(-127 <= c <= 127 for c in q)
+        assert max(abs(c) for c in q) == 127
+        for x, c in zip(emb, q):
+            assert abs(x - c * s) <= s / 2 * (1 + 1e-9) + 1e-12

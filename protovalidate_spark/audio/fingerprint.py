@@ -35,6 +35,11 @@ FINGERPRINT_TYPE = T.StructType([
 
 _A1_HZ = 55.0  # semitone grid anchor
 
+# prefix of the per-row keys minted for non-content (undecodable/empty)
+# rows; consumers must treat these as excluded-from-dedup, NOT as
+# groupable content keys (byte-identical garbage collides on id+crc)
+SENTINEL_PREFIX = "__undup__:"
+
 
 def spectral_tokens(x: np.ndarray, sr: int, chunks: int = 4,
                     peaks: int = 3, min_rel_mag: float = 0.1) -> np.ndarray:
@@ -126,7 +131,7 @@ def keyed_fingerprints(df: DataFrame, id_col: str = "clip_id",
     fpc = F.col("_fp")
     is_content = fpc["ok"] & (F.size(fpc["tokens"]) > 0)
     key = F.when(is_content, fingerprint_key(fpc)) \
-           .otherwise(F.concat(F.lit("__undup__:"),
+           .otherwise(F.concat(F.lit(SENTINEL_PREFIX),
                                F.coalesce(F.col(id_col).cast("string"),
                                           F.lit("")),
                                F.lit(":"), F.crc32(F.col(bytes_col))))

@@ -87,6 +87,7 @@ def stateful_unique_violations(
     state_timeout_ms: int = 3_600_000,
     field_path: str = None, rule_id: str = None,
     drop_null_keys: bool = True,
+    skip_key_prefix: str = None,
 ) -> DataFrame:
     """EXACT cross-batch duplicate detection via keyed state
     (``applyInPandasWithState`` — the brief's custom-stateful-operator
@@ -113,6 +114,14 @@ def stateful_unique_violations(
     def flag_dups(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             state.remove()
+            return
+        # sentinel keys (e.g. per-row keys minted for rows excluded
+        # from dedup) are never flagged AND never create state — two
+        # byte-identical excluded rows colliding on a sentinel must
+        # not read as a duplicate
+        if skip_key_prefix and str(key[0]).startswith(skip_key_prefix):
+            for _ in pdfs:  # drain the iterator per the state contract
+                pass
             return
         n = sum(len(p) for p in pdfs)
         seen = state.get[0] if state.exists else 0
@@ -156,22 +165,25 @@ def streaming_audio_dup_violations(
     row, then the stateful exact check on the 16-byte content key.
     The same recording re-encoded (other rate / bit depth / gain)
     arriving in a LATER micro-batch is flagged, which byte-level or
-    clip_id dedup cannot do. Undecodable rows keep their per-row
-    sentinel keys (never flagged; singleton state entries expire at
-    the TTL) INSTEAD of being filtered: an isNotNull predicate on a
-    key derived from the Python stage would be pushed below the
+    clip_id dedup cannot do. Undecodable rows keep their sentinel
+    keys INSTEAD of being filtered — an isNotNull predicate on a key
+    derived from the Python stage would be pushed below the
     projection and run the decode+FFT twice (drop_null_keys=False —
-    the single Python stage is pinned in test_streaming). Violation
-    rows carry field_path /<bytes_col> (content identity, not id
+    the single Python stage is pinned in test_streaming) — and the
+    sentinel prefix is skipped inside the stateful op, so
+    byte-identical undecodable payloads are neither flagged nor held
+    in state (pinned: repeated garbage in the test). Violation rows
+    carry field_path /<bytes_col> (content identity, not id
     collision), rule_id UNIQUE."""
-    from .audio.fingerprint import keyed_fingerprints
+    from .audio.fingerprint import SENTINEL_PREFIX, keyed_fingerprints
 
     keyed = keyed_fingerprints(stream_df, id_col, bytes_col, chunks,
                                peaks, min_rel_mag)
     return stateful_unique_violations(
         keyed.select("fp_key"), "fp_key",
         state_timeout_ms=state_timeout_ms,
-        field_path=f"/{bytes_col}", drop_null_keys=False)
+        field_path=f"/{bytes_col}", drop_null_keys=False,
+        skip_key_prefix=SENTINEL_PREFIX)
 
 
 def write_violations_stream(

@@ -291,9 +291,12 @@ def test_streaming_audio_dup_across_batches(spark, tmp_path):
     v = streaming_audio_dup_violations(stream)
     write_violations_stream(v, out, ckpt).awaitTermination(120)
     assert spark.read.parquet(out).count() == 0
-    # drop 2: 440 Hz re-encoded (8-bit, 8 kHz, half gain) + garbage
+    # drop 2: 440 Hz re-encoded (8-bit, 8 kHz, half gain) + REPEATED
+    # byte-identical garbage (same id + bytes -> same sentinel key;
+    # must NOT read as an audio dup — sentinels are skipped in-state)
     b2 = spark.createDataFrame(
         [("a2", synth_sine_wav(440, 8000, 400, amp=0.25, fmt="pcm8")),
+         ("junk", b"\x00not-a-wav"),
          ("junk", b"\x00not-a-wav")], schema)
     b2.coalesce(1).write.mode("append").parquet(src)
     stream2 = spark.readStream.schema(b1.schema) \

@@ -139,19 +139,24 @@ def heavy_hitters(df: DataFrame, cols: Optional[Sequence[str]] = None,
 
 def stats_snapshot(df: DataFrame, cols: Optional[Sequence[str]] = None,
                    exact_distinct: bool = False) -> dict:
-    """JSON-serializable per-column stats baseline (ONE aggregation)."""
+    """JSON-serializable per-column stats baseline (ONE aggregation).
+    Records each column's Spark dtype so the drift check can flag a
+    TYPE change (older snapshots without it are still accepted)."""
+    dtypes = dict(df.dtypes)
     rows = column_stats(df, cols, exact_distinct=exact_distinct).collect()
     return {r["column"]: {
         "n_rows": r["n_rows"], "null_rate": r["null_rate"],
         "min": r["min"], "max": r["max"],
         "distinct": r["approx_distinct"], "quantiles": r["quantiles"],
+        "dtype": dtypes[r["column"]],
     } for r in rows}
 
 
 def stats_drift_violations(df: DataFrame, baseline: dict,
                            null_rate_jump: float = 0.05,
                            distinct_ratio: float = 2.0,
-                           exact_distinct: bool = False) -> DataFrame:
+                           exact_distinct: bool = False,
+                           report_added: bool = False) -> DataFrame:
     """One violation row per column whose current stats regressed vs the
     snapshot (rule_id=DRIFT, row keys not applicable):
 
@@ -164,7 +169,12 @@ def stats_drift_violations(df: DataFrame, baseline: dict,
 
     A baseline column MISSING from the current schema is itself a
     violation (rule_id=REQUIRED, the loudest regression of all) — it is
-    reported, never silently skipped.
+    reported, never silently skipped. A column whose Spark dtype
+    CHANGED vs the snapshot (snapshots record it; older snapshots
+    without a dtype are accepted) is rule_id=TYPE. With
+    ``report_added=True``, current columns absent from the baseline are
+    rule_id=UNEXPECTED — opt-in, because snapshots may deliberately
+    profile a column subset (the DSL analog: ``with_unknown``).
 
     ONE aggregation for all columns; thresholds are deliberately coarse
     gates, not statistics — use dataset/drift.py for distribution shape.
@@ -177,9 +187,22 @@ def stats_drift_violations(df: DataFrame, baseline: dict,
     rows = [(f"/{c}", "REQUIRED",
              "baseline column missing from current schema", None)
             for c in baseline.keys() if c not in dtypes]
+    if report_added:
+        rows += [(f"/{c}", "UNEXPECTED",
+                  "column not present in baseline snapshot", dtypes[c])
+                 for c in dtypes if c not in baseline]
     for c in cols:
         b, a = baseline[c], cur[c]
         probs = []
+        bt = b.get("dtype")
+        if bt is not None and bt != dtypes[c]:
+            # stat-vs-stat comparison across types is meaningless (a
+            # string baseline min vs a numeric current min would even
+            # raise in the float() range gate) — the TYPE row subsumes
+            rows.append((f"/{c}", "TYPE",
+                         "column type changed vs baseline snapshot",
+                         f"{bt}->{dtypes[c]}"))
+            continue
         if a["null_rate"] - b["null_rate"] > null_rate_jump:
             probs.append(
                 f"null_rate {b['null_rate']:.4f}->{a['null_rate']:.4f}")

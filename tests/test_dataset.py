@@ -252,6 +252,41 @@ def test_stats_drift_reports_dropped_columns_and_decimal_ranges(spark):
     assert ("/tag", "REQUIRED") in v2
 
 
+def test_stats_drift_schema_changes(spark):
+    """Schema drift: a dtype change is rule_id=TYPE (and suppresses the
+    now-meaningless stat-vs-stat gates for that column); an added column
+    is UNEXPECTED only with report_added=True (snapshots may profile a
+    deliberate subset); a table never drifts from its own snapshot."""
+    from protovalidate_spark.dataset import (
+        stats_drift_violations, stats_snapshot)
+    import pyspark.sql.functions as SF
+    base = spark.range(50).select(
+        SF.col("id").alias("n"), SF.col("id").cast("string").alias("tag"))
+    snap = stats_snapshot(base, exact_distinct=True)
+    assert snap["n"]["dtype"] == "bigint"
+    assert stats_drift_violations(base, snap, exact_distinct=True,
+                                  report_added=True).count() == 0
+    # type change: bigint n -> string n (stat gates must not fire/raise)
+    changed = base.select(SF.col("n").cast("string").alias("n"), "tag")
+    v = {(r["field_path"], r["rule_id"], r["actual"])
+         for r in stats_drift_violations(changed, snap,
+                                         exact_distinct=True).collect()}
+    assert v == {("/n", "TYPE", "bigint->string")}
+    # added column: silent by default, UNEXPECTED when opted in
+    added = base.withColumn("extra", SF.lit(1.5))
+    assert stats_drift_violations(added, snap,
+                                  exact_distinct=True).count() == 0
+    v2 = {(r["field_path"], r["rule_id"])
+          for r in stats_drift_violations(added, snap, exact_distinct=True,
+                                          report_added=True).collect()}
+    assert v2 == {("/extra", "UNEXPECTED")}
+    # pre-dtype snapshots stay accepted
+    legacy = {c: {k: x for k, x in s.items() if k != "dtype"}
+              for c, s in snap.items()}
+    assert stats_drift_violations(changed, legacy,
+                                  exact_distinct=True).count() == 0
+
+
 def test_chi2_unclamped_numerator_matches_oracle_formula():
     """New-category case: engine must agree with the SQL oracle's
     unclamped (a-e)^2 numerator (finding: numerator was clamped)."""

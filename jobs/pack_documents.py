@@ -5,15 +5,18 @@ the validation jobs).
 Computes each document's global token offset and start/end training-
 window ids (pipeline/packing.py pack_offsets — distributed two-level
 prefix sum, no single-reducer global window), writes the assignment
-partitioned by ``chunk_id`` bucket so a downstream example-builder can
-read one window range without scanning the corpus, and prints one JSON
-summary line (documents, total tokens, windows, boundary-crossing
-docs, padding fraction of the last window excluded).
+partitioned by ``chunk_bucket`` (= chunk_id // windows-per-bucket) so
+a downstream example-builder range-prunes to one bucket of windows
+without scanning the corpus — bucketing, not raw chunk_id, because one
+directory per 2048-token window is a small-files explosion at any
+real corpus size (~1e10 dirs at 100 TB) — and prints one JSON summary
+line (documents, total tokens, windows, boundary-crossing docs, fill
+of the final window).
 
 Usage:
   spark-submit --py-files protovalidate_spark.zip jobs/pack_documents.py \
       [--table PATH] [--out DIR] [--window-tokens 2048] \
-      [--id-col doc_id] [--text-col text]
+      [--windows-per-bucket 1024] [--id-col doc_id] [--text-col text]
 
 With no --table, reads the driver testdata documents table
 (/root/testdata/sf0.01/documents.parquet).
@@ -35,6 +38,7 @@ def main():
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--window-tokens", type=int, default=2048)
+    ap.add_argument("--windows-per-bucket", type=int, default=1024)
     args = ap.parse_args()
 
     from protovalidate_spark.conf import apply_recommended
@@ -49,24 +53,28 @@ def main():
 
     out = pack_offsets(df, args.id_col, text_col=args.text_col,
                        window_tokens=args.window_tokens)
-    out.write.mode("overwrite").partitionBy("chunk_id") \
+    out = out.withColumn(
+        "chunk_bucket", F.floor(F.col("chunk_id") / args.windows_per_bucket))
+    out.write.mode("overwrite").partitionBy("chunk_bucket") \
        .parquet(args.out + "/assignment")
 
     written = spark.read.parquet(args.out + "/assignment")
     agg = written.agg(
         F.count("*").alias("docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        (F.max("chunk_end") + 1).alias("windows"),
         F.sum((F.col("chunk_end") > F.col("chunk_id")).cast("int"))
          .alias("boundary_crossing_docs")).collect()[0]
     total = int(agg["total_tokens"] or 0)
+    # ceil(total/w), NOT max(chunk_end)+1: a trailing zero-token doc
+    # sitting exactly on a window boundary would mint a phantom window
+    windows = -(-total // args.window_tokens)
 
     print(json.dumps({
         "table": args.table,
         "docs": int(agg["docs"]),
         "total_tokens": total,
         "window_tokens": args.window_tokens,
-        "windows": int(agg["windows"] or 0),
+        "windows": windows,
         "boundary_crossing_docs": int(agg["boundary_crossing_docs"] or 0),
         # concat-and-chunk has zero padding except the final partial
         # window; report how full it is (1.0 = the stream ends exactly

@@ -130,11 +130,17 @@ def keyed_fingerprints(df: DataFrame, id_col: str = "clip_id",
     fp = with_fingerprint(df, bytes_col, "_fp", chunks, peaks, min_rel_mag)
     fpc = F.col("_fp")
     is_content = fpc["ok"] & (F.size(fpc["tokens"]) > 0)
+    # every piece is coalesced: crc32(NULL bytes) is NULL and would
+    # null the whole concat, collapsing ALL null-payload rows onto one
+    # NULL key — one skewed state/window group and (in streaming,
+    # where null keys are kept) false duplicate flags
     key = F.when(is_content, fingerprint_key(fpc)) \
            .otherwise(F.concat(F.lit(SENTINEL_PREFIX),
                                F.coalesce(F.col(id_col).cast("string"),
                                           F.lit("")),
-                               F.lit(":"), F.crc32(F.col(bytes_col))))
+                               F.lit(":"),
+                               F.coalesce(F.crc32(F.col(bytes_col)),
+                                          F.lit(-1))))
     return fp.select(F.col(id_col).alias("id"), key.alias("fp_key"),
                      is_content.alias("is_content"))
 

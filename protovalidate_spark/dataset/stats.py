@@ -218,10 +218,22 @@ def stats_drift_violations(df: DataFrame, baseline: dict,
         base_type = dtypes[c].split("(")[0]
         if (base_type in _NUMERIC or base_type == "decimal") \
                 and b["min"] is not None:
-            if (a["min"] is not None
-                    and float(a["min"]) < float(b["min"])) or \
-               (a["max"] is not None
-                    and float(a["max"]) > float(b["max"])):
+            try:
+                escaped = (a["min"] is not None
+                           and float(a["min"]) < float(b["min"])) or \
+                          (a["max"] is not None
+                           and float(a["max"]) > float(b["max"]))
+            except (TypeError, ValueError):
+                # a LEGACY (pre-dtype) snapshot of a column that has
+                # since changed type: its min/max are not numbers. The
+                # dtype-recording path reports this as TYPE before ever
+                # reaching here; surface the same signal, don't crash.
+                rows.append((f"/{c}", "TYPE",
+                             "column type changed vs baseline snapshot "
+                             "(legacy snapshot: stats incomparable)",
+                             f"?->{dtypes[c]}"))
+                escaped = False  # keep the type-independent probs
+            if escaped:
                 probs.append(f"range [{b['min']},{b['max']}] -> "
                              f"[{a['min']},{a['max']}]")
         if probs:

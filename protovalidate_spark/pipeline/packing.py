@@ -75,9 +75,10 @@ def pack_offsets(df: DataFrame, id_col: str,
     shifts every offset differently per engine.
 
     ``eager=True`` (default) materializes via localCheckpoint so the
-    internal cache can be released here; pass ``eager=False`` to get
-    the lazy frame (the range-partitioned cache is unpersisted by a
-    final action in the same lineage — acceptable for tests only).
+    internal cache can be released here; ``eager=False`` returns the
+    lazy frame for plan inspection and LEAKS the range-partitioned
+    cache for the session lifetime (there is no safe point to release
+    it inside a lazy lineage) — tests only, never production.
     """
     if (text_col is None) == (token_count_col is None):
         raise ValueError("pass exactly one of text_col / token_count_col")

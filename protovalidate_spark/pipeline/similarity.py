@@ -379,14 +379,23 @@ def quantize_embeddings(df: DataFrame, vec_col: str,
     float64). Pinned in test_pipeline: quantized-probe top-k vs exact,
     and the on-disk index shrink."""
     v = F.col(vec_col)
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = (amax.cast("double") / F.lit(127.0))
+    # materialize the max|x| scan as its OWN projection: referenced
+    # inside the transform lambda it would re-evaluate per ELEMENT
+    # (interpreted HOFs have no cross-element CSE — O(d^2) per row);
+    # CollapseProject does not inline non-cheap aliases, so the scan
+    # stays a once-per-row BoundReference
+    amax_col = f"__amax_{out_col}"
+    work = df.withColumn(
+        amax_col,
+        F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double"))
+    amax = F.col(amax_col)
+    scale = amax / F.lit(127.0)
     q = F.when(
-        amax.cast("double") > 0,
+        amax > 0,
         F.transform(v, lambda x: F.round(x.cast("double") / scale)
                     .cast("tinyint"))) \
          .otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
-    return (df.withColumn(out_col, q)
-              .withColumn(scale_col,
-                          F.when(amax.cast("double") > 0, scale)
-                           .otherwise(F.lit(0.0))))
+    return (work.withColumn(out_col, q)
+                .withColumn(scale_col,
+                            F.when(amax > 0, scale).otherwise(F.lit(0.0)))
+                .drop(amax_col))

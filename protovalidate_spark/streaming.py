@@ -88,6 +88,7 @@ def stateful_unique_violations(
     field_path: str = None, rule_id: str = None,
     drop_null_keys: bool = True,
     skip_key_prefix: str = None,
+    emit_ids_col: str = None,
 ) -> DataFrame:
     """EXACT cross-batch duplicate detection via keyed state
     (``applyInPandasWithState`` — the brief's custom-stateful-operator
@@ -99,17 +100,25 @@ def stateful_unique_violations(
 
     Emits one row per micro-batch per key that gained duplicates:
     (key, dup_count_batch, total_seen, field_path, rule_id, message,
-    actual)."""
+    actual). With ``emit_ids_col`` (for DERIVED keys — a content hash
+    is not actionable by itself) the row additionally carries
+    ``first_id`` (the state-remembered keeper, the batch analog's
+    group_id) and ``dup_ids`` (this batch's duplicate row ids), so an
+    operator can quarantine the offenders without re-deriving keys."""
     import pandas as pd
     from pyspark.sql.streaming.state import (
         GroupState, GroupStateTimeout)
 
     field_path = field_path or f"/{key_col}"
     rule_id = rule_id or Code.UNIQUE
+    ids_part = ("first_id string, dup_ids array<string>, "
+                if emit_ids_col else "")
     out_schema = (f"{key_col} string, dup_count_batch long, "
-                  "total_seen long, field_path string, rule_id string, "
+                  f"total_seen long, {ids_part}"
+                  "field_path string, rule_id string, "
                   "message string, actual string")
-    state_schema = "seen long"
+    state_schema = ("seen long, first_id string" if emit_ids_col
+                    else "seen long")
 
     def flag_dups(key, pdfs, state: GroupState):
         if state.hasTimedOut:
@@ -123,14 +132,24 @@ def stateful_unique_violations(
             for _ in pdfs:  # drain the iterator per the state contract
                 pass
             return
-        n = sum(len(p) for p in pdfs)
+        if emit_ids_col:
+            ids = []
+            for p in pdfs:
+                ids.extend(str(x) for x in p[emit_ids_col])
+            n = len(ids)
+        else:
+            n = sum(len(p) for p in pdfs)
         seen = state.get[0] if state.exists else 0
         dups = n if seen > 0 else n - 1
         total = seen + n
-        state.update((total,))
+        if emit_ids_col:
+            first = state.get[1] if state.exists else ids[0]
+            state.update((total, first))
+        else:
+            state.update((total,))
         state.setTimeoutDuration(state_timeout_ms)
         if dups > 0:
-            yield pd.DataFrame({
+            row = {
                 key_col: [key[0]], "dup_count_batch": [dups],
                 "total_seen": [total],
                 "field_path": [field_path],
@@ -138,7 +157,11 @@ def stateful_unique_violations(
                 "message": [f"value of {key_col!r} duplicated "
                             f"(stateful exact check)"],
                 "actual": [str(key[0])],
-            })
+            }
+            if emit_ids_col:
+                row["first_id"] = [first]
+                row["dup_ids"] = [ids if seen > 0 else ids[1:]]
+            yield pd.DataFrame(row)
 
     # drop_null_keys=False is for callers whose key column is DERIVED
     # from an expensive (e.g. Python-stage) projection and already
@@ -174,16 +197,19 @@ def streaming_audio_dup_violations(
     byte-identical undecodable payloads are neither flagged nor held
     in state (pinned: repeated garbage in the test). Violation rows
     carry field_path /<bytes_col> (content identity, not id
-    collision), rule_id UNIQUE."""
+    collision), rule_id UNIQUE, plus first_id (the state-remembered
+    keeper — the batch analog's group_id) and dup_ids (this batch's
+    duplicate clip ids) so the offenders are actionable without
+    re-fingerprinting."""
     from .audio.fingerprint import SENTINEL_PREFIX, keyed_fingerprints
 
     keyed = keyed_fingerprints(stream_df, id_col, bytes_col, chunks,
                                peaks, min_rel_mag)
     return stateful_unique_violations(
-        keyed.select("fp_key"), "fp_key",
+        keyed.select("fp_key", "id"), "fp_key",
         state_timeout_ms=state_timeout_ms,
         field_path=f"/{bytes_col}", drop_null_keys=False,
-        skip_key_prefix=SENTINEL_PREFIX)
+        skip_key_prefix=SENTINEL_PREFIX, emit_ids_col="id")
 
 
 def write_violations_stream(

@@ -308,6 +308,8 @@ def test_streaming_audio_dup_across_batches(spark, tmp_path):
     r = rows[0]
     assert (r["dup_count_batch"], r["total_seen"],
             r["field_path"], r["rule_id"]) == (1, 2, "/bytes", "UNIQUE")
+    # actionable ids: the keeper from batch 1's state + this batch's dup
+    assert (r["first_id"], list(r["dup_ids"])) == ("a1", ["a2"])
 
     # plan pin (batch equivalent of the streaming projection, single
     # source — a union holds one Python node per branch): the

@@ -322,3 +322,27 @@ def test_streaming_audio_dup_across_batches(spark, tmp_path):
         .filter(F.col("fp_key").isNotNull())
     plan2 = bad._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("ArrowEvalPython") == 2  # the trap, demonstrated
+
+
+def test_stateful_unique_emit_ids(spark, stream_src, tmp_path):
+    """emit_ids_col on the plain stateful path: the violation row names
+    the state-remembered keeper (first arrival) and this batch's
+    duplicate row ids; the default (no emit_ids_col) schema is pinned
+    unchanged by test_stateful_unique_across_batches."""
+    from protovalidate_spark.streaming import stateful_unique_violations
+    path, batch_df = stream_src
+    src = str(tmp_path / "src_ids")
+    out, ckpt = str(tmp_path / "oi"), str(tmp_path / "ci")
+    keyed = batch_df.select(
+        "clip_id", F.col("row_idx").cast("string").alias("rid"))
+    keyed.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(keyed.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    v = stateful_unique_violations(stream, "clip_id", emit_ids_col="rid")
+    write_violations_stream(v, out, ckpt).awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    # fixture: clip-0000000001 appears at row_idx 0 and 3 (same batch)
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["clip_id"] == "clip-0000000001"
+    assert (r["first_id"], list(r["dup_ids"])) == ("0", ["3"])

@@ -1,4 +1,22 @@
-from .wav import Decoded, decode_bytes, decode_wav, snr_db, synth_sine_wav  # noqa: F401
+from .wav import (  # noqa: F401
+    Decoded,
+    decode_bytes,
+    decode_wav,
+    snr_db,
+    synth_sine_wav,
+    synth_wav,
+)
+from .embed import (  # noqa: F401
+    audio_embedding,
+    audio_embeddings_frame,
+    with_audio_embedding,
+)
+from .segments import (  # noqa: F401
+    max_gap_rule,
+    segment_pcm,
+    speech_presence_rule,
+    with_segments,
+)
 from .fingerprint import (  # noqa: F401
     audio_dup_groups,
     fingerprint_key,

@@ -126,7 +126,16 @@ def synth_sine_wav(freq_hz: float, sr: int, dur_ms: int, amp: float = 0.5,
     n = int(sr * dur_ms / 1000)
     t = np.arange(n, dtype=np.float64) / sr
     x = amp * np.sin(2.0 * np.pi * freq_hz * t)
-    fmt_code, bits, data = _pack_samples(x, fmt)
+    return synth_wav(x, sr, fmt=fmt, extensible=extensible)
+
+
+def synth_wav(x: "np.ndarray", sr: int, fmt: str = "pcm16",
+              extensible: bool = False) -> bytes:
+    """Mono WAV from a float sample array in [-1, 1] — the general
+    synth entry (sine/segment/noise fixtures all route here), encoding
+    through the same ``_pack_samples`` paths the decoder is tested
+    against. Deterministic for a fixed array."""
+    fmt_code, bits, data = _pack_samples(np.asarray(x, dtype=np.float64), fmt)
     bytes_per = bits // 8
     if extensible:
         # 40-byte fmt body: base 16 + cbSize(2) + validBits(2) + mask(4)

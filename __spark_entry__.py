@@ -995,6 +995,89 @@ def q_audio_dup_clips(spark, sf_dir):
     return audio_dup_groups(df, "clip_id", "bytes")
 
 
+def q_audio_embed_neardup_clips(spark, sf_dir):
+    """Audio-embedding near-dup (audio/embed.py → pipeline/dedup.py):
+    the same sine content re-encoded across formats / sample rates /
+    gains must pair at cosine ≥ 0.95 through the spectral-band
+    embedding; content 4 semitones apart must not; undecodable and
+    all-silent payloads are excluded by the content gate. Non-SQL
+    (Arrow decode+FFT stage); deterministic (fixed synth args), so the
+    oracle is a committed expected-output snapshot."""
+    from protovalidate_spark.audio import audio_embeddings_frame
+    from protovalidate_spark.audio.wav import synth_sine_wav
+    from protovalidate_spark.pipeline.dedup import embedding_near_dups
+
+    encs = [("pcm16", 16000, 0.5, False), ("pcm8", 8000, 0.35, False),
+            ("float32", 44100, 0.25, True), ("mulaw", 8000, 0.6, False)]
+    rows = []
+    for k in range(10):
+        freq = 260.0 * 2 ** (k / 3.0)  # 4-semitone grid: distinct content
+        for e in range(1 + (k % 3)):   # group sizes 1..3
+            fmt, sr, amp, ext = encs[e]
+            rows.append((f"clip-{k:02d}-{e}",
+                         synth_sine_wav(freq, sr, 400, amp, fmt=fmt,
+                                        extensible=ext)))
+    rows += [("corrupt-0", b"RIFF junk"), ("null-0", None),
+             ("silent-0", synth_sine_wav(440.0, 16000, 400, 0.0))]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    emb = audio_embeddings_frame(df)
+    pairs = embedding_near_dups(emb, "id", "embedding", threshold=0.95,
+                                brute_force=True)
+    # pair set is the semantic payload; cosine at 2 decimals — synth
+    # pairs sit at ~0.97-1.00, far from any rounding boundary
+    return pairs.select("id_a", "id_b",
+                        F.round("cosine", 2).alias("cos2"))
+
+
+def q_audio_segments_clips(spark, sf_dir):
+    """Energy-VAD segmentation (audio/segments.py): tone/silence
+    patterns across sample formats and rates — burst counting, hangover
+    bridging of short pauses, click suppression, lead-in silence, and
+    the all-silent clip — through ONE fused Arrow decode+VAD stage.
+    Non-SQL (decode); deterministic (integer frame logic on fixed
+    synth), so the oracle is a committed snapshot."""
+    import numpy as np
+
+    from protovalidate_spark.audio import with_segments
+    from protovalidate_spark.audio.wav import synth_wav
+
+    def pcm(sr, pattern, freq=330.0):
+        parts = []
+        for dur_ms, active in pattern:
+            n = int(sr * dur_ms / 1000)
+            t = np.arange(n) / sr
+            parts.append(0.5 * np.sin(2 * np.pi * freq * t)
+                         if active else np.zeros(n))
+        return np.concatenate(parts)
+
+    pats = {
+        "two_bursts": ((300, True), (200, False), (300, True)),
+        "click_only": ((20, True), (500, False)),
+        "leading_silence": ((400, False), (300, True)),
+        "bridged_pause": ((200, True), (40, False), (200, True)),
+        "all_silent": ((600, False),),
+    }
+    rows = []
+    for fmt, sr in (("pcm16", 16000), ("pcm8", 8000), ("alaw", 8000),
+                    ("float32", 44100)):
+        for name, p in pats.items():
+            rows.append((f"{fmt}_{sr}_{name}",
+                         synth_wav(pcm(sr, p), sr, fmt=fmt)))
+    rows += [("bad_garbage", b"not audio"), ("bad_null", None)]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    seg = with_segments(df)
+    v = F.col("_vad")
+    return seg.select(
+        "clip_id", v["ok"].alias("vad_ok"),
+        v["n_segments"].alias("n_segments"),
+        v["speech_ms"].alias("speech_ms"),
+        F.round(v["speech_ratio"], 4).alias("speech_ratio4"),
+        v["longest_gap_ms"].alias("longest_gap_ms"),
+        # F.get, not [0]: ANSI mode throws on the empty segment arrays
+        F.get(v["segments"], 0)["start_ms"].alias("seg0_start_ms"),
+        F.get(v["segments"], 0)["end_ms"].alias("seg0_end_ms"))
+
+
 def q_decontaminate_documents(spark, sf_dir):
     """Benchmark decontamination (pipeline/dedup.py contamination_hits):
     docs sharing any 4-gram with the deterministic eval split
@@ -1056,6 +1139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "decontaminate_documents": q_decontaminate_documents,
         "audio_dup_clips": q_audio_dup_clips,
+        "audio_embed_neardup_clips": q_audio_embed_neardup_clips,
+        "audio_segments_clips": q_audio_segments_clips,
         "quantize_embeddings": q_quantize_embeddings,
         "pack_documents": q_pack_documents,
         "pack_clips": q_pack_clips,
@@ -1936,6 +2021,15 @@ def oracle_sql() -> dict[str, str]:
         "audio_dup_clips": f"""
             SELECT id, group_id, group_size
               FROM read_parquet('{EXPECTED_DIR}/audio_dup_clips.parquet')
+        """,
+        "audio_embed_neardup_clips": f"""
+            SELECT id_a, id_b, cos2
+              FROM read_parquet('{EXPECTED_DIR}/audio_embed_neardup_clips.parquet')
+        """,
+        "audio_segments_clips": f"""
+            SELECT clip_id, vad_ok, n_segments, speech_ms, speech_ratio4,
+                   longest_gap_ms, seg0_start_ms, seg0_end_ms
+              FROM read_parquet('{EXPECTED_DIR}/audio_segments_clips.parquet')
         """,
         "split_documents": (
             "SELECT doc_id, " + _split_sql_oracle() + " AS split "

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CLIPS_SCALAR = os.path.join(REPO, "_fixtures", "clips_scalar.parquet")
+CLIPS_LABELED = os.path.join(REPO, "_fixtures", "clips_labeled.parquet")
 EXPECTED_DIR = os.path.join(REPO, "_fixtures", "expected")
 
 # The sweep runner owns the SparkSession, so we can't set
@@ -1078,6 +1079,56 @@ def q_audio_segments_clips(spark, sf_dir):
         F.get(v["segments"], 0)["end_ms"].alias("seg0_end_ms"))
 
 
+def q_transcript_conflict_clips(spark, sf_dir):
+    """Transcript-label conflict gate, exact mode (audio/consistency.py):
+    byte-identical clips whose transcripts disagree after normalization
+    (case/whitespace collapsed; NULL is a distinct label, '' is a bad
+    label not a missing one). Pure JVM — md5 key + one window shuffle —
+    so the oracle is plain SQL grouping the committed labeled fixture
+    by its bytes column."""
+    from protovalidate_spark.audio import transcript_conflicts
+    df = spark.read.parquet(CLIPS_LABELED)
+    return transcript_conflicts(df)
+
+
+def q_transcript_conflict_content_clips(spark, sf_dir):
+    """Transcript-label conflict gate, content mode: the same recording
+    RE-ENCODED (other rate / bit depth / gain ⇒ different bytes, same
+    spectral fingerprint) with disagreeing labels — the case exact
+    hashing can never see. Negatives: re-encodings whose labels differ
+    only in formatting, distinct content sharing a transcript, garbage
+    and NULL payloads. Non-SQL (Arrow decode+FFT); deterministic, so
+    the oracle is a committed snapshot."""
+    from protovalidate_spark.audio import transcript_conflicts
+    from protovalidate_spark.audio.wav import synth_sine_wav
+
+    encs = [("pcm16", 16000, 0.5), ("pcm8", 8000, 0.3),
+            ("float32", 44100, 0.25), ("mulaw", 8000, 0.6)]
+    rows = []
+    for k in range(8):
+        freq = 294.0 * 2 ** (k / 4.0)  # 3-semitone grid: distinct content
+        label = f"spoken line number {k}"
+        for e in range(1 + (k % 4)):   # group sizes 1..4
+            fmt, sr, amp = encs[e]
+            # every third group gets one disagreeing label; group 5
+            # gets a formatting-only variant (NOT a conflict)
+            tx = label
+            if e == 2 and k % 3 == 0:
+                tx = f"spoken line number {k} revised"
+            elif e == 1 and k == 5:
+                tx = f"  Spoken LINE number {k} "
+            rows.append((f"clip-{k:02d}-{e}",
+                         synth_sine_wav(freq, sr, 400, amp, fmt=fmt), tx))
+    rows += [("junk-0", b"RIFF junk", "junk label"),
+             ("null-0", None, "no audio"),
+             # distinct content, shared transcript: not a conflict
+             ("share-a", synth_sine_wav(1975.5, 16000, 400, 0.5), "shared"),
+             ("share-b", synth_sine_wav(2217.5, 16000, 400, 0.5), "shared")]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, transcript string")
+    return transcript_conflicts(df, key="content")
+
+
 def q_decontaminate_documents(spark, sf_dir):
     """Benchmark decontamination (pipeline/dedup.py contamination_hits):
     docs sharing any 4-gram with the deterministic eval split
@@ -1136,6 +1187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": q_lsh_topk_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         # round-4 additions also run early (least driver history)
+        "transcript_conflict_clips": q_transcript_conflict_clips,
+        "transcript_conflict_content_clips":
+            q_transcript_conflict_content_clips,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "decontaminate_documents": q_decontaminate_documents,
         "audio_dup_clips": q_audio_dup_clips,
@@ -2021,6 +2075,29 @@ def oracle_sql() -> dict[str, str]:
         "audio_dup_clips": f"""
             SELECT id, group_id, group_size
               FROM read_parquet('{EXPECTED_DIR}/audio_dup_clips.parquet')
+        """,
+        "transcript_conflict_clips": f"""
+            WITH base AS (
+              SELECT clip_id, bytes, transcript,
+                     coalesce(regexp_replace(trim(lower(transcript)),
+                                             '\\s+', ' ', 'g'),
+                              chr(1) || '<null>') AS lbl
+                FROM read_parquet('{CLIPS_LABELED}')
+               WHERE bytes IS NOT NULL
+            ), g AS (
+              SELECT bytes, count(*) AS n, count(DISTINCT lbl) AS t,
+                     min(clip_id) AS gid
+                FROM base GROUP BY bytes
+            )
+            SELECT b.clip_id AS id, g.gid AS group_id,
+                   g.n AS group_size, g.t AS n_transcripts, b.transcript
+              FROM base b JOIN g ON b.bytes = g.bytes
+             WHERE g.n > 1 AND g.t > 1
+        """,
+        "transcript_conflict_content_clips": f"""
+            SELECT id, group_id, group_size, n_transcripts, transcript
+              FROM read_parquet(
+                '{EXPECTED_DIR}/transcript_conflict_content_clips.parquet')
         """,
         "audio_embed_neardup_clips": f"""
             SELECT id_a, id_b, cos2

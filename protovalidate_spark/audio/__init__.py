@@ -17,6 +17,11 @@ from .segments import (  # noqa: F401
     speech_presence_rule,
     with_segments,
 )
+from .consistency import (  # noqa: F401
+    transcript_conflict_violations,
+    transcript_conflicts,
+    transcript_label,
+)
 from .fingerprint import (  # noqa: F401
     audio_dup_groups,
     fingerprint_key,

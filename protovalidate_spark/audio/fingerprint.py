@@ -115,10 +115,12 @@ def fingerprint_key(fp_col: Column) -> Column:
 
 def keyed_fingerprints(df: DataFrame, id_col: str = "clip_id",
                        bytes_col: str = "bytes", chunks: int = 4,
-                       peaks: int = 3,
-                       min_rel_mag: float = 0.1) -> DataFrame:
-    """(id, fp_key, is_content) per row — the shared front half of
-    batch ``audio_dup_groups`` and the streaming content-dedup check.
+                       peaks: int = 3, min_rel_mag: float = 0.1,
+                       extra_cols: "Sequence[str]" = ()) -> DataFrame:
+    """(id, fp_key, is_content[, extras...]) per row — the shared front
+    half of batch ``audio_dup_groups``, the streaming content-dedup
+    check, and the transcript-conflict gate (which carries the
+    transcript through via ``extra_cols``).
 
     Everything derived from the UDF struct lives in ONE projection: an
     early ``.filter(is_content)`` would be pushed below the project and
@@ -142,7 +144,8 @@ def keyed_fingerprints(df: DataFrame, id_col: str = "clip_id",
                                F.coalesce(F.crc32(F.col(bytes_col)),
                                           F.lit(-1))))
     return fp.select(F.col(id_col).alias("id"), key.alias("fp_key"),
-                     is_content.alias("is_content"))
+                     is_content.alias("is_content"),
+                     *[F.col(c) for c in extra_cols])
 
 
 def audio_dup_groups(df: DataFrame, id_col: str = "clip_id",

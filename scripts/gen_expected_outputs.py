@@ -11,9 +11,11 @@ DuckDB reads it via read_parquet() and the driver's rows+schema+hash
 compare applies in full. Regenerate ONLY when the underlying operator
 semantics intentionally change:
 
-    python scripts/gen_expected_outputs.py [sf_dir]
+    python scripts/gen_expected_outputs.py [sf_dir] [names...]
 
-and re-run scripts/check_contract.py to confirm.
+(names restrict regeneration to a subset — e.g. a newly added query —
+so the unchanged snapshots stay byte-identical in git) and re-run
+scripts/check_contract.py to confirm.
 """
 
 import os
@@ -26,7 +28,7 @@ EXPECTED = ["minhash_neardup_documents", "simhash_documents",
             "lsh_topk_embeddings", "ivf_topk_embeddings",
             "clips_format_family", "clips_audio_features",
             "audio_dup_clips", "audio_embed_neardup_clips",
-            "audio_segments_clips"]
+            "audio_segments_clips", "transcript_conflict_content_clips"]
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "_fixtures", "expected")
@@ -48,7 +50,12 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(OUT_DIR, exist_ok=True)
     qs = entrymod.queries()
-    for name in EXPECTED:
+    only = [n for n in sys.argv[2:]]
+    if only:
+        unknown = [n for n in only if n not in EXPECTED]
+        if unknown:
+            raise SystemExit(f"not in EXPECTED: {unknown}")
+    for name in (only or EXPECTED):
         pdf = qs[name](spark, sf_dir).toPandas()
         pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
         pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),

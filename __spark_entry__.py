@@ -1091,6 +1091,17 @@ def q_transcript_conflict_clips(spark, sf_dir):
     return transcript_conflicts(df)
 
 
+def q_transcript_conflict_tolerant_clips(spark, sf_dir):
+    """Edit-tolerant variant (edit_tolerance=1): typo-level
+    re-labelings (1 Levenshtein edit from the group's reference label)
+    stop counting as conflicts; NULL-vs-text groups conflict regardless
+    of tolerance. Still pure JVM (F.levenshtein) — the oracle computes
+    the same thing in SQL with DuckDB's levenshtein()."""
+    from protovalidate_spark.audio import transcript_conflicts
+    df = spark.read.parquet(CLIPS_LABELED)
+    return transcript_conflicts(df, edit_tolerance=1)
+
+
 def q_transcript_conflict_content_clips(spark, sf_dir):
     """Transcript-label conflict gate, content mode: the same recording
     RE-ENCODED (other rate / bit depth / gain ⇒ different bytes, same
@@ -1188,6 +1199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         # round-4 additions also run early (least driver history)
         "transcript_conflict_clips": q_transcript_conflict_clips,
+        "transcript_conflict_tolerant_clips":
+            q_transcript_conflict_tolerant_clips,
         "transcript_conflict_content_clips":
             q_transcript_conflict_content_clips,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
@@ -2093,6 +2106,40 @@ def oracle_sql() -> dict[str, str]:
                    g.n AS group_size, g.t AS n_transcripts, b.transcript
               FROM base b JOIN g ON b.bytes = g.bytes
              WHERE g.n > 1 AND g.t > 1
+        """,
+        "transcript_conflict_tolerant_clips": f"""
+            WITH base AS (
+              SELECT clip_id, bytes, transcript,
+                     CASE WHEN transcript IS NOT NULL THEN
+                       regexp_replace(trim(lower(transcript)),
+                                      '\\s+', ' ', 'g') END AS txt,
+                     coalesce(regexp_replace(trim(lower(transcript)),
+                                             '\\s+', ' ', 'g'),
+                              chr(1) || '<null>') AS lbl
+                FROM read_parquet('{CLIPS_LABELED}')
+               WHERE bytes IS NOT NULL
+            ), g AS (
+              SELECT bytes, count(*) AS n, count(DISTINCT lbl) AS t,
+                     min(clip_id) AS gid,
+                     max(CASE WHEN transcript IS NULL
+                              THEN 1 ELSE 0 END) AS has_null,
+                     arg_min(txt, clip_id)
+                       FILTER (WHERE txt IS NOT NULL) AS ref
+                FROM base GROUP BY bytes
+            ), d AS (
+              SELECT b.bytes,
+                     max(levenshtein(b.txt, g.ref)) AS max_dist
+                FROM base b JOIN g ON b.bytes = g.bytes
+               WHERE b.txt IS NOT NULL GROUP BY b.bytes
+            )
+            SELECT b.clip_id AS id, g.gid AS group_id,
+                   g.n AS group_size, g.t AS n_transcripts, b.transcript
+              FROM base b
+              JOIN g ON b.bytes = g.bytes
+              LEFT JOIN d ON b.bytes = d.bytes
+             WHERE g.n > 1
+               AND ((g.has_null = 1 AND g.ref IS NOT NULL)
+                    OR d.max_dist > 1)
         """,
         "transcript_conflict_content_clips": f"""
             SELECT id, group_id, group_size, n_transcripts, transcript

@@ -69,14 +69,23 @@ def transcript_label(col: Column, normalize: bool = True) -> Column:
 def transcript_conflicts(
     df: DataFrame, id_col: str = "clip_id", bytes_col: str = "bytes",
     transcript_col: str = "transcript", key: str = "exact",
-    normalize: bool = True, chunks: int = 4, peaks: int = 3,
-    min_rel_mag: float = 0.1,
+    normalize: bool = True, edit_tolerance: int = 0, chunks: int = 4,
+    peaks: int = 3, min_rel_mag: float = 0.1,
 ) -> DataFrame:
     """One row per clip whose audio group carries conflicting
     transcripts: (id, group_id, group_size, n_transcripts, transcript).
     ``group_id`` is the group's smallest clip id (the same keeper
     convention as :func:`audio_dup_groups`); ``n_transcripts`` counts
-    distinct normalized labels in the group (>1 by construction)."""
+    distinct normalized labels in the group (>1 by construction).
+
+    ``edit_tolerance`` > 0 relaxes "different" to "further than N
+    Levenshtein edits from the group's reference label" (the keeper's
+    first non-NULL normalized transcript, by id order) — typo-level
+    re-labelings stop counting as conflicts, still entirely JVM-side
+    (``F.levenshtein``). Distances are measured against the reference,
+    not pairwise (triangle inequality bounds any pairwise distance at
+    2N); a NULL transcript in a group with real text conflicts
+    REGARDLESS of tolerance — no edit count bridges a missing label."""
     if key == "exact":
         keyed = (df.filter(F.col(bytes_col).isNotNull())
                  .select(F.col(id_col).alias("id"),
@@ -92,13 +101,30 @@ def transcript_conflicts(
         raise ValueError(f"key must be 'exact' or 'content', got {key!r}")
     lbl = transcript_label(F.col(transcript_col), normalize)
     w = Window.partitionBy("fp_key")
-    return (keyed
-            .withColumn("group_size", F.count("*").over(w))
-            .withColumn("group_id", F.min("id").over(w))
-            .withColumn("n_transcripts",
-                        F.size(F.collect_set(lbl).over(w)))
-            .filter((F.col("group_size") > 1)
-                    & (F.col("n_transcripts") > 1)
+    out = (keyed
+           .withColumn("group_size", F.count("*").over(w))
+           .withColumn("group_id", F.min("id").over(w))
+           .withColumn("n_transcripts",
+                       F.size(F.collect_set(lbl).over(w))))
+    if edit_tolerance > 0:
+        # same single shuffle; the ordered frame adds only an
+        # in-partition sort to pick the deterministic reference label
+        txt = F.when(F.col(transcript_col).isNotNull(), lbl)
+        wo = (Window.partitionBy("fp_key").orderBy("id")
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+        ref = F.first(txt, ignorenulls=True).over(wo)
+        null_mix = (F.max(F.col(transcript_col).isNull().cast("int"))
+                    .over(w) == 1) & ref.isNotNull()
+        too_far = (F.max(F.when(txt.isNotNull(),
+                                F.levenshtein(txt, ref))).over(w)
+                   > edit_tolerance)
+        conflict = null_mix | too_far
+    else:
+        conflict = F.col("n_transcripts") > 1
+    return (out
+            .withColumn("_conflict", conflict)
+            .filter((F.col("group_size") > 1) & F.col("_conflict")
                     & F.col("is_content"))
             .select("id", "group_id", "group_size", "n_transcripts",
                     F.col(transcript_col).alias("transcript")))

@@ -8,6 +8,8 @@ transcript-conflict gate (audio/consistency.py) end to end:
 - an all-NULL-transcript group (nothing to disagree about),
 - a NULL-vs-empty-string group (flagged: '' is a bad label, NULL is a
   missing one — they disagree),
+- a typo-level group (1 Levenshtein edit apart — flagged at the default
+  edit_tolerance=0, tolerated at >=1),
 - NULL-bytes rows (no content, excluded), and unique-bytes rows.
 
 Byte-identity is exact by construction (same synth args ⇒ same WAV
@@ -65,6 +67,11 @@ def rows():
     add("f-00", f, "a a")
     add("f-01", f, "a a")
     add("f-02", f, "b")
+    # G: typo-level difference (1 edit) -> flagged at edit_tolerance=0,
+    # tolerated at edit_tolerance>=1
+    g = wav(830.61)
+    add("g-00", g, "the color of water")
+    add("g-01", g, "the colour of water")
     # NULL bytes: no content, excluded even though transcripts differ
     add("n-00", None, "ghost one")
     add("n-01", None, "ghost two")

@@ -29,7 +29,7 @@ class TestExactMode:
     def test_conflicting_groups_flagged(self, labeled):
         got = _by_id(transcript_conflicts(labeled))
         assert sorted(got) == ["a-00", "a-01", "a-02", "d-00", "d-01",
-                               "f-00", "f-01", "f-02"]
+                               "f-00", "f-01", "f-02", "g-00", "g-01"]
         # whole group flagged, including rows holding the majority label
         assert got["f-01"]["group_size"] == 3
         assert got["f-01"]["n_transcripts"] == 2
@@ -73,6 +73,35 @@ class TestExactMode:
     def test_bad_key_mode(self, labeled):
         with pytest.raises(ValueError, match="exact.*content"):
             transcript_conflicts(labeled, key="nope")
+
+
+class TestEditTolerance:
+    def test_typo_group_tolerated(self, labeled):
+        ids = set(_by_id(transcript_conflicts(labeled, edit_tolerance=1)))
+        # g: 'color' vs 'colour' is 1 edit -> tolerated
+        assert not ids & {"g-00", "g-01"}
+        # f: 'a a' vs 'b' is 3 edits -> still a conflict
+        assert {"f-00", "f-01", "f-02"} <= ids
+
+    def test_null_mix_conflicts_at_any_tolerance(self, labeled):
+        ids = set(_by_id(transcript_conflicts(labeled, edit_tolerance=50)))
+        # a has NULL + real text; d has '' + NULL — no edit count
+        # bridges a missing label
+        assert {"a-00", "a-01", "a-02", "d-00", "d-01"} <= ids
+        # f's 3-edit gap IS within tolerance 50
+        assert not ids & {"f-00", "f-01", "f-02"}
+
+    def test_all_null_group_still_consistent(self, labeled):
+        ids = set(_by_id(transcript_conflicts(labeled, edit_tolerance=1)))
+        assert not ids & {"c-00", "c-01", "b-00", "b-01", "e-00", "e-01"}
+
+    def test_tolerant_plan_still_single_shuffle(self, labeled):
+        plan = (transcript_conflicts(labeled, edit_tolerance=1)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "EvalPython" not in plan
+        assert plan.count("Exchange") == 1, (
+            "the ordered reference-label frame must reuse the same "
+            "hash partitioning, adding only an in-partition sort")
 
 
 class TestContentMode:

@@ -71,9 +71,12 @@ def transcript_conflicts(
     transcript_col: str = "transcript", key: str = "exact",
     normalize: bool = True, edit_tolerance: int = 0, chunks: int = 4,
     peaks: int = 3, min_rel_mag: float = 0.1,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """One row per clip whose audio group carries conflicting
-    transcripts: (id, group_id, group_size, n_transcripts, transcript).
+    transcripts: (id, group_id, group_size, n_transcripts, transcript
+    [, keep_cols...] — extra row keys carried through the shuffle for
+    violation-row assembly).
     ``group_id`` is the group's smallest clip id (the same keeper
     convention as :func:`audio_dup_groups`); ``n_transcripts`` counts
     distinct normalized labels in the group (>1 by construction).
@@ -91,12 +94,14 @@ def transcript_conflicts(
                  .select(F.col(id_col).alias("id"),
                          F.md5(F.col(bytes_col)).alias("fp_key"),
                          F.lit(True).alias("is_content"),
-                         F.col(transcript_col)))
+                         F.col(transcript_col),
+                         *[F.col(c) for c in keep_cols]))
     elif key == "content":
         from .fingerprint import keyed_fingerprints
         keyed = keyed_fingerprints(df, id_col, bytes_col, chunks, peaks,
                                    min_rel_mag,
-                                   extra_cols=(transcript_col,))
+                                   extra_cols=(transcript_col,
+                                               *keep_cols))
     else:
         raise ValueError(f"key must be 'exact' or 'content', got {key!r}")
     lbl = transcript_label(F.col(transcript_col), normalize)
@@ -127,7 +132,8 @@ def transcript_conflicts(
             .filter((F.col("group_size") > 1) & F.col("_conflict")
                     & F.col("is_content"))
             .select("id", "group_id", "group_size", "n_transcripts",
-                    F.col(transcript_col).alias("transcript")))
+                    F.col(transcript_col).alias("transcript"),
+                    *[F.col(c) for c in keep_cols]))
 
 
 def transcript_conflict_violations(
@@ -139,9 +145,12 @@ def transcript_conflict_violations(
     """The same check in the engine's standard violation shape:
     (row keys..., field_path, rule_id=CONSISTENT, message, actual).
     ``actual`` is this row's transcript; the message names the keeper
-    clip so the conflicting group is recoverable without re-hashing."""
-    conflicts = transcript_conflicts(df, id_col, bytes_col,
-                                     transcript_col, key, normalize, **kw)
+    clip so the conflicting group is recoverable without re-hashing.
+    ``row_key_cols`` beyond ``id_col`` (e.g. a partition column) are
+    carried through the conflict shuffle."""
+    conflicts = transcript_conflicts(
+        df, id_col, bytes_col, transcript_col, key, normalize,
+        keep_cols=[c for c in row_key_cols if c != id_col], **kw)
     v = violation_struct(
         f"/{transcript_col}", Code.CONSISTENT,
         F.concat(F.lit(f"transcript conflicts with {key}-identical "

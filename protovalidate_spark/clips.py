@@ -37,11 +37,15 @@ def clips_suite(spark: SparkSession,
                 drift_baseline: Optional[Dict[str, dict]] = None,
                 dim: Optional[DataFrame] = None,
                 salt_buckets: int = 0,
-                audio_checks: bool = False) -> ValidationSuite:
+                audio_checks: bool = False,
+                label_conflicts: bool = False) -> ValidationSuite:
     """``audio_checks=True`` adds the PCM quality gates (clipping ratio,
     silence ratio) and the transcript speech-rate consistency rule; the
     feature fields ride the SAME fused Arrow decode stage, so the scan
-    and Python round-trip budget is unchanged."""
+    and Python round-trip budget is unchanged. ``label_conflicts=True``
+    adds the byte-exact transcript-conflict dataset check
+    (audio/consistency.py): byte-identical clips whose transcripts
+    disagree emit CONSISTENT violation rows."""
     extra = [
         sr_consistency_rule("sr_hz", "__dec_bytes"),
         dur_consistency_rule("dur_ms", "__dec_bytes", tolerance_ms=10),
@@ -64,4 +68,8 @@ def clips_suite(spark: SparkSession,
         extra_object_rules=tuple(extra),
         salt_buckets=salt_buckets,
         audio_features=features,
+        label_conflicts=(({"id_col": "clip_id", "bytes_col": "bytes",
+                           "transcript_col": "transcript",
+                           "key": "exact"},)
+                         if label_conflicts else ()),
     )

@@ -212,6 +212,105 @@ def streaming_audio_dup_violations(
         skip_key_prefix=SENTINEL_PREFIX, emit_ids_col="id")
 
 
+def streaming_transcript_conflict_violations(
+    stream_df: DataFrame, id_col: str = "clip_id",
+    bytes_col: str = "bytes", transcript_col: str = "transcript",
+    key: str = "content", normalize: bool = True,
+    state_timeout_ms: int = 3_600_000,
+    chunks: int = 4, peaks: int = 3, min_rel_mag: float = 0.1,
+) -> DataFrame:
+    """Cross-batch transcript-label conflict detection — the streaming
+    analog of :func:`~protovalidate_spark.audio.consistency.
+    transcript_conflicts` (tolerance-0 semantics): the same audio
+    (byte-exact md5 key, or spectral-content key for re-encodings)
+    arriving in a LATER micro-batch with a DIFFERENT transcript is
+    flagged against the state-remembered reference label. Labels are
+    normalized JVM-side before the stateful op (same
+    ``transcript_label`` expression as batch); a NULL transcript is a
+    distinct label vs real text, and an all-NULL key never conflicts.
+
+    State per content key: (reference label, keeper id, seen count),
+    TTL-bounded like every stateful check here. Divergence from batch,
+    inherent to append-mode streams: only the ARRIVING conflicting rows
+    are emitted — the earlier rows that set the reference cannot be
+    retro-flagged; the keeper id in the row recovers the group. Edit
+    tolerance is batch-only (the resumable runner's job).
+
+    Emits (clip_id, first_id, field_path=/<transcript_col>,
+    rule_id=CONSISTENT, message, actual=the arriving transcript)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout)
+
+    from .audio.consistency import transcript_label
+    from .audio.fingerprint import SENTINEL_PREFIX, keyed_fingerprints
+
+    if key == "content":
+        keyed = keyed_fingerprints(stream_df, id_col, bytes_col, chunks,
+                                   peaks, min_rel_mag,
+                                   extra_cols=(transcript_col,))
+    elif key == "exact":
+        keyed = (stream_df
+                 .select(F.col(id_col).alias("id"),
+                         # sentinel for NULL payloads, same reason as
+                         # keyed_fingerprints: no shared-NULL key group
+                         F.coalesce(
+                             F.md5(F.col(bytes_col)),
+                             F.concat(F.lit(SENTINEL_PREFIX),
+                                      F.coalesce(F.col(id_col)
+                                                 .cast("string"),
+                                                 F.lit("")))
+                         ).alias("fp_key"),
+                         F.lit(True).alias("is_content"),
+                         F.col(transcript_col)))
+    else:
+        raise ValueError(f"key must be 'exact' or 'content', got {key!r}")
+    lbl = transcript_label(F.col(transcript_col), normalize)
+    rows = keyed.select("fp_key", "id",
+                        F.col(transcript_col).alias("_tx"),
+                        lbl.alias("_lbl"))
+
+    out_schema = ("clip_id string, first_id string, field_path string, "
+                  "rule_id string, message string, actual string")
+    state_schema = "ref_label string, first_id string, seen long"
+    field_path = f"/{transcript_col}"
+
+    def flag_conflicts(group_key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if str(group_key[0]).startswith(SENTINEL_PREFIX):
+            for _ in pdfs:  # drain per the state contract
+                pass
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values("id", kind="mergesort")
+        if state.exists:
+            ref_label, first_id, seen = state.get
+        else:
+            ref_label = batch["_lbl"].iloc[0]
+            first_id = batch["id"].iloc[0]
+            seen = 0
+        conflicts = batch[batch["_lbl"] != ref_label]
+        state.update((ref_label, first_id, seen + len(batch)))
+        state.setTimeoutDuration(state_timeout_ms)
+        if len(conflicts):
+            yield pd.DataFrame({
+                "clip_id": conflicts["id"].astype(str),
+                "first_id": first_id,
+                "field_path": field_path,
+                "rule_id": Code.CONSISTENT,
+                "message": (f"transcript conflicts with {key}-identical "
+                            f"audio (keeper {first_id})"),
+                "actual": conflicts["_tx"],
+            })
+
+    return (rows.groupBy("fp_key")
+            .applyInPandasWithState(
+                flag_conflicts, out_schema, state_schema, "append",
+                GroupStateTimeout.ProcessingTimeTimeout))
+
+
 def write_violations_stream(
     violations: DataFrame, path: str, checkpoint: str,
     output_mode: str = "append", trigger_available_now: bool = True,

@@ -59,6 +59,11 @@ class ValidationSuite:
     # (peak/clip/silence/zcr) — same single Arrow stage, same struct
     # column name, so decode-consumer rules are unaffected
     audio_features: Sequence[str] = ()
+    # transcript-label conflict specs (audio/consistency.py): each dict
+    # is kwargs for transcript_conflict_violations minus row_key_cols,
+    # e.g. {"id_col": "clip_id", "bytes_col": "bytes",
+    # "transcript_col": "transcript", "key": "exact"}
+    label_conflicts: Sequence[dict] = ()
 
     # ------------------------------------------------------------------
 
@@ -101,6 +106,10 @@ class ValidationSuite:
                 salt_buckets=self.salt_buckets))
         for col, dim, dim_col in self.refs:
             out.append(ref_violations(df, col, dim, dim_col, row_key_cols=keep))
+        for spec in self.label_conflicts:
+            from .audio.consistency import transcript_conflict_violations
+            out.append(transcript_conflict_violations(
+                df, row_key_cols=keep, **spec))
         if self.drift_baseline:
             d = drift_violations(df, self.drift_baseline,
                                  self.psi_threshold, self.ks_threshold)

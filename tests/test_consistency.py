@@ -5,6 +5,7 @@ spectral-content key modes."""
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from protovalidate_spark.audio import (
     transcript_conflict_violations,
@@ -144,3 +145,42 @@ class TestContentMode:
                 ._jdf.queryExecution().executedPlan().toString())
         assert plan.count("ArrowEvalPython") == 1, (
             "the decode+FFT stage must run exactly once")
+
+
+class TestSuiteIntegration:
+    def test_clips_suite_label_conflicts_flag(self, spark):
+        """label_conflicts=True adds the byte-exact conflict check to
+        the suite's dataset pass: two injected byte-identical rows with
+        disagreeing transcripts emit /transcript CONSISTENT rows (the
+        only source of that (path, rule) pair with audio_checks off);
+        with the flag off the pair emits nothing."""
+        import datetime as dt
+
+        from protovalidate_spark.clips import clips_suite
+        from protovalidate_spark.fixtures import TINY_CLEAN, clips_df
+
+        base = clips_df(spark, TINY_CLEAN)
+        wav = synth_sine_wav(440.0, 16000, 500)
+        extra = spark.createDataFrame(
+            [(10_000_001, "clip-dup-a", wav, 16000, 500, "wav",
+              "label one", dt.date(2026, 1, 1)),
+             (10_000_002, "clip-dup-b", wav, 16000, 500, "wav",
+              "label two", dt.date(2026, 1, 1))],
+            base.schema)
+        df = base.unionByName(extra)
+
+        def conflict_rows(suite):
+            v = suite.run(df, persist=False).violations
+            return {r["clip_id"]: r for r in v.filter(
+                (F.col("field_path") == "/transcript")
+                & (F.col("rule_id") == "CONSISTENT")).collect()}
+
+        on = conflict_rows(clips_suite(spark, label_conflicts=True))
+        # the injected pair is flagged (the TINY fixture also contains
+        # NATURAL byte-collisions — synth bytes depend only on
+        # (sr, dur, freq, mode) while transcripts vary per row — which
+        # the gate correctly reports as label inconsistencies)
+        assert {"clip-dup-a", "clip-dup-b"} <= set(on)
+        assert on["clip-dup-a"]["row_idx"] == 10_000_001  # keys carried
+        assert "keeper clip-dup-a" in on["clip-dup-b"]["message"]
+        assert not conflict_rows(clips_suite(spark))

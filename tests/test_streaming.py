@@ -346,3 +346,89 @@ def test_stateful_unique_emit_ids(spark, stream_src, tmp_path):
     r = rows[0]
     assert r["clip_id"] == "clip-0000000001"
     assert (r["first_id"], list(r["dup_ids"])) == ("0", ["3"])
+
+
+def test_streaming_transcript_conflict_across_batches(spark, tmp_path):
+    """Cross-batch transcript-label conflict: the same audio content
+    re-encoded in a LATER micro-batch with a DIFFERENT transcript is
+    flagged against the state-remembered reference label; a matching
+    (formatting-only different) label, distinct content, and garbage
+    payloads are not. Batch-internal conflicts flag too."""
+    from protovalidate_spark.audio.wav import synth_sine_wav
+    from protovalidate_spark.streaming import (
+        streaming_transcript_conflict_violations, write_violations_stream)
+
+    src = str(tmp_path / "tx_src")
+    out, ckpt = str(tmp_path / "tx_out"), str(tmp_path / "tx_ck")
+    schema = "clip_id string, bytes binary, transcript string"
+    # drop 1: references — also one batch-INTERNAL conflict (c1 vs c2)
+    b1 = spark.createDataFrame(
+        [("a1", synth_sine_wav(440, 16000, 400), "the cat sat"),
+         ("b1", synth_sine_wav(550, 16000, 400), "other words"),
+         ("c1", synth_sine_wav(660, 16000, 400), "first label"),
+         ("c2", synth_sine_wav(660, 8000, 400, amp=0.3, fmt="pcm8"),
+          "second label")], schema)
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(b1.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    v = streaming_transcript_conflict_violations(stream)
+    write_violations_stream(v, out, ckpt).awaitTermination(120)
+    rows = {r["clip_id"]: r for r in spark.read.parquet(out).collect()}
+    assert sorted(rows) == ["c2"]          # batch-internal conflict
+    assert rows["c2"]["first_id"] == "c1"
+    # drop 2: a re-encoded 440 Hz with a conflicting label (flag), a
+    # re-encoded 550 Hz whose label differs only in formatting (no
+    # flag), distinct new content (no flag), garbage (no flag)
+    b2 = spark.createDataFrame(
+        [("a2", synth_sine_wav(440, 8000, 400, amp=0.25, fmt="pcm8"),
+          "the dog sat"),
+         ("b2", synth_sine_wav(550, 44100, 400, amp=0.2, fmt="float32"),
+          "  OTHER   Words "),
+         ("d1", synth_sine_wav(880, 16000, 400), "fresh content"),
+         ("junk", b"\x00not-a-wav", "junk label")], schema)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(b1.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    v2 = streaming_transcript_conflict_violations(stream2)
+    write_violations_stream(v2, out, ckpt).awaitTermination(120)
+    rows = {r["clip_id"]: r for r in spark.read.parquet(out).collect()}
+    assert sorted(rows) == ["a2", "c2"]
+    r = rows["a2"]
+    assert (r["first_id"], r["field_path"], r["rule_id"], r["actual"]) \
+        == ("a1", "/transcript", "CONSISTENT", "the dog sat")
+
+
+def test_streaming_transcript_conflict_exact_null_label(spark, tmp_path):
+    """Exact (md5) key mode + NULL-label semantics: byte-identical rows
+    where one transcript is NULL and the reference is real text flag
+    the NULL row; NULL-bytes rows ride per-row sentinel keys and never
+    flag each other."""
+    from protovalidate_spark.audio.wav import synth_sine_wav
+    from protovalidate_spark.streaming import (
+        streaming_transcript_conflict_violations, write_violations_stream)
+
+    src = str(tmp_path / "tx2_src")
+    out, ckpt = str(tmp_path / "tx2_out"), str(tmp_path / "tx2_ck")
+    schema = "clip_id string, bytes binary, transcript string"
+    wav = synth_sine_wav(440, 16000, 400)
+    b1 = spark.createDataFrame(
+        [("a1", wav, "hello"), ("n1", None, "ghost one")], schema)
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(b1.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    v = streaming_transcript_conflict_violations(stream, key="exact")
+    write_violations_stream(v, out, ckpt).awaitTermination(120)
+    assert spark.read.parquet(out).count() == 0
+    b2 = spark.createDataFrame(
+        [("a2", wav, None), ("n2", None, "ghost two")], schema)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(b1.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    v2 = streaming_transcript_conflict_violations(stream2, key="exact")
+    write_violations_stream(v2, out, ckpt).awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["clip_id"], r["first_id"], r["rule_id"]) \
+        == ("a2", "a1", "CONSISTENT")
+    assert r["actual"] is None

@@ -354,6 +354,41 @@ def q_clips_audio_features(spark, sf_dir):
         F.round("_afeat.zcr", 6).alias("zcr"))
 
 
+def q_audio_level_clips(spark, sf_dir):
+    """Integrated-level (quiet_rule, MIN on rms_dbfs) and DC-offset
+    (dc_offset_rule, MAX on |mean|) capture-quality gates over
+    deterministic synth clips across sample formats — same fused Arrow
+    feature stage as clips_audio_features. Non-SQL (decode);
+    deterministic, so the oracle is a committed snapshot (the `actual`
+    column is the rules' rounded-string output — no float-boundary
+    exposure)."""
+    import numpy as np
+
+    from protovalidate_spark import Object
+    from protovalidate_spark.audio.features import (dc_offset_rule,
+                                                    quiet_rule,
+                                                    with_audio_features)
+    from protovalidate_spark.audio.wav import synth_wav
+    rows = []
+    for fmt, sr in (("pcm16", 16000), ("pcm24", 22050), ("float32", 8000),
+                    ("mulaw", 8000)):
+        t = np.arange(int(sr * 0.3)) / sr
+        tone = np.sin(2 * np.pi * 330.0 * t)
+        for label, x in (("ok", 0.4 * tone),
+                         ("faint", 0.003 * tone),
+                         ("silent", 0.0 * tone),
+                         ("biased", 0.3 * tone + 0.12)):
+            rows.append((f"{fmt}_{label}", synth_wav(x, sr, fmt=fmt)))
+    rows += [("bad_garbage", b"not audio"), ("bad_null", None)]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    f = with_audio_features(df)
+    rs = (Object().with_unknown()
+          .with_rule(quiet_rule(min_dbfs=-45.0))
+          .with_rule(dc_offset_rule(max_abs=0.02)))
+    v = rs.violations(f, row_key_cols=["clip_id"])
+    return v.select("clip_id", "field_path", "rule_id", "actual")
+
+
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -1253,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_format_family": q_clips_format_family,
         "speech_rate_clips": q_speech_rate_clips,
         "clips_audio_features": q_clips_audio_features,
+        "audio_level_clips": q_audio_level_clips,
         "split_documents": q_split_documents,
         "stratified_sample_clips": q_stratified_sample_clips,
         "chi2_js_returnflag": q_chi2_js_returnflag,
@@ -2084,6 +2120,10 @@ def oracle_sql() -> dict[str, str]:
         "clips_audio_features": f"""
             SELECT clip_id, feat_ok, peak, clip_ratio, silence_ratio, zcr
               FROM read_parquet('{EXPECTED_DIR}/clips_audio_features.parquet')
+        """,
+        "audio_level_clips": f"""
+            SELECT clip_id, field_path, rule_id, actual
+              FROM read_parquet('{EXPECTED_DIR}/audio_level_clips.parquet')
         """,
         "audio_dup_clips": f"""
             SELECT id, group_id, group_size

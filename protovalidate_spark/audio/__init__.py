@@ -35,3 +35,13 @@ from .decode import (  # noqa: F401
     sr_consistency_rule,
     with_decoded,
 )
+from .features import (  # noqa: F401
+    clipping_rule,
+    dc_offset_rule,
+    quiet_rule,
+    silence_rule,
+    speech_rate,
+    speech_rate_rule,
+    with_audio_features,
+    with_decoded_features,
+)

@@ -35,7 +35,14 @@ AUDIO_FEATURES_TYPE = T.StructType([
     T.StructField("clip_ratio", T.DoubleType()),
     T.StructField("silence_ratio", T.DoubleType()),
     T.StructField("zcr", T.DoubleType()),
+    T.StructField("rms_dbfs", T.DoubleType()),
+    T.StructField("dc_offset", T.DoubleType()),
 ])
+
+# all-zero PCM has no finite dBFS; a fixed floor keeps the column typed
+# double (no NULL/-inf special case in rules) and sits far below any
+# real recording (16-bit quantization noise alone is ~-96 dBFS)
+SILENCE_DBFS = -200.0
 
 # decode struct + feature fields in ONE column: a suite that wants both
 # the DECODE/CONSISTENT rules and the feature rules pays a single Arrow
@@ -47,7 +54,9 @@ DECODED_FEATURES_TYPE = T.StructType(
     _BASE_FIELDS + [T.StructField("peak", T.DoubleType()),
                     T.StructField("clip_ratio", T.DoubleType()),
                     T.StructField("silence_ratio", T.DoubleType()),
-                    T.StructField("zcr", T.DoubleType())])
+                    T.StructField("zcr", T.DoubleType()),
+                    T.StructField("rms_dbfs", T.DoubleType()),
+                    T.StructField("dc_offset", T.DoubleType())])
 
 
 def _features_series(bs: pd.Series, frame_ms: int, silence_rms: float,
@@ -65,17 +74,26 @@ def _features_series(bs: pd.Series, frame_ms: int, silence_rms: float,
     clip_r = np.full(n_rows, np.nan)
     sil_r = np.full(n_rows, np.nan)
     zcr = np.full(n_rows, np.nan)
+    dbfs = np.full(n_rows, np.nan)
+    dc = np.full(n_rows, np.nan)
     for i in np.nonzero(ok)[0]:
         x = dec["pcm"][i]
         sr = int(dec["sr"][i])
         n = x.size
         if n == 0:
-            peak[i] = clip_r[i] = sil_r[i] = zcr[i] = 0.0
+            peak[i] = clip_r[i] = sil_r[i] = zcr[i] = dc[i] = 0.0
+            dbfs[i] = SILENCE_DBFS
             continue
         ax = np.abs(x)
         peak[i] = float(ax.max())
         clip_r[i] = float(np.count_nonzero(ax >= clip_level) / n)
         zcr[i] = float(np.count_nonzero(x[1:] * x[:-1] < 0) / max(n - 1, 1))
+        # integrated level + DC bias from the same float64 accumulation
+        # the decoder's RMS uses (decode.py) — dBFS re full scale 1.0
+        x64 = x.astype(np.float64)
+        rms = float(np.sqrt(np.dot(x64, x64) / n))
+        dbfs[i] = 20.0 * np.log10(rms) if rms > 0.0 else SILENCE_DBFS
+        dc[i] = float(x64.mean())
         flen = max(int(sr * frame_ms / 1000), 1)
         nf = n // flen
         if nf:
@@ -86,7 +104,8 @@ def _features_series(bs: pd.Series, frame_ms: int, silence_rms: float,
             rms = float(np.sqrt(np.dot(x.astype(np.float64), x) / n))
             sil_r[i] = 1.0 if rms < silence_rms else 0.0
     out = pd.DataFrame({"ok": dec["ok"], "peak": peak, "clip_ratio": clip_r,
-                        "silence_ratio": sil_r, "zcr": zcr})
+                        "silence_ratio": sil_r, "zcr": zcr,
+                        "rms_dbfs": dbfs, "dc_offset": dc})
     return out
 
 
@@ -116,7 +135,8 @@ def with_decoded_features(df: DataFrame, bytes_col: str = "bytes",
             "ok": dec["ok"], "sr": dec["sr"], "n_samples": dec["n_samples"],
             "dur_ms": dec["dur_ms"], "rms": dec["rms"],
             "peak": feat["peak"], "clip_ratio": feat["clip_ratio"],
-            "silence_ratio": feat["silence_ratio"], "zcr": feat["zcr"]})
+            "silence_ratio": feat["silence_ratio"], "zcr": feat["zcr"],
+            "rms_dbfs": feat["rms_dbfs"], "dc_offset": feat["dc_offset"]})
     return df.withColumn(out_col,
                          pandas_udf(_udf, DECODED_FEATURES_TYPE)(F.col(bytes_col)))
 
@@ -153,6 +173,40 @@ def silence_rule(bytes_col: str = "bytes", feat_col: str = "_afeat",
         message=f"silent-frame ratio exceeds {max_ratio}",
         field_path=f"/{bytes_col}/silence_ratio",
         actual=lambda get: F.round(get(feat_col)["silence_ratio"], 6).cast("string"),
+    )
+
+
+def quiet_rule(bytes_col: str = "bytes", feat_col: str = "_afeat",
+               min_dbfs: float = -45.0) -> ObjectRule:
+    """Integrated RMS level must reach min_dbfs (MIN) — a near-inaudible
+    recording is a capture failure even when it isn't digitally silent,
+    and gain-starved clips poison loudness-sensitive training.
+    All-zero PCM reports the SILENCE_DBFS floor (-200), so fully-silent
+    clips fail this rule too (silence_rule additionally localizes
+    per-frame silence). Loud clips are clipping_rule's finding."""
+    return ObjectRule(
+        rule_id=Code.MIN,
+        predicate=lambda get: (~F.coalesce(get(feat_col)["ok"], F.lit(False)))
+        | (get(feat_col)["rms_dbfs"] >= min_dbfs),
+        message=f"integrated level below {min_dbfs} dBFS",
+        field_path=f"/{bytes_col}/rms_dbfs",
+        actual=lambda get: F.round(get(feat_col)["rms_dbfs"], 2).cast("string"),
+    )
+
+
+def dc_offset_rule(bytes_col: str = "bytes", feat_col: str = "_afeat",
+                   max_abs: float = 0.02) -> ObjectRule:
+    """Mean sample value must stay within ±max_abs of zero (MAX) — a DC
+    bias flags a broken capture chain (mic preamp / ADC coupling) and
+    wastes headroom; it also skews energy-based VAD and any feature
+    computed from raw sample moments."""
+    return ObjectRule(
+        rule_id=Code.MAX,
+        predicate=lambda get: (~F.coalesce(get(feat_col)["ok"], F.lit(False)))
+        | (F.abs(get(feat_col)["dc_offset"]) <= max_abs),
+        message=f"DC offset magnitude exceeds {max_abs}",
+        field_path=f"/{bytes_col}/dc_offset",
+        actual=lambda get: F.round(get(feat_col)["dc_offset"], 6).cast("string"),
     )
 
 

@@ -160,3 +160,47 @@ def test_clips_suite_audio_checks(spark, tiny_clips):
     plan = clips_suite(spark, audio_checks=True).row_violations(plain) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_level_and_dc_features():
+    # sine RMS = amp/sqrt(2) -> 20*log10(0.5/sqrt(2)) = -9.03 dBFS
+    f = _feat(synth_sine_wav(440.0, 16000, 500, amp=0.5))
+    assert abs(f["rms_dbfs"] - 20 * np.log10(0.5 / np.sqrt(2))) < 0.05
+    assert abs(f["dc_offset"]) < 1e-3
+    s = _feat(synth_sine_wav(440.0, 16000, 500, amp=0.0))
+    assert s["rms_dbfs"] == -200.0 and s["dc_offset"] == 0.0
+    bad = _feat(b"garbage")
+    assert not bad["ok"] and np.isnan(bad["rms_dbfs"]) \
+        and np.isnan(bad["dc_offset"])
+
+
+def test_dc_offset_detected():
+    from protovalidate_spark.audio.wav import synth_wav
+    t = np.arange(4000) / 8000.0
+    x = 0.25 * np.sin(2 * np.pi * 300.0 * t) + 0.1
+    f = _feat(synth_wav(x, 8000, fmt="pcm16"))
+    assert f["ok"] and abs(f["dc_offset"] - 0.1) < 0.005
+
+
+def test_level_rules_flag_violations(spark):
+    from protovalidate_spark import Object
+    from protovalidate_spark.audio.features import dc_offset_rule, quiet_rule
+    from protovalidate_spark.audio.wav import synth_wav
+    t = np.arange(2000) / 8000.0
+    biased = synth_wav(0.25 * np.sin(2 * np.pi * 300.0 * t) + 0.15, 8000)
+    rows = [("ok", synth_sine_wav(300.0, 8000, 250, amp=0.5)),
+            ("faint", synth_sine_wav(300.0, 8000, 250, amp=0.002)),
+            ("biased", biased),
+            ("bad", b"nope")]
+    df = with_audio_features(
+        spark.createDataFrame(rows, "clip_id string, bytes binary"))
+    rs = (Object().with_unknown()
+          .with_rule(quiet_rule(min_dbfs=-45.0))
+          .with_rule(dc_offset_rule(max_abs=0.02)))
+    v = rs.violations(df, row_key_cols=["clip_id"])
+    got = {(r["clip_id"], r["field_path"], r["rule_id"]) for r in v.collect()}
+    # undecodable rows are NOT judged (DECODE's finding); fully-silent
+    # clips DO fail quiet_rule via the SILENCE_DBFS floor — covered by
+    # the "faint" case here, floor case asserted in the feature test
+    assert got == {("faint", "/bytes/rms_dbfs", "MIN"),
+                   ("biased", "/bytes/dc_offset", "MAX")}

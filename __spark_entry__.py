@@ -864,6 +864,33 @@ def q_gopher_quality_documents(spark, sf_dir):
 _PII_INJECT = (" contact bob@example.com or +1 (555) 123-4567 "
                "from 10.0.0.1")
 
+# deterministic page fragments for the C4 line gates (the fixture corpus
+# is single-line word salad): injected into BOTH engines, same order
+_C4_SENT = "This is a real sentence. It even has punctuation! Surely?"
+_C4_LOREM = "lorem ipsum dolor sit amet."
+_C4_BRACE = "if (x) { return 1; }"
+_C4_JS = "Please enable javascript to continue."
+
+
+def q_c4_quality_documents(spark, sf_dir):
+    """C4-style line-level page gates (pipeline/text.py
+    c4_quality_violations): sentence-count floor, lorem-ipsum and
+    curly-brace page drops, javascript-line flagging, kept-line-fraction
+    floor — deterministic page fragments injected into every 3rd/11th/
+    13th/17th doc in BOTH the Spark query and the SQL oracle (same
+    pattern as pii_documents)."""
+    from protovalidate_spark.pipeline import c4_quality_violations
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    for mod, frag in ((3, _C4_SENT), (11, _C4_LOREM),
+                      (13, _C4_BRACE), (17, _C4_JS)):
+        t = F.when(F.col("doc_id") % mod == 0,
+                   F.concat(t, F.lit("\n" + frag))).otherwise(t)
+    d = d.withColumn("text", t)
+    return c4_quality_violations(d, "doc_id", "text",
+                                 min_kept_line_frac=0.5) \
+        .select("doc_id", "field_path", "rule_id", "message")
+
 
 def q_pii_documents(spark, sf_dir):
     """PII pattern counts; the fixture corpus is synthetic word salad,
@@ -1249,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk_documents": q_vocab_topk_documents,
         "repetition_documents": q_repetition_documents,
         "gopher_quality_documents": q_gopher_quality_documents,
+        "c4_quality_documents": q_c4_quality_documents,
         "pii_documents": q_pii_documents,
         "collection_lineitem": q_collection_lineitem,
         "conditional_orders": q_conditional_orders,
@@ -2037,6 +2065,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, '/text', 'MAX',
                    'symbol-to-word ratio above cap'
               FROM f WHERE symr > 0.1
+        """,
+        "c4_quality_documents": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN chr(10) || '{_C4_SENT}' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN chr(10) || '{_C4_LOREM}' ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                             THEN chr(10) || '{_C4_BRACE}' ELSE '' END
+                     || CASE WHEN doc_id % 17 = 0
+                             THEN chr(10) || '{_C4_JS}' ELSE '' END
+                     AS text
+                FROM documents),
+            f AS (
+              SELECT doc_id,
+                     list_transform(string_split(text, chr(10)),
+                                    l -> trim(l)) AS lines,
+                     len(regexp_extract_all(text, '[.!?]')) AS n_sent,
+                     contains(lower(text), 'lorem ipsum') AS has_lorem,
+                     contains(text, '{{') AS has_brace
+                FROM d),
+            g AS (
+              SELECT doc_id, n_sent, has_lorem, has_brace,
+                     len(lines) AS n_lines,
+                     len(list_filter(lines, l ->
+                       (CASE WHEN length(l) = 0 THEN 0
+                             ELSE len(string_split_regex(l, '\\s+')) END) >= 3
+                       AND regexp_matches(l, '[.!?\"]$'))) AS n_kept,
+                     len(list_filter(lines, l ->
+                       contains(lower(l), 'javascript'))) AS n_js
+                FROM f)
+            SELECT doc_id, '/text' AS field_path, 'MIN_LEN' AS rule_id,
+                   'fewer than 3 sentences' AS message
+              FROM g WHERE n_sent < 3
+            UNION ALL
+            SELECT doc_id, '/text', 'DENIED',
+                   'contains ''lorem ipsum'' placeholder text'
+              FROM g WHERE has_lorem
+            UNION ALL
+            SELECT doc_id, '/text', 'DENIED',
+                   'contains curly brace (code/markup page)'
+              FROM g WHERE has_brace
+            UNION ALL
+            SELECT doc_id, '/text', 'BOILERPLATE',
+                   'javascript boilerplate line(s)'
+              FROM g WHERE n_js > 0
+            UNION ALL
+            SELECT doc_id, '/text', 'MIN', 'kept-line fraction below 0.5'
+              FROM g WHERE (CASE WHEN n_lines > 0
+                                 THEN n_kept::DOUBLE / n_lines
+                                 ELSE 0.0 END) < 0.5
         """,
         "pii_documents": rf"""
             WITH d AS (

@@ -291,6 +291,107 @@ def gopher_quality_violations(df: DataFrame, id_col: str,
     return out
 
 
+# C4's terminal-punctuation line filter (Raffel et al. 2020 §2.2): a
+# retained line must end in . ! ? or a closing quote
+_C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def _line_words(line: Column) -> Column:
+    # split('') yields [''] (size 1), so empty lines need the explicit 0
+    return F.when(F.length(line) == 0, F.lit(0)) \
+            .otherwise(F.size(F.split(line, r"\s+")))
+
+
+def c4_line_features(df: DataFrame, text_col: str = "text",
+                     min_line_words: int = 3) -> DataFrame:
+    """C4-style line-level page signals (the boilerplate screen that runs
+    BEFORE Gopher's token-level gates), pure JVM map-only expressions:
+
+    - ``n_lines`` / ``n_kept_lines`` / ``kept_line_frac`` — lines that
+      survive C4's line filter (>= min_line_words words AND terminal
+      punctuation); boilerplate nav/footer pages keep almost none;
+    - ``n_sentences`` — terminal-punctuation marks in the page (C4
+      drops pages with too few sentences);
+    - ``has_lorem`` — 'lorem ipsum' placeholder text;
+    - ``has_brace`` — '{' (code/markup leaking into prose);
+    - ``n_js_lines`` — lines mentioning 'javascript' (cookie/JS-notice
+      boilerplate; C4 drops the line, the violation gate flags the page).
+
+    At 100 TB: no shuffle, no UDF — one whole-stage-codegen projection.
+    The DuckDB oracle composes identical arithmetic from list functions
+    (contract query c4_quality_documents)."""
+    c = F.col(text_col)
+    lines = F.transform(F.split(c, r"\n"), lambda l: F.trim(l))
+    n_lines = F.size(lines)
+    kept = F.filter(lines, lambda l: (_line_words(l) >= min_line_words)
+                    & l.rlike(_C4_TERMINAL_RE))
+    js = F.filter(lines, lambda l: F.lower(l).contains("javascript"))
+    return df.select(
+        "*",
+        n_lines.cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept_lines"),
+        F.when(n_lines > 0, F.size(kept).cast("double") / n_lines)
+         .otherwise(F.lit(0.0)).alias("kept_line_frac"),
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]"), 0))
+         .cast("bigint").alias("n_sentences"),
+        F.coalesce(F.lower(c).contains("lorem ipsum"), F.lit(False))
+         .alias("has_lorem"),
+        F.coalesce(c.contains("{"), F.lit(False)).alias("has_brace"),
+        F.size(js).cast("bigint").alias("n_js_lines"),
+    )
+
+
+def c4_clean_text(col: Column, min_line_words: int = 3) -> Column:
+    """The C4 line-filtering TRANSFORM (the cleaning op, not the gate):
+    keep only trimmed lines with >= min_line_words words that end in
+    terminal punctuation and don't mention 'javascript'; rejoin with
+    newlines. Empty string when nothing survives — pair with
+    ``c4_quality_violations`` to drop such pages."""
+    lines = F.transform(F.split(col, r"\n"), lambda l: F.trim(l))
+    kept = F.filter(lines, lambda l: (_line_words(l) >= min_line_words)
+                    & l.rlike(_C4_TERMINAL_RE)
+                    & ~F.lower(l).contains("javascript"))
+    return F.array_join(kept, "\n")
+
+
+def c4_quality_violations(df: DataFrame, id_col: str,
+                          text_col: str = "text",
+                          min_sentences: int = 3,
+                          min_line_words: int = 3,
+                          min_kept_line_frac: float = 0.0) -> DataFrame:
+    """C4-rule page gates as violation rows (same error shape as every
+    rule in the engine): sentence-count floor, 'lorem ipsum' and
+    curly-brace page drops, javascript-line flagging, and (opt-in via
+    min_kept_line_frac > 0) a floor on the fraction of lines surviving
+    the C4 line filter. Thresholds default to the published C4 rules."""
+    f = c4_line_features(df, text_col, min_line_words)
+    gates = [
+        (F.col("n_sentences") < min_sentences, Code.MIN_LEN,
+         f"fewer than {min_sentences} sentences"),
+        (F.col("has_lorem"), Code.DENIED,
+         "contains 'lorem ipsum' placeholder text"),
+        (F.col("has_brace"), Code.DENIED,
+         "contains curly brace (code/markup page)"),
+        (F.col("n_js_lines") > 0, "BOILERPLATE",
+         "javascript boilerplate line(s)"),
+    ]
+    if min_kept_line_frac > 0.0:
+        gates.append((F.col("kept_line_frac") < min_kept_line_frac,
+                      Code.MIN,
+                      f"kept-line fraction below {min_kept_line_frac}"))
+    parts = []
+    for cond, code, msg in gates:
+        parts.append(f.filter(F.coalesce(cond, F.lit(False))).select(
+            F.col(id_col),
+            F.lit(f"/{text_col}").alias("field_path"),
+            F.lit(code).alias("rule_id"),
+            F.lit(msg).alias("message")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 _PII_PATTERNS = {
     # shared verbatim with the DuckDB oracle (Java regex ∩ RE2 syntax)
     "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",

@@ -127,3 +127,62 @@ def test_pii_counts(spark):
     assert (r[1]["n_emails"], r[1]["n_phones"]) == (2, 1)
     assert r[2]["n_ipv4"] == 2 and r[2]["n_emails"] == 0
     assert (r[3]["n_emails"], r[3]["n_ipv4"], r[3]["n_phones"]) == (0, 0, 0)
+
+
+def test_c4_line_features(spark):
+    from protovalidate_spark.pipeline import c4_line_features
+    page = ("This line survives the filter just fine.\n"
+            "short one\n"
+            "Home | About | Contact\n"
+            "Please enable JavaScript to view this site\n"
+            "Another proper sentence ends with punctuation!")
+    df = spark.createDataFrame(
+        [(1, page), (2, "lorem ipsum dolor"), (3, "code { return 1; }"),
+         (4, ""), (5, None)],
+        "doc_id int, text string")
+    r = {x["doc_id"]: x for x in c4_line_features(df).collect()}
+    assert r[1]["n_lines"] == 5 and r[1]["n_kept_lines"] == 2
+    assert abs(r[1]["kept_line_frac"] - 0.4) < 1e-9
+    assert r[1]["n_sentences"] == 2 and r[1]["n_js_lines"] == 1
+    assert r[2]["has_lorem"] and not r[2]["has_brace"]
+    assert r[3]["has_brace"] and not r[3]["has_lorem"]
+    # empty page: 1 empty line, nothing kept, no sentences
+    assert r[4]["n_kept_lines"] == 0 and r[4]["n_sentences"] == 0
+    assert not r[5]["has_lorem"]  # NULL text never trips a boolean gate
+
+
+def test_c4_clean_text(spark):
+    from pyspark.sql import functions as F
+
+    from protovalidate_spark.pipeline import c4_clean_text
+    page = ("  Padded but a real sentence here.  \n"
+            "nav menu\n"
+            "This page requires JavaScript to work properly.\n"
+            "Second real sentence stays too!")
+    df = spark.createDataFrame([(1, page)], "doc_id int, text string")
+    out = df.select(c4_clean_text(F.col("text")).alias("clean")) \
+            .first()["clean"]
+    assert out == ("Padded but a real sentence here.\n"
+                   "Second real sentence stays too!")
+
+
+def test_c4_gates(spark):
+    from protovalidate_spark.pipeline import c4_quality_violations
+    df = spark.createDataFrame([
+        (1, "First sentence. Second one! Third here? All proper lines."),
+        (2, "lorem ipsum filler without a single sentence mark"),
+        (3, "a { b } page with code. One sentence. Two. Three."),
+        (4, "plain word salad with no punctuation at all"),
+    ], "doc_id int, text string")
+    got = {(r["doc_id"], r["rule_id"])
+           for r in c4_quality_violations(df, "doc_id").collect()}
+    assert (1, "MIN_LEN") not in got          # 4 sentence marks
+    assert (2, "DENIED") in got and (2, "MIN_LEN") in got
+    assert (3, "DENIED") in got               # brace page
+    assert (3, "MIN_LEN") not in got          # 4 marks
+    assert (4, "MIN_LEN") in got
+    # opt-in kept-line floor fires on the salad page, not on page 1
+    got2 = {(r["doc_id"], r["rule_id"])
+            for r in c4_quality_violations(
+                df, "doc_id", min_kept_line_frac=0.5).collect()}
+    assert (4, "MIN") in got2 and (1, "MIN") not in got2

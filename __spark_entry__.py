@@ -892,6 +892,26 @@ def q_c4_quality_documents(spark, sf_dir):
         .select("doc_id", "field_path", "rule_id", "message")
 
 
+_SPAN_INJECT = ("shared duplicated passage marker alpha beta gamma delta "
+                "epsilon zeta eta theta")  # 12 tokens
+
+
+def q_duplicate_spans_documents(spark, sf_dir):
+    """Exact duplicated-passage detection (pipeline/dedup.py
+    duplicate_spans — the Lee et al. substring-dedup gate): a 12-token
+    passage is appended to every 9th doc in BOTH engines; maximal
+    duplicated k=8 spans must agree exactly (pure SQL oracle: positional
+    grams + count>=2 + island merge, same arithmetic)."""
+    from protovalidate_spark.pipeline import duplicate_spans
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn("text", F.when(
+        F.col("doc_id") % 9 == 0,
+        F.concat(F.col("text"), F.lit(" " + _SPAN_INJECT)))
+        .otherwise(F.col("text")))
+    return duplicate_spans(d, "doc_id", "text", k=8) \
+        .select("doc_id", "start_tok", "end_tok", "span_tokens", "n_grams")
+
+
 def q_pii_documents(spark, sf_dir):
     """PII pattern counts; the fixture corpus is synthetic word salad,
     so deterministic PII text is injected into every 7th doc in BOTH the
@@ -1278,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_documents": q_gopher_quality_documents,
         "c4_quality_documents": q_c4_quality_documents,
         "pii_documents": q_pii_documents,
+        "duplicate_spans_documents": q_duplicate_spans_documents,
         "collection_lineitem": q_collection_lineitem,
         "conditional_orders": q_conditional_orders,
         "cross_column_lineitem": q_cross_column_lineitem,
@@ -2065,6 +2086,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, '/text', 'MAX',
                    'symbol-to-word ratio above cap'
               FROM f WHERE symr > 0.1
+        """,
+        "duplicate_spans_documents": rf"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 9 = 0
+                          THEN text || ' {_SPAN_INJECT}'
+                          ELSE text END AS text
+                FROM documents),
+            t AS (
+              SELECT doc_id,
+                     CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(norm, '\s+') END AS w
+                FROM (SELECT doc_id,
+                             trim(regexp_replace(regexp_replace(lower(text),
+                                 '[^a-z0-9\s]', ' ', 'g'),
+                                 '\s+', ' ', 'g')) AS norm
+                        FROM d)),
+            g AS (
+              SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(w) - 7, 0)),
+                         i -> struct_pack(pos := i - 1,
+                                          gram := w[i] || ' ' || w[i+1]
+                                          || ' ' || w[i+2] || ' ' || w[i+3]
+                                          || ' ' || w[i+4] || ' ' || w[i+5]
+                                          || ' ' || w[i+6] || ' ' || w[i+7])
+                         )) AS u
+                  FROM t)),
+            c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            m AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)),
+            isl AS (
+              SELECT doc_id, pos,
+                     pos - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS island
+                FROM m)
+            SELECT doc_id,
+                   min(pos)::BIGINT AS start_tok,
+                   (max(pos) + 8)::BIGINT AS end_tok,
+                   (max(pos) - min(pos) + 8)::BIGINT AS span_tokens,
+                   count(*)::BIGINT AS n_grams
+              FROM isl GROUP BY doc_id, island
         """,
         "c4_quality_documents": f"""
             WITH d AS (

@@ -343,6 +343,104 @@ def ngram_jaccard_dedup(df: DataFrame, id_col: str, text_col: str,
         sh.unpersist()
 
 
+def _positional_grams(text: Column, k: int) -> Column:
+    """Ordered k-token gram array of normalized text — array index IS the
+    gram's first-token position (unlike word_shingles, which dedups and
+    loses order). zip_with shift assembly, NOT slice-per-index: Catalyst
+    re-evaluates the token subtree inside each lambda index (the same
+    trap documented at text.repetition_features). NULL tail entries where
+    fewer than k tokens remain — callers drop them after posexplode."""
+    toks = tokens(normalize_text(text))
+    n = F.size(toks)
+    out = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
+        out = F.zip_with(out, shifted,
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return out
+
+
+def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
+                    k: int = 8, min_count: int = 2,
+                    max_gram_count: Optional[int] = None) -> DataFrame:
+    """Exact duplicated-PASSAGE detection — the substring-dedup gate of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better": remove any substring duplicated across the corpus),
+    re-expressed for Spark without the suffix array: every k-token gram
+    whose corpus-wide occurrence count reaches ``min_count`` marks its
+    positions, and runs of CONSECUTIVE duplicated gram positions merge
+    into maximal spans per document. A passage of L >= k duplicated
+    tokens surfaces as one span with L - k + 1 grams; within-document
+    repeats count toward ``min_count`` too.
+
+    Returns ``(id_col, start_tok, end_tok, span_tokens, n_grams)`` —
+    the token half-open range [start_tok, end_tok) of each maximal
+    duplicated span (positions in the NORMALIZED token stream), ready
+    for surgical span removal or the doc-level
+    :func:`duplicate_span_violations` gate.
+
+    100-TB shape: positional gram assembly is map-only JVM (no UDF);
+    corpus gram counts come from ONE count-over-window on the gram key —
+    a groupBy + mark-back join would shuffle the exploded frame twice
+    AND re-run the gram assembly on both join sides (Catalyst does no
+    cross-branch CSE — the r3 minhash trap); the span-merge window then
+    shuffles ONLY the duplicated positions (a small fraction of the
+    corpus when dedup upstream has run). ``max_gram_count`` drops
+    stop-phrase-like ultra-hot grams (boilerplate that would mark half
+    the corpus) — an explicit cap, not silent truncation of real
+    duplicates. The contract oracle composes identical arithmetic in
+    DuckDB (duplicate_spans_documents)."""
+    grams = _positional_grams(F.col(text_col), k)
+    g = (df.select(F.col(id_col).alias("__id"),
+                   F.posexplode(grams).alias("pos", "g"))
+           .filter(F.col("g").isNotNull()))
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    marked = g.withColumn("__cnt", cnt).filter(F.col("__cnt") >= min_count)
+    if max_gram_count is not None:
+        marked = marked.filter(F.col("__cnt") <= max_gram_count)
+    w = Window.partitionBy("__id").orderBy("pos")
+    isl = marked.select(
+        "__id", "pos",
+        (F.col("pos") - F.row_number().over(w)).alias("__island"))
+    return (isl.groupBy("__id", "__island")
+            .agg(F.min("pos").alias("start_tok"),
+                 (F.max("pos") + k).alias("end_tok"),
+                 (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
+                 F.count(F.lit(1)).alias("n_grams"))
+            .select(F.col("__id").alias(id_col),
+                    F.col("start_tok").cast("bigint").alias("start_tok"),
+                    F.col("end_tok").cast("bigint").alias("end_tok"),
+                    F.col("span_tokens").cast("bigint").alias("span_tokens"),
+                    "n_grams"))
+
+
+def duplicate_span_violations(df: DataFrame, id_col: str,
+                              text_col: str = "text", k: int = 8,
+                              min_count: int = 2,
+                              max_dup_frac: float = 0.2,
+                              max_gram_count: Optional[int] = None
+                              ) -> DataFrame:
+    """Doc-level gate over :func:`duplicate_spans`: flag documents whose
+    duplicated-gram fraction (duplicated k-gram positions / total k-gram
+    positions) exceeds ``max_dup_frac`` — mostly-duplicated pages that
+    span removal would gut anyway, in the engine's violation shape."""
+    spans = duplicate_spans(df, id_col, text_col, k, min_count,
+                            max_gram_count)
+    dup = spans.groupBy(id_col).agg(F.sum("n_grams").alias("__dup"))
+    toks = tokens(normalize_text(F.col(text_col)))
+    tot = df.select(
+        F.col(id_col),
+        F.greatest(F.size(toks) - k + 1, F.lit(0)).alias("__tot"))
+    frac = F.col("__dup") / F.col("__tot")
+    # inner join: a doc with zero duplicated grams cannot exceed the cap
+    return (tot.join(dup, id_col)
+            .filter((F.col("__tot") > 0) & (frac > max_dup_frac))
+            .select(F.col(id_col),
+                    F.lit(f"/{text_col}").alias("field_path"),
+                    F.lit("DUPLICATION").alias("rule_id"),
+                    F.round(frac, 6).cast("string").alias("actual")))
+
+
 def prefix_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                          shingle_n: int = 3,
                          threshold_num: int = 1, threshold_den: int = 2,

@@ -707,3 +707,60 @@ def test_quantized_index_probe_composition(spark, vecs, tmp_path):
     # asymptotically 8x (double -> int8); at 126 rows spread over the
     # bucket dirs the per-chunk metadata floor caps the visible ratio
     assert vec_bytes(qpath, "q8") < 0.7 * vec_bytes(fpath, "vec")
+
+
+def test_duplicate_spans_basic(spark):
+    from protovalidate_spark.pipeline import duplicate_spans
+    # docs 1 and 2 share a 6-token passage; doc 3 is clean; doc 4
+    # repeats a 4-gram within itself (intra-doc duplication counts)
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame([
+        (1, f"unique lead one two {shared} tail one"),
+        (2, f"other start {shared} different ending words here"),
+        (3, "completely fresh text with no repeats anywhere at all"),
+        (4, "x y z w q r s t u v x y z w q r s t u v"),
+    ], "doc_id int, text string")
+    spans = {r["doc_id"]: r for r in
+             duplicate_spans(df, "doc_id", "text", k=4).collect()
+             if r["doc_id"] in (1, 2)}
+    # 6-token shared passage at k=4 -> 3 grams, span_tokens 6
+    assert spans[1]["span_tokens"] == 6 and spans[1]["n_grams"] == 3
+    assert spans[2]["span_tokens"] == 6
+    # positions: doc 1 passage starts at token 4, doc 2 at token 2
+    assert (spans[1]["start_tok"], spans[1]["end_tok"]) == (4, 10)
+    assert (spans[2]["start_tok"], spans[2]["end_tok"]) == (2, 8)
+    all_rows = duplicate_spans(df, "doc_id", "text", k=4).collect()
+    assert not any(r["doc_id"] == 3 for r in all_rows)
+    # doc 4: each half's 4-grams occur twice, but the grams CROSSING the
+    # repeat boundary are unique -> two maximal 10-token spans, not one
+    d4 = sorted([r for r in all_rows if r["doc_id"] == 4],
+                key=lambda r: r["start_tok"])
+    assert [(r["start_tok"], r["end_tok"]) for r in d4] == [(0, 10), (10, 20)]
+
+
+def test_duplicate_spans_hot_gram_cap(spark):
+    from protovalidate_spark.pipeline import duplicate_spans
+    rows = [(i, "the same boilerplate line everywhere") for i in range(10)]
+    rows.append((99, "the same boilerplate line everywhere plus unique tail"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    uncapped = duplicate_spans(df, "doc_id", "text", k=5)
+    assert uncapped.count() == 11
+    capped = duplicate_spans(df, "doc_id", "text", k=5, max_gram_count=5)
+    assert capped.count() == 0   # 11-way gram dropped by the cap
+
+
+def test_duplicate_span_violations(spark):
+    from protovalidate_spark.pipeline import duplicate_span_violations
+    shared = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame([
+        (1, shared),                                     # 100% duplicated
+        (2, shared + " and a long unique suffix " +
+            "with many extra words stretching the total gram count far " +
+            "beyond the duplicated prefix region of this document"),
+        (3, "nothing here repeats at all in any way"),
+    ], "doc_id int, text string")
+    v = {r["doc_id"]: r for r in duplicate_span_violations(
+        df, "doc_id", "text", k=5, max_dup_frac=0.5).collect()}
+    assert 1 in v and v[1]["rule_id"] == "DUPLICATION"
+    assert float(v[1]["actual"]) == 1.0
+    assert 2 not in v and 3 not in v

@@ -120,3 +120,21 @@ def test_lsh_neardup_plan_shape(spark):
     # exchanges: bucket repartition, pair-dedup agg, (optional) initial
     # round-robin spread of the single-file input — never more
     assert plan.count("Exchange") <= 3
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """duplicate_spans must compile to: ONE Generate (the positional-gram
+    explode is never re-evaluated — the groupBy+join-back formulation
+    runs the gram assembly on both join sides), one Exchange on the gram
+    key (count-over-window), one Exchange on the doc id (island window),
+    and NO join; the final island aggregation must ride the id
+    partitioning without a third shuffle."""
+    from protovalidate_spark.pipeline import duplicate_spans
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f x y")],
+        "doc_id int, text string")
+    plan = duplicate_spans(df, "doc_id", "text", k=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange") == 2
+    assert "Join" not in plan

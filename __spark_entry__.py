@@ -354,6 +354,35 @@ def q_clips_audio_features(spark, sf_dir):
         F.round("_afeat.zcr", 6).alias("zcr"))
 
 
+def q_audio_snr_clips(spark, sf_dir):
+    """VAD-based SNR gate (audio/segments.py min_snr_rule): speech-frame
+    RMS vs noise-frame RMS from the single decode+VAD Arrow stage, over
+    deterministic tone+noise-floor synth clips across formats. Non-SQL
+    (decode); deterministic, so the oracle is a committed snapshot."""
+    import numpy as np
+
+    from protovalidate_spark import Object
+    from protovalidate_spark.audio import min_snr_rule, with_segments
+    from protovalidate_spark.audio.wav import synth_wav
+    rows = []
+    for fmt, sr in (("pcm16", 16000), ("float32", 8000), ("alaw", 8000)):
+        n = int(sr * 0.3)
+        t = np.arange(n) / sr
+        tone = np.sin(2 * np.pi * 330.0 * t)
+        for label, s_amp, n_amp in (("clean", 0.5, 0.004),
+                                    ("noisy", 0.02, 0.009),
+                                    ("tone_only", 0.5, None)):
+            x = s_amp * tone if n_amp is None else np.concatenate(
+                [s_amp * tone, np.full(n, n_amp)])
+            rows.append((f"{fmt}_{label}", synth_wav(x, sr, fmt=fmt)))
+    rows += [("bad_garbage", b"not audio"), ("bad_null", None)]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    seg = with_segments(df)
+    rs = Object().with_unknown().with_rule(min_snr_rule(min_db=10.0))
+    v = rs.violations(seg, row_key_cols=["clip_id"])
+    return v.select("clip_id", "field_path", "rule_id", "actual")
+
+
 def q_audio_level_clips(spark, sf_dir):
     """Integrated-level (quiet_rule, MIN on rms_dbfs) and DC-offset
     (dc_offset_rule, MAX on |mean|) capture-quality gates over
@@ -1338,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speech_rate_clips": q_speech_rate_clips,
         "clips_audio_features": q_clips_audio_features,
         "audio_level_clips": q_audio_level_clips,
+        "audio_snr_clips": q_audio_snr_clips,
         "split_documents": q_split_documents,
         "stratified_sample_clips": q_stratified_sample_clips,
         "chi2_js_returnflag": q_chi2_js_returnflag,
@@ -2268,6 +2298,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_level_clips": f"""
             SELECT clip_id, field_path, rule_id, actual
               FROM read_parquet('{EXPECTED_DIR}/audio_level_clips.parquet')
+        """,
+        "audio_snr_clips": f"""
+            SELECT clip_id, field_path, rule_id, actual
+              FROM read_parquet('{EXPECTED_DIR}/audio_snr_clips.parquet')
         """,
         "audio_dup_clips": f"""
             SELECT id, group_id, group_size

@@ -12,7 +12,9 @@ from .embed import (  # noqa: F401
     with_audio_embedding,
 )
 from .segments import (  # noqa: F401
+    frame_snr_db,
     max_gap_rule,
+    min_snr_rule,
     segment_pcm,
     speech_presence_rule,
     with_segments,

@@ -41,12 +41,33 @@ SEGMENTS_TYPE = T.StructType([
     T.StructField("speech_ratio", T.DoubleType()),
     T.StructField("n_segments", T.IntegerType()),
     T.StructField("longest_gap_ms", T.IntegerType()),
+    T.StructField("snr_db", T.DoubleType()),
 ])
+
+# digital-silence noise frames would make the SNR ratio infinite; the
+# cap keeps the column finite and far above any real acoustic SNR
+MAX_SNR_DB = 120.0
+
+
+def frame_snr_db(rms: np.ndarray, active: np.ndarray):
+    """VAD-based SNR estimate from per-frame RMS + the RAW (pre-bridging)
+    activity mask: speech level = RMS over active frames, noise floor =
+    RMS over inactive frames, 20·log10 of the ratio capped at
+    MAX_SNR_DB. None when either side is empty (all-speech or all-noise
+    clips have no in-clip noise reference — speech_presence_rule and
+    silence gates judge those shapes)."""
+    if not active.any() or active.all():
+        return None
+    sp = float(np.sqrt(np.mean(rms[active] ** 2)))
+    nz = float(np.sqrt(np.mean(rms[~active] ** 2)))
+    if sp <= 0.0:
+        return 0.0
+    return float(min(20.0 * np.log10(sp / max(nz, 1e-10)), MAX_SNR_DB))
 
 
 def segment_pcm(x: np.ndarray, sr: int, frame_ms: int = 20,
                 threshold_rms: float = 0.01, hangover_frames: int = 2,
-                min_speech_frames: int = 2) -> List[Tuple[int, int]]:
+                min_speech_frames: int = 2, return_frames: bool = False):
     """Active (start_ms, end_ms) spans of one PCM clip.
 
     Frame RMS >= threshold marks a frame active; inactive gaps of at
@@ -55,10 +76,13 @@ def segment_pcm(x: np.ndarray, sr: int, frame_ms: int = 20,
     ``min_speech_frames`` are dropped (clicks are not speech). End is
     exclusive, in ms from clip start; the tail partial frame counts as
     a full frame for span arithmetic so end_ms never exceeds a rounded
-    frame grid."""
+    frame grid. With ``return_frames`` the per-frame RMS and RAW
+    activity mask come back too: ``(spans, rms, active)`` — the SNR
+    estimator's inputs, from the same single frame pass."""
     n = x.size
     if n == 0 or sr <= 0:
-        return []
+        return ([], np.array([]), np.array([], dtype=bool)) \
+            if return_frames else []
     flen = max(int(sr * frame_ms / 1000), 1)
     nf = (n + flen - 1) // flen
     pad = nf * flen - n
@@ -72,7 +96,7 @@ def segment_pcm(x: np.ndarray, sr: int, frame_ms: int = 20,
     rms = np.sqrt(np.einsum("ij,ij->i", frames, frames) / counts)
     active = rms >= threshold_rms
     if not active.any():
-        return []
+        return ([], rms, active) if return_frames else []
     # bridge short gaps: an inactive run strictly between active frames
     # with length <= hangover stays active
     idx = np.nonzero(active)[0]
@@ -93,7 +117,7 @@ def segment_pcm(x: np.ndarray, sr: int, frame_ms: int = 20,
         if e - s >= min_speech_frames:
             out.append((int(s * frame_ms),
                         int(min(e * frame_ms, n * 1000 // sr))))
-    return out
+    return (out, rms, active) if return_frames else out
 
 
 def _segments_series(bs: pd.Series, frame_ms: int, threshold_rms: float,
@@ -107,10 +131,12 @@ def _segments_series(bs: pd.Series, frame_ms: int, threshold_rms: float,
     ratio = np.full(n_rows, np.nan)
     nseg = [None] * n_rows
     gap = [None] * n_rows
+    snr = [None] * n_rows
     for i in np.nonzero(ok)[0]:
-        spans = segment_pcm(dec["pcm"][i], int(dec["sr"][i]), frame_ms,
-                            threshold_rms, hangover_frames,
-                            min_speech_frames)
+        spans, rms, active = segment_pcm(
+            dec["pcm"][i], int(dec["sr"][i]), frame_ms, threshold_rms,
+            hangover_frames, min_speech_frames, return_frames=True)
+        snr[i] = frame_snr_db(rms, active)
         segs[i] = [{"start_ms": s, "end_ms": e} for s, e in spans]
         sp = sum(e - s for s, e in spans)
         dur = int(dec["dur_ms"][i])
@@ -126,7 +152,8 @@ def _segments_series(bs: pd.Series, frame_ms: int, threshold_rms: float,
         "speech_ms": pd.array(speech_ms, dtype="Int32"),
         "speech_ratio": ratio,
         "n_segments": pd.array(nseg, dtype="Int32"),
-        "longest_gap_ms": pd.array(gap, dtype="Int32")})
+        "longest_gap_ms": pd.array(gap, dtype="Int32"),
+        "snr_db": pd.array(snr, dtype="float64")})
 
 
 def with_segments(df: DataFrame, bytes_col: str = "bytes",
@@ -134,7 +161,9 @@ def with_segments(df: DataFrame, bytes_col: str = "bytes",
                   threshold_rms: float = 0.01, hangover_frames: int = 2,
                   min_speech_frames: int = 2) -> DataFrame:
     """Append struct(ok, segments, speech_ms, speech_ratio, n_segments,
-    longest_gap_ms) — single Arrow-batched decode+VAD stage."""
+    longest_gap_ms, snr_db) — single Arrow-batched decode+VAD stage
+    (snr_db = speech-frames RMS vs noise-frames RMS from the same frame
+    pass; NULL when the clip has no noise reference)."""
     def _udf(bs: pd.Series) -> pd.DataFrame:
         return _segments_series(bs, frame_ms, threshold_rms,
                                 hangover_frames, min_speech_frames)
@@ -154,6 +183,25 @@ def speech_presence_rule(bytes_col: str = "bytes", vad_col: str = "_vad",
         field_path=f"/{bytes_col}/speech_ratio",
         actual=lambda get: F.round(get(vad_col)["speech_ratio"], 6)
         .cast("string"),
+    )
+
+
+def min_snr_rule(bytes_col: str = "bytes", vad_col: str = "_vad",
+                 min_db: float = 10.0) -> ObjectRule:
+    """VAD-estimated SNR must reach min_db (MIN) — a recording whose
+    speech barely clears its own noise floor is a capture-quality
+    failure ASR training data screens out. Judged only when the clip is
+    decodable AND has both speech and noise frames (a NULL snr_db means
+    no in-clip noise reference — all-speech or all-silent clips are the
+    speech_presence/silence gates' findings, not this one's)."""
+    return ObjectRule(
+        rule_id=Code.MIN,
+        predicate=lambda get: (~F.coalesce(get(vad_col)["ok"], F.lit(False)))
+        | get(vad_col)["snr_db"].isNull()
+        | (get(vad_col)["snr_db"] >= min_db),
+        message=f"VAD-estimated SNR below {min_db} dB",
+        field_path=f"/{bytes_col}/snr_db",
+        actual=lambda get: F.round(get(vad_col)["snr_db"], 2).cast("string"),
     )
 
 

@@ -185,3 +185,65 @@ def test_segments_tail_frame_counts_real_samples():
     x = 0.5 * np.sin(2 * np.pi * 440.0 * t)
     segs = segment_pcm(x, sr, frame_ms=20, min_speech_frames=2)
     assert len(segs) == 1 and segs[0][1] >= 100
+
+
+def test_vad_snr_estimate():
+    import numpy as np
+
+    from protovalidate_spark.audio.segments import _segments_series
+    from protovalidate_spark.audio.wav import synth_wav
+    import pandas as pd
+    sr = 16000
+
+    def clip(speech_amp, noise_amp, fmt="pcm16"):
+        n = int(sr * 0.3)
+        t = np.arange(n) / sr
+        speech = speech_amp * np.sin(2 * np.pi * 330.0 * t)
+        noise = np.full(n, noise_amp)
+        return synth_wav(np.concatenate([speech, noise]), sr, fmt=fmt)
+
+    rows = pd.Series([
+        clip(0.5, 0.005),                  # clean: ~37 dB
+        clip(0.02, 0.009),                 # marginal: ~3.9 dB
+        synth_wav(0.5 * np.sin(2 * np.pi * 330.0 *
+                               np.arange(4800) / sr), sr),  # all speech
+        synth_wav(np.zeros(4800), sr),     # all silent
+        b"garbage",
+    ], dtype=object)
+    out = _segments_series(rows, frame_ms=20, threshold_rms=0.01,
+                           hangover_frames=2, min_speech_frames=2)
+    snr = out["snr_db"]
+    assert abs(snr[0] - 20 * np.log10((0.5 / np.sqrt(2)) / 0.005)) < 0.2
+    assert abs(snr[1] - 20 * np.log10((0.02 / np.sqrt(2)) / 0.009)) < 0.3
+    assert pd.isna(snr[2])   # no noise reference
+    assert pd.isna(snr[3])   # no speech
+    assert pd.isna(snr[4])   # undecodable
+
+
+def test_min_snr_rule(spark):
+    import numpy as np
+
+    from protovalidate_spark import Object
+    from protovalidate_spark.audio import min_snr_rule, with_segments
+    from protovalidate_spark.audio.wav import synth_wav
+    sr = 16000
+    n = int(sr * 0.3)
+    t = np.arange(n) / sr
+
+    def clip(speech_amp, noise_amp):
+        return synth_wav(np.concatenate(
+            [speech_amp * np.sin(2 * np.pi * 330.0 * t),
+             np.full(n, noise_amp)]), sr)
+
+    rows = [("clean", clip(0.5, 0.005)),
+            ("noisy", clip(0.02, 0.009)),
+            ("tone_only", synth_wav(0.5 * np.sin(2 * np.pi * 330.0 * t), sr)),
+            ("bad", b"nope")]
+    df = with_segments(
+        spark.createDataFrame(rows, "clip_id string, bytes binary"))
+    rs = Object().with_unknown().with_rule(min_snr_rule(min_db=10.0))
+    v = {r["clip_id"] for r in
+         rs.violations(df, row_key_cols=["clip_id"]).collect()}
+    # only the measurable low-SNR clip fails; no-noise-reference and
+    # undecodable clips are other rules' findings
+    assert v == {"noisy"}

@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "simhash_documents",
     "ngram_jaccard_documents",
     "decontaminate_documents",
+    "duplicate_spans_documents",
+    "c4_quality_documents",
 ]
 
 _FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),

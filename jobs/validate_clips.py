@@ -26,6 +26,13 @@ def main():
     ap.add_argument("--audio-checks", action="store_true",
                     help="add PCM clipping/silence gates + speech-rate "
                          "consistency (same fused Arrow decode stage)")
+    ap.add_argument("--level-checks", action="store_true",
+                    help="add integrated-level (dBFS) + DC-offset capture "
+                         "gates (same fused Arrow decode stage)")
+    ap.add_argument("--vad-checks", action="store_true",
+                    help="add energy-VAD gates: speech presence, max "
+                         "silent gap, VAD-estimated min SNR (still one "
+                         "fused Arrow decode stage)")
     args = ap.parse_args()
 
     from protovalidate_spark.conf import apply_recommended
@@ -38,7 +45,9 @@ def main():
     from protovalidate_spark.runner import run_checkpointed, verdicts_from_outputs
 
     profile = Profile(n_rows=args.rows, dur_range_ms=1000) if args.rows else TINY
-    suite = clips_suite(spark, audio_checks=args.audio_checks)
+    suite = clips_suite(spark, audio_checks=args.audio_checks,
+                        level_checks=args.level_checks,
+                        vad_checks=args.vad_checks)
     t0 = time.time()
 
     if args.resume:

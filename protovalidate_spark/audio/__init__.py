@@ -46,4 +46,5 @@ from .features import (  # noqa: F401
     speech_rate_rule,
     with_audio_features,
     with_decoded_features,
+    with_full_audio,
 )

@@ -141,6 +141,61 @@ def with_decoded_features(df: DataFrame, bytes_col: str = "bytes",
                          pandas_udf(_udf, DECODED_FEATURES_TYPE)(F.col(bytes_col)))
 
 
+#: decode struct + feature fields + VAD fields in ONE column — the
+#: everything-on audio stage (suite `audio_vad`): decode-consumer rules,
+#: feature rules, and VAD/SNR rules all read the same struct, ONE Arrow
+#: stage, ONE decode
+FULL_AUDIO_TYPE = T.StructType(
+    DECODED_FEATURES_TYPE.fields + [
+        T.StructField("segments", T.ArrayType(T.StructType([
+            T.StructField("start_ms", T.IntegerType()),
+            T.StructField("end_ms", T.IntegerType()),
+        ]))),
+        T.StructField("speech_ms", T.IntegerType()),
+        T.StructField("speech_ratio", T.DoubleType()),
+        T.StructField("n_segments", T.IntegerType()),
+        T.StructField("longest_gap_ms", T.IntegerType()),
+        T.StructField("snr_db", T.DoubleType()),
+    ])
+
+
+def with_full_audio(df: DataFrame, bytes_col: str = "bytes",
+                    out_col: str = "_audio", frame_ms: int = 20,
+                    silence_rms: float = 0.01, clip_level: float = 0.999,
+                    vad_threshold_rms: float = 0.01,
+                    hangover_frames: int = 2,
+                    min_speech_frames: int = 2) -> DataFrame:
+    """Decode struct + PCM features + energy-VAD/SNR from ONE fused
+    Arrow stage — a suite with EVERY audio gate enabled (decode/sr/dur
+    consistency, clipping/silence/quiet/DC, speech-presence/max-gap/
+    min-SNR) still pays a single Python round-trip and a single decode.
+    Field names match DECODED_TYPE / AUDIO_FEATURES_TYPE / SEGMENTS_TYPE,
+    so every rule consumes this column unchanged via its *_col kwarg."""
+    from .segments import _segments_series
+
+    def _udf(bs: pd.Series) -> pd.DataFrame:
+        dec = _decode_series(bs, want_pcm=True)
+        feat = _features_series(bs, frame_ms, silence_rms, clip_level,
+                                _decoded=dec)
+        vad = _segments_series(bs, frame_ms, vad_threshold_rms,
+                               hangover_frames, min_speech_frames,
+                               _decoded=dec)
+        return pd.DataFrame({
+            "ok": dec["ok"], "sr": dec["sr"], "n_samples": dec["n_samples"],
+            "dur_ms": dec["dur_ms"], "rms": dec["rms"],
+            "peak": feat["peak"], "clip_ratio": feat["clip_ratio"],
+            "silence_ratio": feat["silence_ratio"], "zcr": feat["zcr"],
+            "rms_dbfs": feat["rms_dbfs"], "dc_offset": feat["dc_offset"],
+            "segments": vad["segments"], "speech_ms": vad["speech_ms"],
+            "speech_ratio": vad["speech_ratio"],
+            "n_segments": vad["n_segments"],
+            "longest_gap_ms": vad["longest_gap_ms"],
+            "snr_db": vad["snr_db"]})
+
+    return df.withColumn(out_col,
+                         pandas_udf(_udf, FULL_AUDIO_TYPE)(F.col(bytes_col)))
+
+
 def clipping_rule(bytes_col: str = "bytes", feat_col: str = "_afeat",
                   max_ratio: float = 0.01) -> ObjectRule:
     """Clipped-sample ratio must stay under max_ratio (MAX). Only

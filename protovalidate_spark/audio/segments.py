@@ -121,9 +121,12 @@ def segment_pcm(x: np.ndarray, sr: int, frame_ms: int = 20,
 
 
 def _segments_series(bs: pd.Series, frame_ms: int, threshold_rms: float,
-                     hangover_frames: int,
-                     min_speech_frames: int) -> pd.DataFrame:
-    dec = _decode_series(bs, want_pcm=True)
+                     hangover_frames: int, min_speech_frames: int,
+                     _decoded=None) -> pd.DataFrame:
+    """Pass ``_decoded`` (a _decode_series(want_pcm=True) frame) to reuse
+    an already-decoded batch — the fused full-audio stage decodes once
+    for decode rules, features, AND VAD (features.with_full_audio)."""
+    dec = _decode_series(bs, want_pcm=True) if _decoded is None else _decoded
     ok = dec["ok"].to_numpy()
     n_rows = len(bs)
     segs = [None] * n_rows

@@ -38,12 +38,19 @@ def clips_suite(spark: SparkSession,
                 dim: Optional[DataFrame] = None,
                 salt_buckets: int = 0,
                 audio_checks: bool = False,
+                level_checks: bool = False,
+                vad_checks: bool = False,
                 label_conflicts: bool = False) -> ValidationSuite:
     """``audio_checks=True`` adds the PCM quality gates (clipping ratio,
     silence ratio) and the transcript speech-rate consistency rule; the
     feature fields ride the SAME fused Arrow decode stage, so the scan
-    and Python round-trip budget is unchanged. ``label_conflicts=True``
-    adds the byte-exact transcript-conflict dataset check
+    and Python round-trip budget is unchanged. ``level_checks=True``
+    adds the capture-chain gates (integrated RMS level, DC offset) on
+    the same feature fields. ``vad_checks=True`` adds the energy-VAD
+    gates (speech presence, max silent gap, VAD-estimated min SNR) —
+    with every flag on it is STILL one Arrow stage and one decode
+    (features.with_full_audio). ``label_conflicts=True`` adds the
+    byte-exact transcript-conflict dataset check
     (audio/consistency.py): byte-identical clips whose transcripts
     disagree emit CONSISTENT violation rows."""
     extra = [
@@ -51,12 +58,26 @@ def clips_suite(spark: SparkSession,
         dur_consistency_rule("dur_ms", "__dec_bytes", tolerance_ms=10),
     ]
     features = ()
+    vad = ()
     if audio_checks:
-        from .audio.features import clipping_rule, silence_rule, speech_rate_rule
+        from .audio.features import (clipping_rule, silence_rule,
+                                     speech_rate_rule)
         features = ("bytes",)
         extra += [clipping_rule("bytes", "__dec_bytes"),
                   silence_rule("bytes", "__dec_bytes"),
                   speech_rate_rule("transcript", "dur_ms")]
+    if level_checks:
+        from .audio.features import dc_offset_rule, quiet_rule
+        features = ("bytes",)
+        extra += [quiet_rule("bytes", "__dec_bytes"),
+                  dc_offset_rule("bytes", "__dec_bytes")]
+    if vad_checks:
+        from .audio.segments import (max_gap_rule, min_snr_rule,
+                                     speech_presence_rule)
+        vad = ("bytes",)
+        extra += [speech_presence_rule("bytes", "__dec_bytes"),
+                  max_gap_rule("bytes", "__dec_bytes"),
+                  min_snr_rule("bytes", "__dec_bytes")]
     return ValidationSuite(
         rules=clips_rules(),
         row_keys=("row_idx", "clip_id"),
@@ -68,6 +89,7 @@ def clips_suite(spark: SparkSession,
         extra_object_rules=tuple(extra),
         salt_buckets=salt_buckets,
         audio_features=features,
+        audio_vad=vad,
         label_conflicts=(({"id_col": "clip_id", "bytes_col": "bytes",
                            "transcript_col": "transcript",
                            "key": "exact"},)

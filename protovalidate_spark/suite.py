@@ -56,9 +56,15 @@ class ValidationSuite:
     extra_object_rules: tuple = field(default_factory=tuple)
     salt_buckets: int = 0
     # bytes columns whose decode stage should ALSO emit PCM features
-    # (peak/clip/silence/zcr) — same single Arrow stage, same struct
-    # column name, so decode-consumer rules are unaffected
+    # (peak/clip/silence/zcr/rms_dbfs/dc_offset) — same single Arrow
+    # stage, same struct column name, so decode-consumer rules are
+    # unaffected
     audio_features: Sequence[str] = ()
+    # bytes columns whose decode stage should ALSO emit energy-VAD
+    # fields (segments/speech_ratio/longest_gap_ms/snr_db) — implies the
+    # feature fields too (features.with_full_audio): EVERY audio gate on
+    # is still ONE Arrow stage and ONE decode
+    audio_vad: Sequence[str] = ()
     # transcript-label conflict specs (audio/consistency.py): each dict
     # is kwargs for transcript_conflict_violations minus row_key_cols,
     # e.g. {"id_col": "clip_id", "bytes_col": "bytes",
@@ -83,7 +89,11 @@ class ValidationSuite:
         rules = self.rules
         work = df
         for c in self._decodable_cols():
-            if c in self.audio_features:
+            if c in self.audio_vad:
+                from .audio.features import with_full_audio
+                work = with_full_audio(work, bytes_col=c,
+                                       out_col=f"__dec_{c}")
+            elif c in self.audio_features:
                 from .audio.features import with_decoded_features
                 work = with_decoded_features(work, bytes_col=c,
                                              out_col=f"__dec_{c}")

@@ -204,3 +204,68 @@ def test_level_rules_flag_violations(spark):
     # the "faint" case here, floor case asserted in the feature test
     assert got == {("faint", "/bytes/rms_dbfs", "MIN"),
                    ("biased", "/bytes/dc_offset", "MAX")}
+
+
+def test_full_audio_fused_stage_matches_parts(spark):
+    """with_full_audio == with_decoded_features fields + with_segments
+    fields, from ONE Arrow stage (one decode for everything)."""
+    from protovalidate_spark.audio import with_full_audio, with_segments
+    from protovalidate_spark.audio.features import with_decoded_features
+    rows = [("clean", synth_sine_wav(300.0, 8000, 250, amp=0.5)),
+            ("silent", synth_sine_wav(300.0, 8000, 250, amp=0.0)),
+            ("bad", b"nope")]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    full = {r["clip_id"]: r for r in
+            with_full_audio(df).select("clip_id", "_audio.*").collect()}
+    feat = {r["clip_id"]: r for r in
+            with_decoded_features(df).select("clip_id", "_decoded.*")
+            .collect()}
+    vad = {r["clip_id"]: r for r in
+           with_segments(df).select("clip_id", "_vad.*").collect()}
+    for cid in ("clean", "silent", "bad"):
+        for f in ("ok", "sr", "dur_ms", "rms", "peak", "clip_ratio",
+                  "silence_ratio", "zcr", "rms_dbfs", "dc_offset"):
+            assert full[cid][f] == feat[cid][f], (cid, f)
+        for f in ("speech_ms", "speech_ratio", "n_segments",
+                  "longest_gap_ms", "snr_db", "segments"):
+            assert full[cid][f] == vad[cid][f] or (
+                full[cid][f] != full[cid][f]
+                and vad[cid][f] != vad[cid][f]), (cid, f)
+    # single fused stage
+    plan = with_full_audio(df).select("_audio.snr_db", "_audio.peak") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_clips_suite_all_audio_flags_one_stage(spark, tiny_clips):
+    """level_checks + vad_checks compose on top of audio_checks: the
+    baseline 27 violations stay a subset, every extra row belongs to one
+    of the eight audio-gate paths, and the row pass is STILL one
+    ArrowEvalPython (with_full_audio)."""
+    import datetime
+
+    from protovalidate_spark.clips import clips_suite
+    full = clips_suite(spark, audio_checks=True, level_checks=True,
+                       vad_checks=True).run(tiny_clips, persist=False)
+    base = clips_suite(spark).run(tiny_clips, persist=False)
+    nb, nf = base.violations.count(), full.violations.count()
+    assert nb == 27
+    new_paths = ("/bytes/clip_ratio", "/bytes/silence_ratio",
+                 "/bytes/rms_dbfs", "/bytes/dc_offset",
+                 "/bytes/speech_ratio", "/bytes/longest_gap_ms",
+                 "/bytes/snr_db")
+    extra = full.violations.filter(F.col("field_path").isin(*new_paths)) \
+        .count()
+    rate = full.violations.filter(
+        (F.col("field_path") == "/transcript")
+        & (F.col("rule_id") == "CONSISTENT")).count()
+    assert nf == nb + extra + rate
+    plain = spark.createDataFrame(
+        [(1, "clip-0000000001", synth_sine_wav(440.0, 16000, 100), 16000,
+          100, "wav", "some words", datetime.date(2026, 1, 1))],
+        "row_idx long, clip_id string, bytes binary, sr_hz int, "
+        "dur_ms int, codec string, transcript string, part_date date")
+    plan = clips_suite(spark, audio_checks=True, level_checks=True,
+                       vad_checks=True).row_violations(plain) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1

@@ -941,6 +941,21 @@ def q_duplicate_spans_documents(spark, sf_dir):
         .select("doc_id", "start_tok", "end_tok", "span_tokens", "n_grams")
 
 
+def q_remove_spans_documents(spark, sf_dir):
+    """Substring-dedup REMOVAL (pipeline/dedup.py remove_duplicate_spans):
+    same injected shared passage as duplicate_spans_documents; the
+    surgically-cut normalized text and per-doc removed-token counts must
+    agree with the SQL oracle's anti-join reconstruction exactly."""
+    from protovalidate_spark.pipeline import remove_duplicate_spans
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn("text", F.when(
+        F.col("doc_id") % 9 == 0,
+        F.concat(F.col("text"), F.lit(" " + _SPAN_INJECT)))
+        .otherwise(F.col("text")))
+    return remove_duplicate_spans(d, "doc_id", "text", k=8) \
+        .select("doc_id", "clean_text", "n_removed_tokens")
+
+
 def q_pii_documents(spark, sf_dir):
     """PII pattern counts; the fixture corpus is synthetic word salad,
     so deterministic PII text is injected into every 7th doc in BOTH the
@@ -1328,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_quality_documents": q_c4_quality_documents,
         "pii_documents": q_pii_documents,
         "duplicate_spans_documents": q_duplicate_spans_documents,
+        "remove_spans_documents": q_remove_spans_documents,
         "collection_lineitem": q_collection_lineitem,
         "conditional_orders": q_conditional_orders,
         "cross_column_lineitem": q_cross_column_lineitem,
@@ -2158,6 +2174,59 @@ def oracle_sql() -> dict[str, str]:
                    (max(pos) - min(pos) + 8)::BIGINT AS span_tokens,
                    count(*)::BIGINT AS n_grams
               FROM isl GROUP BY doc_id, island
+        """,
+        "remove_spans_documents": rf"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 9 = 0
+                          THEN text || ' {_SPAN_INJECT}'
+                          ELSE text END AS text
+                FROM documents),
+            t AS (
+              SELECT doc_id,
+                     CASE WHEN length(norm) = 0 THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(norm, '\s+') END AS w
+                FROM (SELECT doc_id,
+                             trim(regexp_replace(regexp_replace(lower(text),
+                                 '[^a-z0-9\s]', ' ', 'g'),
+                                 '\s+', ' ', 'g')) AS norm
+                        FROM d)),
+            g AS (
+              SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(w) - 7, 0)),
+                         i -> struct_pack(pos := i - 1,
+                                          gram := w[i] || ' ' || w[i+1]
+                                          || ' ' || w[i+2] || ' ' || w[i+3]
+                                          || ' ' || w[i+4] || ' ' || w[i+5]
+                                          || ' ' || w[i+6] || ' ' || w[i+7])
+                         )) AS u
+                  FROM t)),
+            c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+            m AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (gram)),
+            cov AS (SELECT DISTINCT m.doc_id, m.pos + j.i AS idx
+                      FROM m, generate_series(0, 7) AS j(i)),
+            tok AS (
+              SELECT doc_id, u.idx AS idx, u.tk AS tk FROM (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(w)),
+                         i -> struct_pack(idx := i - 1, tk := w[i]))) AS u
+                  FROM t)),
+            kept AS (
+              SELECT tok.doc_id, tok.idx, tok.tk
+                FROM tok LEFT JOIN cov
+                  ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+               WHERE cov.idx IS NULL),
+            k AS (SELECT doc_id,
+                         string_agg(tk, ' ' ORDER BY idx) AS clean_text,
+                         count(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT t.doc_id,
+                   coalesce(k.clean_text, '') AS clean_text,
+                   (len(t.w) - coalesce(k.n_kept, 0))::BIGINT
+                     AS n_removed_tokens
+              FROM t LEFT JOIN k ON t.doc_id = k.doc_id
         """,
         "c4_quality_documents": f"""
             WITH d AS (

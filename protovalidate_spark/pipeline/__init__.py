@@ -8,7 +8,7 @@ from .text import (  # noqa: F401
 from .packing import pack_offsets  # noqa: F401
 from .dedup import (  # noqa: F401
     connected_components, contamination_hits, cosine_sim,
-    duplicate_span_violations, duplicate_spans,
+    duplicate_span_violations, duplicate_spans, remove_duplicate_spans,
     embedding_near_dups, exact_duplicates,
     jaccard_pairs, minhash_from_hashes, minhash_lsh_candidates,
     minhash_signature, ngram_jaccard_dedup, prefix_jaccard_pairs,

@@ -414,6 +414,46 @@ def duplicate_spans(df: DataFrame, id_col: str, text_col: str = "text",
                     "n_grams"))
 
 
+def remove_duplicate_spans(df: DataFrame, id_col: str,
+                           text_col: str = "text", k: int = 8,
+                           min_count: int = 2,
+                           max_gram_count: Optional[int] = None,
+                           out_col: str = "clean_text") -> DataFrame:
+    """The REMOVAL half of substring dedup (Lee et al. cut every
+    duplicated substring out of the training text): drop the tokens
+    covered by :func:`duplicate_spans` and rejoin. Output text is the
+    NORMALIZED token stream minus duplicated spans (span positions live
+    in normalized-token space — reconstructing original formatting
+    around a cut is not meaningful anyway).
+
+    Returns the input columns + ``out_col`` + ``n_removed_tokens``.
+    Docs with no duplicated spans pass through with the normalized text
+    and ``n_removed_tokens = 0``.
+
+    100-TB shape: the spans frame (tiny — only duplicated islands) is
+    aggregated per doc and joined back; coverage testing is a per-row
+    higher-order ``exists`` over that doc's few spans — no explode of
+    the token stream, no second shuffle beyond the span join."""
+    spans = duplicate_spans(df, id_col, text_col, k, min_count,
+                            max_gram_count)
+    by_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("__spans"))
+    toks = tokens(normalize_text(F.col(text_col)))
+    covered = lambda j: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda s: (j >= s["start_tok"]) & (j < s["end_tok"]))
+    kept = F.filter(toks, lambda t, j: ~covered(j.cast("bigint")))
+    n_toks = F.size(toks)
+    return (df.join(by_doc, id_col, "left")
+            .withColumn(out_col, F.when(
+                F.col("__spans").isNull(),
+                F.array_join(toks, " ")).otherwise(F.array_join(kept, " ")))
+            .withColumn("n_removed_tokens", F.when(
+                F.col("__spans").isNull(), F.lit(0).cast("bigint"))
+                .otherwise((n_toks - F.size(kept)).cast("bigint")))
+            .drop("__spans"))
+
+
 def duplicate_span_violations(df: DataFrame, id_col: str,
                               text_col: str = "text", k: int = 8,
                               min_count: int = 2,

@@ -764,3 +764,29 @@ def test_duplicate_span_violations(spark):
     assert 1 in v and v[1]["rule_id"] == "DUPLICATION"
     assert float(v[1]["actual"]) == 1.0
     assert 2 not in v and 3 not in v
+
+
+def test_remove_duplicate_spans(spark):
+    from protovalidate_spark.pipeline import remove_duplicate_spans
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame([
+        (1, f"unique lead one two {shared} tail one"),
+        (2, f"other start {shared} different ending words here"),
+        (3, "completely fresh text with no repeats anywhere at all"),
+    ], "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(df, "doc_id", "text", k=4).collect()}
+    assert out[1]["clean_text"] == "unique lead one two tail one"
+    assert out[1]["n_removed_tokens"] == 6
+    assert out[2]["clean_text"] == "other start different ending words here"
+    # untouched doc passes through normalized with zero removals
+    assert out[3]["clean_text"].startswith("completely fresh")
+    assert out[3]["n_removed_tokens"] == 0
+    # idempotence: a second pass removes nothing (the shared passage is
+    # gone from every doc, so no gram repeats)
+    again = remove_duplicate_spans(
+        spark.createDataFrame(
+            [(r["doc_id"], r["clean_text"]) for r in out.values()],
+            "doc_id int, text string"),
+        "doc_id", "text", k=4).collect()
+    assert all(r["n_removed_tokens"] == 0 for r in again)

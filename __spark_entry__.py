@@ -383,6 +383,48 @@ def q_audio_snr_clips(spark, sf_dir):
     return v.select("clip_id", "field_path", "rule_id", "actual")
 
 
+def q_curate_clips(spark, sf_dir):
+    """Audio curation end-to-end (pipeline/curate.py curate_clips):
+    decode/quality gates -> spectral content dedup (keep-smallest-id) ->
+    label-conflict group drops, over deterministic synth clips: per
+    format a clean tone, a clipped take, a silent take, a re-encoded
+    duplicate pair with AGREEING labels (non-keeper drops UNIQUE) and a
+    re-encoded pair with CONFLICTING labels (whole group drops
+    CONSISTENT). Non-SQL (decode+FFT); deterministic, so the oracle is
+    a committed snapshot."""
+    import numpy as np
+
+    from protovalidate_spark.pipeline import curate_clips
+    from protovalidate_spark.audio.wav import synth_wav
+    rows = []
+    for fmt, sr, f0 in (("pcm16", 16000, 330.0), ("float32", 8000, 262.0)):
+        t = np.arange(int(sr * 0.3)) / sr
+        tone = np.sin(2 * np.pi * f0 * t)
+        alt = np.sin(2 * np.pi * (f0 * 1.5) * t)
+        rows += [
+            (f"{fmt}_clean", synth_wav(0.5 * tone, sr, fmt=fmt), "fine"),
+            (f"{fmt}_clipped", synth_wav(1.6 * tone, sr, fmt=fmt), "loud"),
+            (f"{fmt}_silent", synth_wav(0.0 * tone, sr, fmt=fmt), "quiet"),
+            # agreeing-label dup pair: original + alaw re-encode
+            (f"{fmt}_dupA", synth_wav(0.5 * alt, sr, fmt=fmt), "same words"),
+            (f"{fmt}_dupB", synth_wav(0.5 * alt, sr, fmt="alaw"),
+             "same words"),
+        ]
+        # conflicting-label pair on a third tone
+        third = np.sin(2 * np.pi * (f0 * 2.0) * t)
+        rows += [
+            (f"{fmt}_cfA", synth_wav(0.5 * third, sr, fmt=fmt), "one label"),
+            (f"{fmt}_cfB", synth_wav(0.5 * third, sr, fmt="mulaw"),
+             "another label"),
+        ]
+    rows += [("bad_garbage", b"not audio", "x"), ("bad_null", None, "y")]
+    df = spark.createDataFrame(rows,
+                               "clip_id string, bytes binary, "
+                               "transcript string")
+    kept, dropped = curate_clips(df)
+    return dropped.select("clip_id", "field_path", "rule_id", "actual")
+
+
 def q_audio_level_clips(spark, sf_dir):
     """Integrated-level (quiet_rule, MIN on rms_dbfs) and DC-offset
     (dc_offset_rule, MAX on |mean|) capture-quality gates over
@@ -1384,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_audio_features": q_clips_audio_features,
         "audio_level_clips": q_audio_level_clips,
         "audio_snr_clips": q_audio_snr_clips,
+        "curate_clips": q_curate_clips,
         "split_documents": q_split_documents,
         "stratified_sample_clips": q_stratified_sample_clips,
         "chi2_js_returnflag": q_chi2_js_returnflag,
@@ -2371,6 +2414,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_snr_clips": f"""
             SELECT clip_id, field_path, rule_id, actual
               FROM read_parquet('{EXPECTED_DIR}/audio_snr_clips.parquet')
+        """,
+        "curate_clips": f"""
+            SELECT clip_id, field_path, rule_id, actual
+              FROM read_parquet('{EXPECTED_DIR}/curate_clips.parquet')
         """,
         "audio_dup_clips": f"""
             SELECT id, group_id, group_size

@@ -107,3 +107,132 @@ def curate_documents(
     gone = dropped.select(F.col(id_col).alias("__gone")).distinct()
     kept = df.join(gone, df[id_col] == F.col("__gone"), "left_anti")
     return kept, dropped
+
+
+def curate_clips(
+    df: DataFrame, id_col: str = "clip_id", bytes_col: str = "bytes",
+    transcript_col: str = "transcript",
+    max_clip_ratio: float = 0.01, max_silence_ratio: float = 0.9,
+    min_dbfs: Optional[float] = None,
+    content_dedup: bool = True, label_conflicts: bool = True,
+    chunks: int = 4, peaks: int = 3, min_rel_mag: float = 0.1,
+    materialize: bool = True,
+) -> Tuple[DataFrame, DataFrame]:
+    """(kept, dropped) for AUDIO clips — the audio analog of
+    :func:`curate_documents`: decode/quality gates → duplicate-audio
+    removal (spectral content key, keep-smallest-id) → transcript-label
+    conflict drops, reported through the engine's violation shape.
+
+    Violation rows (one per reason; a clip may appear under several):
+
+    - ``DECODE``     /bytes: undecodable (or NULL) payload
+    - ``MAX``        /bytes/clip_ratio | /bytes/silence_ratio: quality
+    - ``MIN``        /bytes/rms_dbfs: gain-starved (only when
+      ``min_dbfs`` is set)
+    - ``UNIQUE``     /bytes: content-duplicate of a kept (smaller-id)
+      clip — only when ``content_dedup``
+    - ``CONSISTENT`` /transcript: the clip's audio-content group
+      carries conflicting labels; the WHOLE group drops (neither label
+      can be trusted without review) — only when ``label_conflicts``
+
+    A clip appears in ``kept`` iff it produced NO violation. Quality
+    gates run first; only quality-passing clips participate in
+    dedup/conflicts (a dropped clip cannot crowd out its duplicates).
+
+    Scale shape: THREE Arrow stage instances total, independent of the
+    gate count — the fused decode+features kernel evaluated under the
+    violation projection and under the clean-side filter (caching the
+    corpus to merge those two would store every payload byte; decoding
+    twice is the right trade at scale), and ONE decode+FFT fingerprint
+    stage whose single fp_key window shuffle feeds BOTH the dup groups
+    and the conflict test. Each stage's violations are assembled as ONE
+    array-of-structs projection + explode (the engine's own violation
+    pattern) — a union-of-filtered-branches here would re-instantiate
+    the pandas UDF once per gate (Catalyst has no cross-branch CSE;
+    observed 18 ArrowEvalPython stages before this shape). ``dropped``
+    is eagerly localCheckpoint'ed so the kept-side anti-join and every
+    downstream read reuse the materialized result instead of replaying
+    the decode stages (same pattern as ngram_jaccard_dedup)."""
+    from ..audio.consistency import transcript_label
+    from ..audio.features import with_audio_features
+    from ..audio.fingerprint import keyed_fingerprints
+
+    tid = F.col(id_col)
+
+    def vstruct(path, rid, msg, actual):
+        return F.struct(
+            F.lit(path).alias("field_path"), F.lit(rid).alias("rule_id"),
+            F.lit(msg).alias("message"),
+            F.substring(actual.cast("string"), 1, 50).alias("actual"))
+
+    feats = with_audio_features(df, bytes_col=bytes_col, out_col="__af")
+    ok = F.coalesce(F.col("__af")["ok"], F.lit(False))
+    clip_r = F.col("__af")["clip_ratio"]
+    sil_r = F.col("__af")["silence_ratio"]
+    dbfs = F.col("__af")["rms_dbfs"]
+
+    gates = [(clip_r > max_clip_ratio, f"/{bytes_col}/clip_ratio", "MAX",
+              f"clipped-sample ratio above {max_clip_ratio}",
+              F.round(clip_r, 6)),
+             (sil_r > max_silence_ratio, f"/{bytes_col}/silence_ratio",
+              "MAX", f"silent-frame ratio above {max_silence_ratio}",
+              F.round(sil_r, 6))]
+    if min_dbfs is not None:
+        gates.append((dbfs < min_dbfs, f"/{bytes_col}/rms_dbfs", "MIN",
+                      f"integrated level below {min_dbfs} dBFS",
+                      F.round(dbfs, 2)))
+    arr = F.array_compact(F.array(
+        F.when(~ok, vstruct(f"/{bytes_col}", "DECODE",
+                            "payload failed to decode",
+                            F.lit(None).cast("string"))),
+        *[F.when(ok & cond, vstruct(path, rid, msg, actual))
+          for cond, path, rid, msg, actual in gates]))
+    quality_v = (feats.select(tid.alias(id_col), F.explode(arr).alias("__v"))
+                 .select(id_col, "__v.field_path", "__v.rule_id",
+                         "__v.message", "__v.actual"))
+
+    pass_quality = ok
+    for cond, *_rest in gates:
+        pass_quality = pass_quality & ~cond
+    clean = feats.filter(pass_quality).select(*df.columns)
+
+    dropped = quality_v
+    if content_dedup or label_conflicts:
+        from pyspark.sql import Window
+        kf = keyed_fingerprints(clean, id_col, bytes_col, chunks, peaks,
+                                min_rel_mag, extra_cols=(transcript_col,))
+        w = Window.partitionBy("fp_key")
+        lbl = transcript_label(F.col(transcript_col))
+        # transcript_label sentinels NULL, so collect_set counts a
+        # missing label as its own distinct label (NULL-vs-text groups
+        # conflict, all-NULL groups don't — same semantics as
+        # transcript_conflicts)
+        marked = (kf.withColumn("__gs", F.count(F.lit(1)).over(w))
+                  .withColumn("__gid", F.min("id").over(w))
+                  .withColumn("__ntr", F.size(F.collect_set(lbl).over(w)))
+                  .filter((F.col("__gs") > 1) & F.col("is_content")))
+        parts = []
+        if content_dedup:
+            parts.append(F.when(
+                F.col("id") != F.col("__gid"),
+                vstruct(f"/{bytes_col}", "UNIQUE",
+                        "audio-content duplicate of a kept clip",
+                        F.col("__gid"))))
+        if label_conflicts:
+            parts.append(F.when(
+                F.col("__ntr") > 1,
+                vstruct(f"/{transcript_col}", "CONSISTENT",
+                        "conflicting transcripts within one "
+                        "audio-content group", F.col("__gid"))))
+        marr = F.array_compact(F.array(*parts))
+        dedup_v = (marked.select(F.col("id").alias(id_col),
+                                 F.explode(marr).alias("__v"))
+                   .select(id_col, "__v.field_path", "__v.rule_id",
+                           "__v.message", "__v.actual"))
+        dropped = dropped.unionByName(dedup_v)
+
+    if materialize:
+        dropped = dropped.localCheckpoint(eager=True)
+    gone = dropped.select(tid.alias("__gone")).distinct()
+    kept = df.join(gone, df[id_col] == F.col("__gone"), "left_anti")
+    return kept, dropped

@@ -790,3 +790,61 @@ def test_remove_duplicate_spans(spark):
             "doc_id int, text string"),
         "doc_id", "text", k=4).collect()
     assert all(r["n_removed_tokens"] == 0 for r in again)
+
+
+def test_curate_clips(spark):
+    import numpy as np
+
+    from protovalidate_spark.audio.wav import synth_sine_wav, synth_wav
+    from protovalidate_spark.pipeline import curate_clips
+
+    tone = synth_sine_wav(330.0, 16000, 300, amp=0.5)
+    # c5 is c4 re-encoded (same content, different bytes/format) with a
+    # DIFFERENT transcript -> content dup AND label conflict
+    t = np.arange(int(16000 * 0.3)) / 16000
+    x = 0.5 * np.sin(2 * np.pi * 330.0 * t)
+    rows = [
+        ("c1", synth_sine_wav(440.0, 16000, 300, amp=0.5), "hello there"),
+        ("c2", synth_sine_wav(440.0, 16000, 300, amp=1.6), "clipped"),
+        ("c3", synth_sine_wav(440.0, 16000, 300, amp=0.0), "silence"),
+        ("c4", tone, "same words"),
+        ("c5", synth_wav(x, 16000, fmt="float32"), "different words"),
+        ("c6", b"not audio", "broken"),
+        ("c7", None, "null payload"),
+    ]
+    df = spark.createDataFrame(rows,
+                               "clip_id string, bytes binary, "
+                               "transcript string")
+    kept, dropped = curate_clips(df)
+    drops = {(r["clip_id"], r["rule_id"]) for r in dropped.collect()}
+    assert ("c2", "MAX") in drops            # clipping
+    assert ("c3", "MAX") in drops            # silence
+    assert ("c6", "DECODE") in drops and ("c7", "DECODE") in drops
+    assert ("c5", "UNIQUE") in drops         # content dup of keeper c4
+    # label conflict drops the WHOLE group, keeper included
+    assert ("c4", "CONSISTENT") in drops and ("c5", "CONSISTENT") in drops
+    assert {r["clip_id"] for r in kept.collect()} == {"c1"}
+
+    # same audio, AGREEING labels: dup drops the non-keeper only
+    rows2 = [("a1", tone, "same words"), ("a2", tone, "same words"),
+             ("a3", synth_sine_wav(550.0, 16000, 300, amp=0.5), "other")]
+    df2 = spark.createDataFrame(rows2,
+                                "clip_id string, bytes binary, "
+                                "transcript string")
+    kept2, dropped2 = curate_clips(df2)
+    assert {(r["clip_id"], r["rule_id"]) for r in dropped2.collect()} \
+        == {("a2", "UNIQUE")}
+    assert {r["clip_id"] for r in kept2.collect()} == {"a1", "a3"}
+
+    # dropped is eagerly checkpointed: downstream consumers (the kept
+    # anti-join, repeated reads) replay ZERO Python stages
+    plan = dropped._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan
+    # the pre-checkpoint plan is exactly 3 Arrow stage instances: the
+    # fused feature kernel under the violation projection and under the
+    # clean-side filter (two consumers of one frame — NOT one per gate;
+    # the union-of-filtered-branches shape instantiated 18), plus ONE
+    # fingerprint stage shared by dedup and conflicts
+    _, raw = curate_clips(df, materialize=False)
+    pre = raw._jdf.queryExecution().executedPlan().toString()
+    assert pre.count("ArrowEvalPython") == 3

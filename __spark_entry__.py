@@ -383,6 +383,42 @@ def q_audio_snr_clips(spark, sf_dir):
     return v.select("clip_id", "field_path", "rule_id", "actual")
 
 
+def q_repair_audio_clips(spark, sf_dir):
+    """Audio repair (audio/repair.py with_normalized_audio): DC removal
+    + peak normalization under a 30 dB gain cap, re-encoded and decoded
+    back through the UNMODIFIED pipeline — the repaired features must
+    show the dc_offset/quiet gates now pass. Non-SQL (decode+encode);
+    deterministic, so the oracle is a committed snapshot."""
+    import numpy as np
+
+    from protovalidate_spark.audio import (with_audio_features,
+                                           with_normalized_audio)
+    from protovalidate_spark.audio.wav import synth_wav
+    rows = []
+    for fmt, sr in (("pcm16", 16000), ("float32", 8000)):
+        t = np.arange(int(sr * 0.3)) / sr
+        tone = np.sin(2 * np.pi * 330.0 * t)
+        for label, x in (("clean", 0.5 * tone),
+                         ("biased", 0.2 * tone + 0.1),
+                         ("faint", 0.004 * tone),
+                         ("silent", 0.0 * tone)):
+            rows.append((f"{fmt}_{label}", synth_wav(x, sr, fmt=fmt)))
+    rows += [("bad_garbage", b"not audio"), ("bad_null", None)]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    norm = with_normalized_audio(df)
+    feats = with_audio_features(
+        norm.select("clip_id",
+                    F.col("_norm")["ok"].alias("norm_ok"),
+                    F.round(F.col("_norm")["gain_db"], 2).alias("gain2"),
+                    F.round(F.col("_norm")["dc_removed"], 4).alias("dc4"),
+                    F.col("_norm")["bytes"].alias("bytes")))
+    return feats.select(
+        "clip_id", "norm_ok", "gain2", "dc4",
+        F.round("_afeat.peak", 3).alias("peak3"),
+        F.round("_afeat.dc_offset", 4).alias("rdc4"),
+        F.round("_afeat.rms_dbfs", 1).alias("rdbfs1"))
+
+
 def q_curate_clips(spark, sf_dir):
     """Audio curation end-to-end (pipeline/curate.py curate_clips):
     decode/quality gates -> spectral content dedup (keep-smallest-id) ->
@@ -1427,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_level_clips": q_audio_level_clips,
         "audio_snr_clips": q_audio_snr_clips,
         "curate_clips": q_curate_clips,
+        "repair_audio_clips": q_repair_audio_clips,
         "split_documents": q_split_documents,
         "stratified_sample_clips": q_stratified_sample_clips,
         "chi2_js_returnflag": q_chi2_js_returnflag,
@@ -2418,6 +2455,10 @@ def oracle_sql() -> dict[str, str]:
         "curate_clips": f"""
             SELECT clip_id, field_path, rule_id, actual
               FROM read_parquet('{EXPECTED_DIR}/curate_clips.parquet')
+        """,
+        "repair_audio_clips": f"""
+            SELECT clip_id, norm_ok, gain2, dc4, peak3, rdc4, rdbfs1
+              FROM read_parquet('{EXPECTED_DIR}/repair_audio_clips.parquet')
         """,
         "audio_dup_clips": f"""
             SELECT id, group_id, group_size

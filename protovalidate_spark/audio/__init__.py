@@ -48,3 +48,7 @@ from .features import (  # noqa: F401
     with_decoded_features,
     with_full_audio,
 )
+from .repair import (  # noqa: F401
+    normalize_pcm,
+    with_normalized_audio,
+)

@@ -1,0 +1,82 @@
+"""Audio repair transforms: DC removal + peak normalization with
+re-encode — the FIX half of the capture-quality gates. ``quiet_rule`` /
+``dc_offset_rule`` (features.py) DETECT gain-starved and DC-biased
+captures; this module repairs them in place of dropping, the standard
+salvage step a training pipeline runs between validation and curation.
+
+One Arrow-batched stage: the same vectorized batch decoder feeds a pure
+numpy fix (subtract mean, scale to target peak under a gain cap) and the
+same ``_pack_samples`` encoder the decoder's round-trip tests pin —
+repaired bytes decode through the unmodified pipeline. Reference analog:
+``Interface().WithCast`` (inerface.go:69-74) — a value-transforming
+extension, expressed as a column transform.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .decode import _decode_series
+from .wav import synth_wav
+
+NORMALIZED_TYPE = T.StructType([
+    T.StructField("ok", T.BooleanType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("gain_db", T.DoubleType()),
+    T.StructField("dc_removed", T.DoubleType()),
+])
+
+
+def normalize_pcm(x: np.ndarray, target_peak: float = 0.95,
+                  remove_dc: bool = True, max_gain_db: float = 30.0):
+    """(fixed samples, applied gain dB, removed DC): subtract the mean,
+    then scale so the peak hits ``target_peak`` — but never amplify by
+    more than ``max_gain_db`` (a near-silent noise floor boosted 60 dB
+    is garbage made loud, not a repair; attenuation is uncapped).
+    All-zero input comes back unchanged at 0 dB."""
+    x = x.astype(np.float64)
+    dc = float(x.mean()) if (remove_dc and x.size) else 0.0
+    if dc:
+        x = x - dc
+    peak = float(np.abs(x).max()) if x.size else 0.0
+    if peak <= 0.0:
+        return x, 0.0, dc
+    gain = target_peak / peak
+    cap = 10.0 ** (max_gain_db / 20.0)
+    gain = min(gain, cap)
+    return x * gain, 20.0 * float(np.log10(gain)), dc
+
+
+def with_normalized_audio(df: DataFrame, bytes_col: str = "bytes",
+                          out_col: str = "_norm",
+                          target_peak: float = 0.95,
+                          remove_dc: bool = True,
+                          max_gain_db: float = 30.0,
+                          fmt: str = "pcm16") -> DataFrame:
+    """Append struct(ok, bytes, gain_db, dc_removed): the repaired WAV
+    re-encoded as ``fmt`` at the clip's own sample rate. Undecodable
+    rows pass through ok=false with NULL bytes — repair never invents
+    audio. ONE Arrow stage (decode + fix + encode)."""
+    def _udf(bs: pd.Series) -> pd.DataFrame:
+        dec = _decode_series(bs, want_pcm=True)
+        ok = dec["ok"].to_numpy()
+        n = len(bs)
+        out_b = [None] * n
+        gain = np.full(n, np.nan)
+        dc = np.full(n, np.nan)
+        for i in np.nonzero(ok)[0]:
+            x, g, d = normalize_pcm(dec["pcm"][i], target_peak,
+                                    remove_dc, max_gain_db)
+            out_b[i] = synth_wav(x, int(dec["sr"][i]), fmt=fmt)
+            gain[i] = g
+            dc[i] = d
+        return pd.DataFrame({"ok": dec["ok"], "bytes": out_b,
+                             "gain_db": gain, "dc_removed": dc})
+
+    return df.withColumn(out_col,
+                         pandas_udf(_udf, NORMALIZED_TYPE)(F.col(bytes_col)))

@@ -269,3 +269,64 @@ def test_clips_suite_all_audio_flags_one_stage(spark, tiny_clips):
                        vad_checks=True).row_violations(plain) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_normalize_pcm_kernel():
+    from protovalidate_spark.audio.repair import normalize_pcm
+    t = np.arange(4000) / 8000.0
+    x = 0.2 * np.sin(2 * np.pi * 300.0 * t) + 0.1
+    fixed, gain_db, dc = normalize_pcm(x)
+    assert abs(dc - 0.1) < 1e-9
+    assert abs(np.abs(fixed).max() - 0.95) < 1e-9
+    assert abs(fixed.mean()) < 1e-9
+    # gain cap: a 1e-4 peak asks for ~79 dB, gets exactly 30
+    faint, g2, _ = normalize_pcm(1e-4 * np.sin(2 * np.pi * 300.0 * t),
+                                 max_gain_db=30.0)
+    assert abs(g2 - 30.0) < 1e-9
+    assert abs(np.abs(faint).max() - 1e-4 * 10 ** 1.5) < 1e-7
+    # all-zero passthrough
+    z, gz, dz = normalize_pcm(np.zeros(100))
+    assert gz == 0.0 and dz == 0.0 and not z.any()
+
+
+def test_with_normalized_audio_repairs_gates(spark):
+    from protovalidate_spark.audio import (with_audio_features,
+                                           with_normalized_audio)
+    from protovalidate_spark.audio.wav import synth_wav
+    t = np.arange(4000) / 8000.0
+    rows = [
+        ("biased_faint", synth_wav(
+            0.004 * np.sin(2 * np.pi * 300.0 * t) + 0.05, 8000)),
+        ("ok", synth_sine_wav(300.0, 8000, 250, amp=0.5)),
+        ("bad", b"nope"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    norm = with_normalized_audio(df)
+    # repaired bytes decode through the UNMODIFIED pipeline and pass
+    # the very gates that flagged the original
+    feats = with_audio_features(
+        norm.select("clip_id", F.col("_norm")["ok"].alias("norm_ok"),
+                    F.col("_norm")["gain_db"].alias("gain_db"),
+                    F.col("_norm")["bytes"].alias("bytes")))
+    r = {x["clip_id"]: x for x in
+         feats.select("clip_id", "norm_ok", "gain_db", "_afeat.*")
+         .collect()}
+    bf = r["biased_faint"]
+    assert bf["norm_ok"] and abs(bf["dc_offset"]) < 1e-3
+    assert bf["rms_dbfs"] > -45.0           # quiet_rule now passes
+    # the 30 dB gain cap binds before the 0.95 target: 0.004 * 10^1.5
+    assert abs(bf["peak"] - 0.004 * 10 ** 1.5) < 0.005
+    assert abs(bf["gain_db"] - 30.0) < 1e-6
+    # already-healthy audio is only rescaled to the target peak
+    assert abs(r["ok"]["peak"] - 0.95) < 0.01
+    assert not r["bad"]["norm_ok"] and r["bad"]["peak"] is None
+    # idempotence once the target is reached: re-normalizing applies
+    # ~0 dB to the at-target clip; the gain-capped clip takes the
+    # REMAINING 47.5-30 = 17.5 dB on the second pass (per-pass cap)
+    again = with_normalized_audio(
+        norm.select("clip_id", F.col("_norm")["bytes"].alias("bytes")))
+    g2 = {x["clip_id"]: x["g"] for x in again.select(
+        "clip_id", F.col("_norm")["gain_db"].alias("g")).collect()
+        if x["g"] is not None}
+    assert abs(g2["ok"]) < 0.05
+    assert abs(g2["biased_faint"] - 17.5) < 0.1

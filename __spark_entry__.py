@@ -1003,6 +1003,20 @@ _SPAN_INJECT = ("shared duplicated passage marker alpha beta gamma delta "
                 "epsilon zeta eta theta")  # 12 tokens
 
 
+def q_oov_documents(spark, sf_dir):
+    """Out-of-vocabulary rate (pipeline/text.py oov_rate) against the
+    corpus's own top-30 vocabulary (vocab_topk — deterministic set via
+    the freq-desc/token-asc tie-break): per-doc token/OOV counts and
+    rate. Pure SQL oracle: identical top-k + explode + broadcast-shaped
+    membership arithmetic (IEEE double division agrees bit-for-bit on
+    integer operands)."""
+    from protovalidate_spark.pipeline import oov_rate, vocab_topk
+    d = _t(spark, sf_dir, "documents")
+    vocab = vocab_topk(d, "text", k=30)
+    return oov_rate(d, "doc_id", vocab) \
+        .select("doc_id", "n_tokens", "n_oov", "oov_rate")
+
+
 def q_duplicate_spans_documents(spark, sf_dir):
     """Exact duplicated-passage detection (pipeline/dedup.py
     duplicate_spans — the Lee et al. substring-dedup gate): a 12-token
@@ -1422,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_documents": q_pii_documents,
         "duplicate_spans_documents": q_duplicate_spans_documents,
         "remove_spans_documents": q_remove_spans_documents,
+        "oov_documents": q_oov_documents,
         "collection_lineitem": q_collection_lineitem,
         "conditional_orders": q_conditional_orders,
         "cross_column_lineitem": q_cross_column_lineitem,
@@ -2212,6 +2227,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, '/text', 'MAX',
                    'symbol-to-word ratio above cap'
               FROM f WHERE symr > 0.1
+        """,
+        "oov_documents": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\s+')
+                     END AS toks
+                FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS t FROM w),
+            v AS (SELECT t FROM tok GROUP BY t
+                  ORDER BY count(*) DESC, t ASC LIMIT 30),
+            o AS (
+              SELECT tok.doc_id,
+                     count(*) AS n_tokens,
+                     sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS n_oov
+                FROM tok LEFT JOIN v ON tok.t = v.t
+               GROUP BY tok.doc_id)
+            SELECT w.doc_id,
+                   coalesce(o.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(o.n_oov, 0)::BIGINT AS n_oov,
+                   CASE WHEN coalesce(o.n_tokens, 0) > 0
+                        THEN o.n_oov::DOUBLE / o.n_tokens
+                        ELSE 0.0 END AS oov_rate
+              FROM w LEFT JOIN o ON w.doc_id = o.doc_id
         """,
         "duplicate_spans_documents": rf"""
             WITH d AS (

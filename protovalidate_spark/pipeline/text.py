@@ -442,6 +442,56 @@ def rolling_hash_fingerprint(col: Column, n: int = 4) -> Column:
     return F.when(F.size(toks) == 0, F.lit(0).cast("bigint")).otherwise(combined)
 
 
+def oov_rate(df: DataFrame, id_col: str, vocab: DataFrame,
+             text_col: str = "text",
+             token_col: str = "token") -> DataFrame:
+    """Per-document out-of-vocabulary token fraction against a
+    vocabulary table (typically :func:`vocab_topk` output — the two
+    share the ``tokens()`` definition, so coverage is measured in the
+    vocabulary's own token space): ``(id, n_tokens, n_oov, oov_rate)``,
+    zero-token docs reporting rate 0.0. A high OOV rate flags docs the
+    tokenizer will shred into rare pieces — wrong language, encoding
+    damage, or domain mismatch.
+
+    Scale shape: the token explode is map-only; the vocab side is
+    DISTINCT + broadcast (a training vocabulary is 10^4-10^6 rows — MBs
+    next to the corpus), membership = BroadcastHashJoin, per-doc re-agg
+    groups on the id (map-side partials). Same explode+broadcast shape
+    as contamination_hits."""
+    base = df.select(F.col(id_col),
+                     token_count(F.col(text_col)).cast("bigint")
+                     .alias("n_tokens"))
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("__t"))
+    v = (vocab.select(F.col(token_col).alias("__t")).distinct()
+         .withColumn("__in", F.lit(1)))
+    oov = (toks.join(F.broadcast(v), "__t", "left")
+           .groupBy(id_col)
+           .agg(F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+                .cast("bigint").alias("n_oov")))
+    return (base.join(oov, id_col, "left")
+            .select(id_col, "n_tokens",
+                    F.coalesce("n_oov", F.lit(0)).cast("bigint")
+                    .alias("n_oov"),
+                    F.when(F.col("n_tokens") > 0,
+                           F.coalesce("n_oov", F.lit(0))
+                           / F.col("n_tokens"))
+                    .otherwise(F.lit(0.0)).alias("oov_rate")))
+
+
+def oov_violations(df: DataFrame, id_col: str, vocab: DataFrame,
+                   text_col: str = "text", token_col: str = "token",
+                   max_rate: float = 0.5) -> DataFrame:
+    """Docs whose OOV fraction exceeds ``max_rate``, as violation rows
+    (MAX) — the doc-level gate over :func:`oov_rate`."""
+    r = oov_rate(df, id_col, vocab, text_col, token_col)
+    return (r.filter(F.col("oov_rate") > max_rate)
+            .select(F.col(id_col),
+                    F.lit(f"/{text_col}").alias("field_path"),
+                    F.lit(Code.MAX).alias("rule_id"),
+                    F.round("oov_rate", 6).cast("string").alias("actual")))
+
+
 def vocab_topk(df: DataFrame, text_col: str = "text",
                k: int = 100) -> DataFrame:
     """Corpus vocabulary: the ``k`` most frequent whitespace tokens as

@@ -186,3 +186,28 @@ def test_c4_gates(spark):
             for r in c4_quality_violations(
                 df, "doc_id", min_kept_line_frac=0.5).collect()}
     assert (4, "MIN") in got2 and (1, "MIN") not in got2
+
+
+def test_oov_rate(spark):
+    from protovalidate_spark.pipeline import oov_rate, oov_violations
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("sat",)], "token string")
+    df = spark.createDataFrame([
+        (1, "the cat sat"),                    # 0/3 oov
+        (2, "the dog ran far"),                # 3/4 oov
+        (3, ""),                               # zero tokens
+        (4, "the the the cat"),                # repeats count per token
+    ], "doc_id int, text string")
+    r = {x["doc_id"]: x for x in
+         oov_rate(df, "doc_id", vocab).collect()}
+    assert (r[1]["n_oov"], r[1]["oov_rate"]) == (0, 0.0)
+    assert (r[2]["n_tokens"], r[2]["n_oov"]) == (4, 3)
+    assert (r[3]["n_tokens"], r[3]["oov_rate"]) == (0, 0.0)
+    assert (r[4]["n_tokens"], r[4]["n_oov"]) == (4, 0)
+    v = {x["doc_id"] for x in
+         oov_violations(df, "doc_id", vocab, max_rate=0.5).collect()}
+    assert v == {2}
+    # broadcast membership, no sort-merge join
+    plan = oov_rate(df, "doc_id", vocab) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -419,6 +419,35 @@ def q_repair_audio_clips(spark, sf_dir):
         F.round("_afeat.rms_dbfs", 1).alias("rdbfs1"))
 
 
+def q_standardize_audio_clips(spark, sf_dir):
+    """Sample-rate/format standardization (audio/repair.py
+    with_standardized_audio): clips at 8/16/22.05/44.1 kHz across
+    formats re-encoded to pcm16 @ 16 kHz, decoded back through the
+    unmodified pipeline — rate, duration, level, and tone frequency
+    (ZCR) must survive the resample. Non-SQL; deterministic, so the
+    oracle is a committed snapshot."""
+    from protovalidate_spark.audio import with_decoded, with_standardized_audio
+    from protovalidate_spark.audio.wav import synth_sine_wav
+    rows = []
+    for fmt, sr in (("pcm16", 44100), ("float32", 22050), ("mulaw", 8000),
+                    ("pcm24", 16000)):
+        rows.append((f"{fmt}_{sr}",
+                     synth_sine_wav(330.0, sr, 300, 0.5, fmt=fmt)))
+    rows += [("bad_garbage", b"not audio"), ("bad_null", None)]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    std = with_standardized_audio(df, target_sr=16000, fmt="pcm16")
+    dec = with_decoded(
+        std.select("clip_id", F.col("_std")["ok"].alias("std_ok"),
+                   F.col("_std")["src_sr"].alias("src_sr"),
+                   F.col("_std")["bytes"].alias("bytes")),
+        out_col="_dec")
+    return dec.select(
+        "clip_id", "std_ok", "src_sr",
+        F.col("_dec")["sr"].alias("out_sr"),
+        F.col("_dec")["dur_ms"].alias("out_dur_ms"),
+        F.round(F.col("_dec")["rms"], 4).alias("rms4"))
+
+
 def q_curate_clips(spark, sf_dir):
     """Audio curation end-to-end (pipeline/curate.py curate_clips):
     decode/quality gates -> spectral content dedup (keep-smallest-id) ->
@@ -1479,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_snr_clips": q_audio_snr_clips,
         "curate_clips": q_curate_clips,
         "repair_audio_clips": q_repair_audio_clips,
+        "standardize_audio_clips": q_standardize_audio_clips,
         "split_documents": q_split_documents,
         "stratified_sample_clips": q_stratified_sample_clips,
         "chi2_js_returnflag": q_chi2_js_returnflag,
@@ -2499,6 +2529,11 @@ def oracle_sql() -> dict[str, str]:
         "repair_audio_clips": f"""
             SELECT clip_id, norm_ok, gain2, dc4, peak3, rdc4, rdbfs1
               FROM read_parquet('{EXPECTED_DIR}/repair_audio_clips.parquet')
+        """,
+        "standardize_audio_clips": f"""
+            SELECT clip_id, std_ok, src_sr, out_sr, out_dur_ms, rms4
+              FROM read_parquet(
+                '{EXPECTED_DIR}/standardize_audio_clips.parquet')
         """,
         "audio_dup_clips": f"""
             SELECT id, group_id, group_size

@@ -50,5 +50,7 @@ from .features import (  # noqa: F401
 )
 from .repair import (  # noqa: F401
     normalize_pcm,
+    resample_linear,
     with_normalized_audio,
+    with_standardized_audio,
 )

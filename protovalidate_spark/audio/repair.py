@@ -52,6 +52,61 @@ def normalize_pcm(x: np.ndarray, target_peak: float = 0.95,
     return x * gain, 20.0 * float(np.log10(gain)), dc
 
 
+def resample_linear(x: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    """Linear-interpolation resample — the deterministic, dependency-free
+    kernel (a windowed-sinc polyphase filter belongs to a real DSP lib;
+    for rate STANDARDIZATION of speech the linear kernel's aliasing sits
+    below the quantization floor of typical 8-16 kHz telephone-band
+    content). Same-rate input passes through untouched."""
+    if sr == target_sr or x.size == 0:
+        return x
+    n_out = int(round(x.size * target_sr / sr))
+    if n_out <= 0:
+        return np.zeros(0, dtype=np.float64)
+    t_out = np.arange(n_out, dtype=np.float64) * (sr / target_sr)
+    return np.interp(t_out, np.arange(x.size, dtype=np.float64),
+                     x.astype(np.float64))
+
+
+STANDARDIZED_TYPE = T.StructType([
+    T.StructField("ok", T.BooleanType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("src_sr", T.IntegerType()),
+    T.StructField("src_dur_ms", T.IntegerType()),
+])
+
+
+def with_standardized_audio(df: DataFrame, bytes_col: str = "bytes",
+                            out_col: str = "_std",
+                            target_sr: int = 16000,
+                            fmt: str = "pcm16") -> DataFrame:
+    """Re-encode every decodable clip to ONE (sample rate, sample
+    format) — the rate/format standardization a training pipeline runs
+    so batches collate ("all clips → pcm16 @ 16 kHz"). Struct(ok, bytes,
+    src_sr, src_dur_ms); undecodable rows pass through ok=false with
+    NULL bytes. ONE Arrow stage (decode + linear resample + encode);
+    compose with :func:`with_normalized_audio` for level repair."""
+    def _udf(bs: pd.Series) -> pd.DataFrame:
+        dec = _decode_series(bs, want_pcm=True)
+        ok = dec["ok"].to_numpy()
+        n = len(bs)
+        out_b = [None] * n
+        for i in np.nonzero(ok)[0]:
+            x = resample_linear(dec["pcm"][i], int(dec["sr"][i]), target_sr)
+            out_b[i] = synth_wav(x, target_sr, fmt=fmt)
+        return pd.DataFrame({
+            "ok": dec["ok"], "bytes": out_b,
+            "src_sr": pd.array(
+                [int(dec["sr"][i]) if ok[i] else None for i in range(n)],
+                dtype="Int32"),
+            "src_dur_ms": pd.array(
+                [int(dec["dur_ms"][i]) if ok[i] else None
+                 for i in range(n)], dtype="Int32")})
+
+    return df.withColumn(out_col,
+                         pandas_udf(_udf, STANDARDIZED_TYPE)(F.col(bytes_col)))
+
+
 def with_normalized_audio(df: DataFrame, bytes_col: str = "bytes",
                           out_col: str = "_norm",
                           target_peak: float = 0.95,

@@ -180,6 +180,31 @@ def q_psi_returnflag(spark, sf_dir):
     return spark.createDataFrame([(val,)], "psi double")
 
 
+def q_psi_by_group_lineitem(spark, sf_dir):
+    """Per-GROUP drift vs the GLOBAL baseline (dataset/drift.py
+    drift_by_group_violations — the bad-shard detector whole-table
+    drift dilutes away): PSI of l_returnflag per l_linestatus group
+    against the whole-table histogram, psi-only gate at a floor
+    threshold so every group's formatted psi string is value-matched.
+    The fixture's returnflag is group-independent, so group 0's 'A's
+    are deterministically remapped to 'N' in BOTH engines: group 0
+    drifts hard, the others drift mildly (the baseline absorbs the
+    distortion). Pure SQL oracle (identical eps-floored PSI arithmetic
+    per group)."""
+    from protovalidate_spark.dataset import drift_by_group_violations, snapshot
+    li = _t(spark, sf_dir, "lineitem")
+    li = (li.withColumn("grp", (F.col("l_orderkey") % 4).cast("string"))
+          .withColumn("l_returnflag",
+                      F.when((F.col("l_orderkey") % 4 == 0)
+                             & (F.col("l_returnflag") == "A"), "N")
+                      .otherwise(F.col("l_returnflag"))))
+    base = snapshot(li, ["l_returnflag"])
+    return drift_by_group_violations(li, "grp", base,
+                                     psi_threshold=0.0001,
+                                     ks_threshold=None) \
+        .select("grp", "field_path", "rule_id", "actual")
+
+
 def q_stats_drift_lineitem(spark, sf_dir):
     """Stats-delta drift gates: baseline = even-orderkey half, current =
     odd half with three engineered regressions (l_extendedprice nulls
@@ -1514,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_js_returnflag": q_chi2_js_returnflag,
         "heavy_hitters_clips": q_heavy_hitters_clips,
         "stats_drift_lineitem": q_stats_drift_lineitem,
+        "psi_by_group_lineitem": q_psi_by_group_lineitem,
         "dedup_exact_documents": q_dedup_exact_documents,
         "curate_documents": q_curate_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -1703,6 +1729,39 @@ def oracle_sql() -> dict[str, str]:
                                   THEN 0.5 * pb * LN(pb / ((pa + pb) / 2))
                                   ELSE 0 END), 6) AS js
               FROM j
+        """,
+        "psi_by_group_lineitem": """
+            WITH d AS (SELECT (l_orderkey % 4)::VARCHAR grp,
+                              CASE WHEN l_orderkey % 4 = 0
+                                    AND l_returnflag = 'A' THEN 'N'
+                                   ELSE l_returnflag END AS v
+                         FROM lineitem),
+                 g AS (SELECT grp, v, count(*) c
+                         FROM d WHERE v IS NOT NULL
+                        GROUP BY 1, 2),
+                 gt AS (SELECT grp, sum(c) t FROM g GROUP BY 1),
+                 gh AS (SELECT g.grp, g.v, g.c / gt.t::DOUBLE p
+                          FROM g JOIN gt USING (grp)),
+                 bh AS (SELECT v,
+                               count(*) / (SELECT count(*) FROM d
+                                           WHERE v IS NOT NULL)::DOUBLE p
+                          FROM d WHERE v IS NOT NULL
+                         GROUP BY 1),
+                 keys AS (SELECT DISTINCT grp, v FROM (
+                            SELECT grp, v FROM gh
+                            UNION ALL
+                            SELECT gt.grp, bh.v FROM gt, bh)),
+                 j AS (SELECT k.grp,
+                              greatest(coalesce(bh.p, 0), 1e-6) pe,
+                              greatest(coalesce(gh.p, 0), 1e-6) pa
+                         FROM keys k
+                         LEFT JOIN bh ON k.v = bh.v
+                         LEFT JOIN gh ON k.grp = gh.grp AND k.v = gh.v),
+                 s AS (SELECT grp, sum((pa - pe) * ln(pa / pe)) psi
+                         FROM j GROUP BY 1)
+            SELECT grp, '/l_returnflag' AS field_path,
+                   'DRIFT' AS rule_id, printf('psi=%.4f', psi) AS actual
+              FROM s WHERE psi > 0.0001
         """,
         "ks_quantity": """
             WITH ha AS (SELECT CASE WHEN l_quantity < 0 THEN 0 WHEN l_quantity >= 64 THEN 33 ELSE FLOOR(l_quantity / 2)::BIGINT + 1 END bk,

@@ -4,7 +4,8 @@ from .stats import (  # noqa: F401
 from .uniqueness import duplicate_keys, unique_violations  # noqa: F401
 from .referential import ref_violations  # noqa: F401
 from .drift import (  # noqa: F401
-    chi2_distance, drift_violations, histogram, histogram_counts,
+    chi2_distance, drift_by_group_violations, drift_violations,
+    grouped_histograms, histogram, histogram_counts,
     js_divergence, ks_stat, load_snapshot, psi, save_snapshot, snapshot,
 )
 from .rollup import salted_rollup  # noqa: F401

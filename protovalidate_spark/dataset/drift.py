@@ -115,6 +115,106 @@ def histograms(df: DataFrame, cols: Sequence[str],
     return out
 
 
+def grouped_histograms(df: DataFrame, group_col: str, cols: Sequence[str],
+                       bounds: Optional[Dict[str, Tuple[float, float]]] = None,
+                       n_buckets: int = N_BUCKETS,
+                       max_categories: int = 1000
+                       ) -> Dict[str, Dict[str, Dict[str, float]]]:
+    """``{group_value: {col: {label: freq}}}`` — the same ONE-action
+    stacked aggregation as :func:`histograms`, keyed additionally by
+    ``group_col``. The group column must be low-cardinality (shard /
+    ingest day / source / codec): the driver collects
+    O(groups × cols × buckets) rows. NULL group values histogram under
+    the literal label ``__null__`` (a NULL-group shard drifts too)."""
+    bounds = bounds or {}
+    dtypes = dict(df.dtypes)
+    entries = []
+    numeric_names = set()
+    for c in cols:
+        dt = dtypes[c].split("(")[0]
+        if dt in _NUMERIC:
+            lo, hi = _fix_bounds(*bounds.get(c, (None, None)))
+            label = F.concat(
+                F.lit("b"),
+                F.width_bucket(F.col(c).cast("double"), F.lit(lo), F.lit(hi),
+                               F.lit(n_buckets)).cast("bigint").cast("string"))
+            numeric_names.add(c)
+        else:
+            label = F.col(c).cast("string")
+        entries.append(F.struct(F.lit(c).alias("name"),
+                                F.when(F.col(c).isNotNull(), label)
+                                 .alias("label")))
+    pair = F.explode(F.array(*entries)).alias("p")
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+    counts = (df.select(grp.alias("grp"), pair)
+              .select("grp", F.col("p.name").alias("name"),
+                      F.col("p.label").alias("label"))
+              .filter(F.col("label").isNotNull())
+              .groupBy("grp", "name", "label")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("grp", "name")
+    ranked = counts.select(
+        "grp", "name", "label", "cnt",
+        F.sum("cnt").over(w).alias("total"),
+        F.row_number().over(
+            w.orderBy(F.desc("cnt"), F.col("label"))).alias("rn"))
+    keep = F.col("rn") <= max_categories
+    if numeric_names:
+        keep = keep | F.col("name").isin(*sorted(numeric_names))
+    out: Dict[str, Dict[str, Dict[str, float]]] = {}
+    for r in ranked.filter(keep).collect():
+        out.setdefault(r["grp"], {c: {} for c in cols})
+        out[r["grp"]][r["name"]][r["label"]] = r["cnt"] / r["total"]
+    for g, per_col in out.items():
+        for c in cols:
+            if c in numeric_names:
+                continue
+            rest = 1.0 - sum(per_col[c].values())
+            if rest > 1e-12:
+                per_col[c]["__other__"] = rest
+    return out
+
+
+def drift_by_group_violations(
+    df: DataFrame, group_col: str, baseline: Dict[str, dict],
+    psi_threshold: float = 0.2,
+    ks_threshold: Optional[float] = 0.1,
+) -> DataFrame:
+    """Per-GROUP drift against a GLOBAL baseline snapshot — the check
+    that catches one bad shard / source / ingest day whose drift the
+    whole-table test dilutes below threshold. One violation row per
+    (group, drifted column): ``(group, field_path, rule_id=DRIFT,
+    message, actual='psi=..[,ks=..]')``. ONE Spark action (the grouped
+    stacked histogram); pass ``ks_threshold=None`` to gate on PSI only."""
+    spark = df.sparkSession
+    cols = list(baseline.keys())
+    dtypes = dict(df.dtypes)
+    bounds = {c: _fix_bounds(s.get("lo"), s.get("hi"))
+              for c, s in baseline.items()
+              if dtypes[c].split("(")[0] in _NUMERIC}
+    gh = grouped_histograms(df, group_col, cols, bounds)
+    rows = []
+    for g in sorted(gh):
+        for c, snap in baseline.items():
+            cur = gh[g].get(c, {})
+            p = psi(snap["hist"], cur)
+            bad = p > psi_threshold
+            actual = f"psi={p:.4f}"
+            gates = [f"psi>{psi_threshold}"]
+            if ks_threshold is not None:
+                k = ks_stat(snap["hist"], cur)
+                bad = bad or k > ks_threshold
+                actual += f",ks={k:.4f}"
+                gates.append(f"ks>{ks_threshold}")
+            if bad:
+                rows.append((g, f"/{c}", Code.DRIFT,
+                             "group distribution drifts from the global "
+                             f"baseline ({' or '.join(gates)})", actual))
+    return spark.createDataFrame(
+        rows, f"`{group_col}` string, field_path string, rule_id string, "
+              "message string, actual string")
+
+
 def histogram(df: DataFrame, col: str, lo: Optional[float] = None,
               hi: Optional[float] = None, n_buckets: int = N_BUCKETS,
               max_categories: int = 1000) -> Dict[str, float]:

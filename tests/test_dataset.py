@@ -295,3 +295,37 @@ def test_chi2_unclamped_numerator_matches_oracle_formula():
     a = {"x": 0.5, "y": 0.5}
     # (0.5-1)^2/1 + (0.5-0)^2/1e-6 = 0.25 + 250000
     assert abs(chi2_distance(e, a) - 250000.25) < 1e-6
+
+
+def test_drift_by_group(spark):
+    """A planted bad group drifts while the whole table stays clean."""
+    from protovalidate_spark.dataset import (drift_by_group_violations,
+                                             drift_violations,
+                                             grouped_histograms, snapshot)
+    rows = []
+    # 3 groups x balanced A/B values, plus one group that is all-A
+    for g in ("g1", "g2", "g3"):
+        rows += [(g, "A")] * 50 + [(g, "B")] * 50
+    rows += [("bad", "A")] * 100
+    df = spark.createDataFrame(rows, "src string, v string")
+    base = snapshot(df, ["v"])
+    # whole-table drift vs itself: nothing fires
+    assert drift_violations(df, base).count() == 0
+    # psi-only: the balanced groups sit at psi=0.064 vs the 62.5/37.5
+    # global mix (below 0.2) while the all-A group blows past it; the
+    # default ks gate at 0.1 would legitimately flag the 12.5-point cdf
+    # gap in every group
+    got = drift_by_group_violations(df, "src", base, psi_threshold=0.2,
+                                    ks_threshold=None).collect()
+    assert [(r["src"], r["field_path"], r["rule_id"]) for r in got] \
+        == [("bad", "/v", "DRIFT")]
+    assert got[0]["actual"].startswith("psi=")
+    # grouped histograms agree with per-group filtering
+    gh = grouped_histograms(df, "src", ["v"])
+    assert gh["bad"]["v"] == {"A": 1.0}
+    assert abs(gh["g1"]["v"]["A"] - 0.5) < 1e-12
+    # NULL group values histogram under __null__
+    rows_n = [(None, "B")] * 10 + [("g", "A")] * 10
+    ghn = grouped_histograms(
+        spark.createDataFrame(rows_n, "src string, v string"), "src", ["v"])
+    assert ghn["__null__"]["v"] == {"B": 1.0}

@@ -337,7 +337,7 @@ def load_snapshot(path: str) -> Dict[str, dict]:
 
 def drift_violations(
     df: DataFrame, baseline: Dict[str, dict],
-    psi_threshold: float = 0.2, ks_threshold: float = 0.1,
+    psi_threshold: float = 0.2, ks_threshold: Optional[float] = 0.1,
     chi2_threshold: Optional[float] = None,
     js_threshold: Optional[float] = None,
 ) -> DataFrame:
@@ -359,10 +359,14 @@ def drift_violations(
     for c, snap in baseline.items():
         cur = hists[c]
         p = psi(snap["hist"], cur)
-        k = ks_stat(snap["hist"], cur)
-        bad = p > psi_threshold or k > ks_threshold
-        actual = f"psi={p:.4f},ks={k:.4f}"
-        gates = [f"psi>{psi_threshold} or ks>{ks_threshold}"]
+        bad = p > psi_threshold
+        actual = f"psi={p:.4f}"
+        gates = [f"psi>{psi_threshold}"]
+        if ks_threshold is not None:  # None: PSI-only gating
+            k = ks_stat(snap["hist"], cur)
+            bad = bad or k > ks_threshold
+            actual += f",ks={k:.4f}"
+            gates = [f"psi>{psi_threshold} or ks>{ks_threshold}"]
         if chi2_threshold is not None:
             x2 = chi2_distance(snap["hist"], cur)
             bad = bad or x2 > chi2_threshold

@@ -52,6 +52,9 @@ class ValidationSuite:
     drift_baseline: Optional[Dict[str, dict]] = None
     psi_threshold: float = 0.2
     ks_threshold: float = 0.1
+    # low-cardinality column to ALSO drift-check per group vs the same
+    # global baseline (bad-shard detector); group rides the message
+    drift_group_col: Optional[str] = None
     stats_cols: Sequence[str] = ()
     extra_object_rules: tuple = field(default_factory=tuple)
     salt_buckets: int = 0
@@ -121,13 +124,24 @@ class ValidationSuite:
             out.append(transcript_conflict_violations(
                 df, row_key_cols=keep, **spec))
         if self.drift_baseline:
-            d = drift_violations(df, self.drift_baseline,
-                                 self.psi_threshold, self.ks_threshold)
             null_keys = [F.lit(None).cast("string").alias(k) for k in self.row_keys]
             part = ([F.lit(None).cast("date").alias(self.partition_col)]
                     if self.partition_col else [])
+            d = drift_violations(df, self.drift_baseline,
+                                 self.psi_threshold, self.ks_threshold)
             out.append(d.select(*null_keys, *part,
                                 "field_path", "rule_id", "message", "actual"))
+            if self.drift_group_col:
+                from .dataset.drift import drift_by_group_violations
+                g = drift_by_group_violations(
+                    df, self.drift_group_col, self.drift_baseline,
+                    self.psi_threshold, self.ks_threshold)
+                out.append(g.select(
+                    *null_keys, *part, "field_path", "rule_id",
+                    F.concat(F.col("message"),
+                             F.lit(f" [{self.drift_group_col}="),
+                             F.col(self.drift_group_col), F.lit("]"))
+                    .alias("message"), "actual"))
         return out
 
     def run(self, df: DataFrame, with_stats: bool = False,

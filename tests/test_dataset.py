@@ -329,3 +329,26 @@ def test_drift_by_group(spark):
     ghn = grouped_histograms(
         spark.createDataFrame(rows_n, "src string, v string"), "src", ["v"])
     assert ghn["__null__"]["v"] == {"B": 1.0}
+
+
+def test_suite_drift_group_col(spark):
+    """ValidationSuite.drift_group_col appends per-group drift rows with
+    the group value folded into the message; whole-table drift rows are
+    unchanged."""
+    from protovalidate_spark import Object, String
+    from protovalidate_spark.dataset import snapshot
+    from protovalidate_spark.suite import ValidationSuite
+    rows = [("r%03d" % i, "src1", "A") for i in range(60)] \
+        + [("r1%02d" % i, "src1", "B") for i in range(40)] \
+        + [("x%03d" % i, "bad", "A") for i in range(100)]
+    df = spark.createDataFrame(rows, "id string, src string, v string")
+    base = snapshot(df, ["v"])
+    suite = ValidationSuite(
+        rules=Object().with_key("id", String().with_required())
+        .with_unknown(),
+        row_keys=("id",), drift_baseline=base, drift_group_col="src",
+        psi_threshold=0.2, ks_threshold=None)
+    res = suite.run(df, persist=False)
+    got = [r for r in res.violations.collect() if r["rule_id"] == "DRIFT"]
+    assert len(got) == 1
+    assert "[src=bad]" in got[0]["message"] and got[0]["id"] is None

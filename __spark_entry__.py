@@ -205,6 +205,65 @@ def q_psi_by_group_lineitem(spark, sf_dir):
         .select("grp", "field_path", "rule_id", "actual")
 
 
+def q_reconcile_orders_lineitem(spark, sf_dir):
+    """Fact↔dim aggregate reconciliation (dataset/integrity.py): per-order
+    lineitem gross revenue must match o_totalprice within 25% relative
+    tolerance; RECONCILE row per out-of-tolerance order, REQUIRED row
+    per order with no lineitems at all. One fact shuffle (map-side
+    partial sum), join on the collapsed aggregate."""
+    from protovalidate_spark.dataset import reconciliation_violations
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    v = reconciliation_violations(
+        li, o, "l_orderkey", "o_orderkey",
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              * (1 + F.col("l_tax"))),
+        "o_totalprice", rel_tol=0.25)
+    return v.select("o_orderkey", "rule_id")
+
+
+def q_monotonic_lineitem(spark, sf_dir):
+    """Per-key sequence monotonicity (dataset/integrity.py): within each
+    order, l_shipdate ordered by l_linenumber must be non-decreasing;
+    one MONOTONIC row per element breaking against its predecessor.
+    One hash shuffle on the key, in-partition sort only. The fixture's
+    (l_orderkey, l_linenumber) is NOT unique, so the value itself is the
+    tiebreak — among order-ties the ascending value sort makes the
+    violation multiset permutation-invariant (equal values never
+    violate non-strict monotonicity)."""
+    from protovalidate_spark.dataset import monotonic_violations
+    li = _t(spark, sf_dir, "lineitem")
+    return monotonic_violations(
+        li, ["l_orderkey"], ["l_linenumber", "l_shipdate"], "l_shipdate",
+        row_key_cols=["l_orderkey", "l_linenumber"]) \
+        .select("l_orderkey", "l_linenumber", "rule_id")
+
+
+def q_volume_anomaly_events(spark, sf_dir):
+    """Per-day row-volume anomaly (dataset/integrity.py): days whose
+    event count deviates >5% from the mean daily count — the bad-shard
+    volume detector, complementary to distribution drift. Count agg
+    collapses to day-cardinality rows before the broadcast-mean gate."""
+    from protovalidate_spark.dataset import volume_anomalies
+    ev = _t(spark, sf_dir, "events")
+    return volume_anomalies(ev, F.to_date("ts"), "event_date",
+                            max_rel_dev=0.05) \
+        .select(F.col("event_date").cast("string").alias("event_date"),
+                "cnt", "rule_id")
+
+
+def q_calendar_gaps_orders(spark, sf_dir):
+    """Calendar completeness (dataset/integrity.py): every date between
+    the observed min and max o_orderdate must be present; one REQUIRED
+    row per missing ingest day. Distinct-date collapse, then sequence
+    explode on the single (min,max) row + broadcast anti-join."""
+    from protovalidate_spark.dataset import calendar_gap_violations
+    o = _t(spark, sf_dir, "orders")
+    return calendar_gap_violations(o, F.col("o_orderdate"), "order_date") \
+        .select(F.col("order_date").cast("string").alias("order_date"),
+                "rule_id")
+
+
 def q_stats_drift_lineitem(spark, sf_dir):
     """Stats-delta drift gates: baseline = even-orderkey half, current =
     odd half with three engineered regressions (l_extendedprice nulls
@@ -1491,6 +1550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans_documents": q_duplicate_spans_documents,
         "remove_spans_documents": q_remove_spans_documents,
         "oov_documents": q_oov_documents,
+        "reconcile_orders_lineitem": q_reconcile_orders_lineitem,
+        "monotonic_lineitem": q_monotonic_lineitem,
+        "volume_anomaly_events": q_volume_anomaly_events,
+        "calendar_gaps_orders": q_calendar_gaps_orders,
         "collection_lineitem": q_collection_lineitem,
         "conditional_orders": q_conditional_orders,
         "cross_column_lineitem": q_cross_column_lineitem,
@@ -1729,6 +1792,53 @@ def oracle_sql() -> dict[str, str]:
                                   THEN 0.5 * pb * LN(pb / ((pa + pb) / 2))
                                   ELSE 0 END), 6) AS js
               FROM j
+        """,
+        "reconcile_orders_lineitem": """
+            WITH agg AS (SELECT l_orderkey AS k,
+                                sum(l_extendedprice * (1 - l_discount)
+                                    * (1 + l_tax)) AS s
+                           FROM lineitem
+                          WHERE l_orderkey IS NOT NULL
+                          GROUP BY 1)
+            SELECT o_orderkey,
+                   CASE WHEN s IS NULL THEN 'REQUIRED'
+                        ELSE 'RECONCILE' END AS rule_id
+              FROM orders LEFT JOIN agg ON o_orderkey = k
+             WHERE s IS NULL
+                OR NOT (abs(s - o_totalprice) <= 0.0
+                        OR abs(s - o_totalprice) / abs(o_totalprice)
+                           <= 0.25)
+        """,
+        "monotonic_lineitem": """
+            SELECT l_orderkey, l_linenumber, 'MONOTONIC' AS rule_id
+              FROM (SELECT l_orderkey, l_linenumber, l_shipdate,
+                           lag(l_shipdate) OVER (
+                               PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_shipdate) AS prev
+                      FROM lineitem)
+             WHERE prev IS NOT NULL AND l_shipdate IS NOT NULL
+               AND l_shipdate < prev
+        """,
+        "volume_anomaly_events": """
+            WITH d AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR)
+                                  AS event_date,
+                              count(*) AS cnt
+                         FROM events GROUP BY 1),
+                 m AS (SELECT avg(cnt) AS a FROM d)
+            SELECT event_date, cnt, 'DRIFT' AS rule_id
+              FROM d, m
+             WHERE abs(cnt - a) / a > 0.05
+        """,
+        "calendar_gaps_orders": """
+            WITH dd AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d
+                          FROM orders WHERE o_orderdate IS NOT NULL),
+                 b AS (SELECT min(d) AS lo, max(d) AS hi FROM dd),
+                 alldays AS (SELECT CAST(unnest(generate_series(
+                                 lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+                               FROM b)
+            SELECT CAST(d AS VARCHAR) AS order_date,
+                   'REQUIRED' AS rule_id
+              FROM alldays WHERE d NOT IN (SELECT d FROM dd)
         """,
         "psi_by_group_lineitem": """
             WITH d AS (SELECT (l_orderkey % 4)::VARCHAR grp,

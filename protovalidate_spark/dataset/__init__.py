@@ -9,3 +9,7 @@ from .drift import (  # noqa: F401
     js_divergence, ks_stat, load_snapshot, psi, save_snapshot, snapshot,
 )
 from .rollup import salted_rollup  # noqa: F401
+from .integrity import (  # noqa: F401
+    calendar_gap_violations, monotonic_violations,
+    reconciliation_violations, volume_anomalies,
+)

@@ -1,0 +1,198 @@
+"""Cross-row / cross-table integrity checks (SURVEY.md §2.9 extensions).
+
+The reference validates one value at a time; these are the dataset-level
+invariants a table-scale validator additionally needs (the Deequ-style
+constraint family): fact↔dimension aggregate reconciliation, per-key
+sequence monotonicity, per-partition volume anomalies, and calendar
+completeness. All reuse the engine's violation row shape
+(``errors.VIOLATION_STRUCT_DDL``) so their output unions cleanly with
+every other check.
+
+Scale design (10^12 rows):
+- ``reconciliation_violations``: ONE shuffle on the fact side
+  (``groupBy(key)`` with map-side partial aggregation — each executor
+  ships one pre-combined (key, sum) pair per local key), then a join of
+  the *aggregated* fact (|keys| rows, not |rows|) against the dimension.
+  The aggregate output is orders of magnitude smaller than the fact
+  table, so AQE picks broadcast when either side fits.
+- ``monotonic_violations``: one hash-partition-by-key window — the same
+  shuffle a sessionization pass pays; no global sort.
+- ``volume_anomalies`` / ``calendar_gap_violations``: the per-partition
+  count aggregate collapses to partition-cardinality rows (thousands,
+  not trillions) before anything else happens; the mean/sequence step
+  runs on that tiny frame.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..errors import Code
+from ..rules.base import violation_struct
+
+
+def reconciliation_violations(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str,
+    fact_expr: Column, dim_col: str,
+    abs_tol: float = 0.0, rel_tol: float = 0.0,
+    report_missing_fact: bool = True,
+    dim_extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Aggregate reconciliation: per-key aggregate of the fact table must
+    match the dimension's recorded value within ``abs_tol`` OR ``rel_tol``
+    (either tolerance admitting the value passes; both 0 = exact).
+
+    Emits one ``RECONCILE`` violation per dimension key whose fact
+    aggregate falls outside tolerance, and (``report_missing_fact``) one
+    ``REQUIRED`` violation per dimension key with NO fact rows at all —
+    the "order with no lineitems" case, distinct from a referential
+    orphan (fact row pointing at a missing dim).
+
+    Output: (dim_key, dim_extra_cols..., expected, actual_agg,
+    field_path, rule_id, message, actual).
+    """
+    agg = (fact.filter(F.col(fact_key).isNotNull())
+               .groupBy(F.col(fact_key).alias("__k"))
+               .agg(fact_expr.alias("__agg")))
+    d = dim.select(F.col(dim_key), *[F.col(c) for c in dim_extra_cols],
+                   F.col(dim_col).alias("__expected"))
+    joined = d.join(agg, on=F.col(dim_key) == F.col("__k"), how="left")
+
+    diff = F.abs(F.col("__agg") - F.col("__expected"))
+    within = (diff <= F.lit(float(abs_tol))) | (
+        diff / F.abs(F.col("__expected")) <= F.lit(float(rel_tol)))
+    mismatch = F.col("__agg").isNotNull() & ~within
+    missing = F.col("__agg").isNull()
+
+    v_mismatch = violation_struct(
+        f"/{dim_col}", Code.RECONCILE,
+        f"aggregate of fact {fact_key!r} does not reconcile with "
+        f"{dim_col!r} within tolerance",
+        F.col("__agg"))
+    v_missing = violation_struct(
+        f"/{dim_key}", Code.REQUIRED,
+        f"no fact rows for {dim_key!r}", F.col(dim_key))
+
+    cond = mismatch | (F.lit(bool(report_missing_fact)) & missing)
+    keep = [F.col(dim_key), *[F.col(c) for c in dim_extra_cols]]
+    return (joined.filter(cond)
+            .select(*keep,
+                    F.col("__expected").alias("expected"),
+                    F.col("__agg").alias("actual_agg"),
+                    F.when(mismatch, v_mismatch).otherwise(v_missing)
+                     .alias("_v"))
+            .select(*keep, "expected", "actual_agg", "_v.field_path",
+                    "_v.rule_id", "_v.message", "_v.actual"))
+
+
+def monotonic_violations(
+    df: DataFrame, key_cols: Sequence[str], order_cols: Sequence[str],
+    value_col: str, direction: str = "non_decreasing",
+    strict: bool = False, row_key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key sequence monotonicity: within each ``key_cols`` group,
+    ordered by ``order_cols`` (which must be a total order inside the
+    group — ties make lag() nondeterministic), ``value_col`` must be
+    non-decreasing / non-increasing (``strict`` forbids equality too).
+
+    One violation row per OUT-OF-ORDER element (the row whose value
+    breaks against its predecessor). NULL values never violate (NULL
+    comparisons are unknown, same as the scalar rule family); the
+    first element of each group has no predecessor.
+
+    One hash shuffle on ``key_cols``; per-group in-partition sort only.
+    """
+    if direction not in ("non_decreasing", "non_increasing"):
+        raise ValueError(f"direction {direction!r}")
+    w = (Window.partitionBy(*[F.col(c) for c in key_cols])
+               .orderBy(*[F.col(c) for c in order_cols]))
+    prev = F.lag(F.col(value_col)).over(w)
+    cur = F.col(value_col)
+    if direction == "non_decreasing":
+        bad = cur <= prev if strict else cur < prev
+    else:
+        bad = cur >= prev if strict else cur > prev
+    bad = prev.isNotNull() & cur.isNotNull() & bad
+    v = violation_struct(
+        f"/{value_col}", Code.MONOTONIC,
+        f"{value_col!r} must be {direction}"
+        + (" (strict)" if strict else "")
+        + f" per {list(key_cols)} ordered by {list(order_cols)}",
+        cur)
+    keep = [F.col(c) for c in row_key_cols] or [
+        F.col(c) for c in (*key_cols, *order_cols)]
+    return (df.select(*keep, bad.alias("__bad"), v.alias("_v"))
+              .filter(F.col("__bad"))
+              .select(*keep, "_v.field_path", "_v.rule_id", "_v.message",
+                      "_v.actual"))
+
+
+def volume_anomalies(
+    df: DataFrame, group_expr: Column, group_name: str,
+    max_rel_dev: float = 0.5, min_count: Optional[int] = None,
+) -> DataFrame:
+    """Per-partition/group row-volume anomaly: groups whose row count
+    deviates from the MEAN group count by more than ``max_rel_dev``
+    (relative), or falls below the absolute ``min_count`` floor — the
+    "yesterday's shard is half-empty" detector, complementary to
+    distribution drift (same rows, different shape).
+
+    The count aggregate collapses the input to group-cardinality rows
+    (map-side combined) before the tiny mean/compare step; the mean ride
+    in on a broadcast of a single aggregate row.
+
+    Output: (group value as ``group_name``, cnt, field_path, rule_id,
+    message, actual).
+    """
+    counts = (df.groupBy(group_expr.alias(group_name))
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    mean = counts.agg(F.avg("cnt").alias("__mean"))
+    j = counts.crossJoin(F.broadcast(mean))
+    rel_bad = (F.abs(F.col("cnt") - F.col("__mean")) / F.col("__mean")
+               > F.lit(float(max_rel_dev)))
+    floor_bad = (F.col("cnt") < F.lit(int(min_count))
+                 if min_count is not None else F.lit(False))
+    v = violation_struct(
+        f"/{group_name}", Code.DRIFT,
+        f"group row count deviates from mean by more than {max_rel_dev}"
+        + (f" or falls below {min_count}" if min_count is not None else ""),
+        F.col("cnt"))
+    return (j.filter(rel_bad | floor_bad)
+             .select(F.col(group_name), "cnt", v.alias("_v"))
+             .select(group_name, "cnt", "_v.field_path", "_v.rule_id",
+                     "_v.message", "_v.actual"))
+
+
+def calendar_gap_violations(df: DataFrame, date_expr: Column,
+                            date_name: str) -> DataFrame:
+    """Calendar completeness: every date between the observed min and max
+    of ``date_expr`` must be present; each missing date is one
+    ``REQUIRED`` violation (the "a whole ingest day is absent" check —
+    the partition-level analog of the stats-delta REQUIRED column row).
+
+    Distinct-date collapse first (group-cardinality rows), then the
+    driver-free sequence explode runs on the single (min, max) row and
+    anti-joins the broadcast distinct-date set — no full-table second
+    pass.
+
+    Output: (missing date as ``date_name``, field_path, rule_id,
+    message, actual).
+    """
+    dates = df.select(date_expr.cast("date").alias(date_name)) \
+              .filter(F.col(date_name).isNotNull()).distinct()
+    bounds = dates.agg(F.min(date_name).alias("__lo"),
+                       F.max(date_name).alias("__hi"))
+    all_days = bounds.select(
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias(date_name))
+    missing = all_days.join(F.broadcast(dates), on=date_name,
+                            how="left_anti")
+    v = violation_struct(
+        f"/{date_name}", Code.REQUIRED,
+        "calendar date missing between observed min and max",
+        F.col(date_name))
+    return missing.select(F.col(date_name), v.alias("_v")).select(
+        date_name, "_v.field_path", "_v.rule_id", "_v.message", "_v.actual")

@@ -47,6 +47,8 @@ class Code:
     DRIFT = "DRIFT"
     DECODE = "DECODE"
     CONSISTENT = "CONSISTENT"
+    RECONCILE = "RECONCILE"
+    MONOTONIC = "MONOTONIC"
 
 
 #: DDL of one violation row / array element. Every rule in the engine emits

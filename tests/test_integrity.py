@@ -1,0 +1,136 @@
+"""Cross-row / cross-table integrity checks (dataset/integrity.py):
+reconciliation, monotonicity, volume anomalies, calendar completeness."""
+
+from pyspark.sql import functions as F
+
+from protovalidate_spark.dataset import (
+    calendar_gap_violations, monotonic_violations,
+    reconciliation_violations, volume_anomalies,
+)
+
+
+def _fact(spark):
+    # order 1: sums to 100 (exact), order 2: sums to 90 (10% off 100),
+    # order 3: no dim row needed here; order 4 has no fact rows
+    return spark.createDataFrame(
+        [(1, 60.0), (1, 40.0), (2, 90.0), (3, 55.0)], "k int, amt double")
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [(1, 100.0), (2, 100.0), (3, 50.0), (4, 77.0)],
+        "dk int, total double")
+
+
+def test_reconciliation_exact_and_tolerance(spark):
+    fact, dim = _fact(spark), _dim(spark)
+    v = reconciliation_violations(
+        fact, dim, "k", "dk", F.sum("amt"), "total")
+    got = {(r["dk"], r["rule_id"]) for r in v.collect()}
+    # exact: 2 (90 vs 100) and 3 (55 vs 50) mismatch; 4 has no fact rows
+    assert got == {(2, "RECONCILE"), (3, "RECONCILE"), (4, "REQUIRED")}
+
+    v = reconciliation_violations(
+        fact, dim, "k", "dk", F.sum("amt"), "total", rel_tol=0.11)
+    got = {(r["dk"], r["rule_id"]) for r in v.collect()}
+    # 10% off passes at rel_tol 0.11; 3 is 10% off too (55/50)
+    assert got == {(4, "REQUIRED")}
+
+    v = reconciliation_violations(
+        fact, dim, "k", "dk", F.sum("amt"), "total", abs_tol=6.0)
+    got = {(r["dk"], r["rule_id"]) for r in v.collect()}
+    # abs 6 admits 55-vs-50, not 90-vs-100
+    assert got == {(2, "RECONCILE"), (4, "REQUIRED")}
+
+
+def test_reconciliation_missing_fact_optional(spark):
+    v = reconciliation_violations(
+        _fact(spark), _dim(spark), "k", "dk", F.sum("amt"), "total",
+        rel_tol=0.11, report_missing_fact=False)
+    assert v.count() == 0
+
+
+def test_reconciliation_carries_expected_actual(spark):
+    v = reconciliation_violations(
+        _fact(spark), _dim(spark), "k", "dk", F.sum("amt"), "total")
+    row = {r["dk"]: r for r in v.collect()}
+    assert row[2]["expected"] == 100.0 and row[2]["actual_agg"] == 90.0
+    assert row[4]["actual_agg"] is None
+    assert row[2]["field_path"] == "/total"
+
+
+def _seq(spark):
+    # key 1: 10, 20, 15 (one break), key 2: 5, 5 (flat),
+    # key 3: NULL in the middle never violates
+    return spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 20), (1, 3, 15),
+         (2, 1, 5), (2, 2, 5),
+         (3, 1, 7), (3, 2, None), (3, 3, 6)],
+        "k int, pos int, v int")
+
+
+def test_monotonic_non_decreasing(spark):
+    v = monotonic_violations(_seq(spark), ["k"], ["pos"], "v",
+                             row_key_cols=["k", "pos"])
+    got = {(r["k"], r["pos"], r["rule_id"]) for r in v.collect()}
+    assert got == {(1, 3, "MONOTONIC")}
+
+
+def test_monotonic_strict_flags_ties(spark):
+    v = monotonic_violations(_seq(spark), ["k"], ["pos"], "v", strict=True,
+                             row_key_cols=["k", "pos"])
+    got = {(r["k"], r["pos"]) for r in v.collect()}
+    assert got == {(1, 3), (2, 2)}
+
+
+def test_monotonic_non_increasing(spark):
+    v = monotonic_violations(_seq(spark), ["k"], ["pos"], "v",
+                             direction="non_increasing",
+                             row_key_cols=["k", "pos"])
+    got = {(r["k"], r["pos"]) for r in v.collect()}
+    # 10→20 breaks descending order
+    assert got == {(1, 2)}
+
+
+def test_monotonic_null_predecessor_skipped(spark):
+    # key 3: 7 → NULL → 6: the NULL row never violates, and 6 compares
+    # against the lag (NULL), not against 7 — also no violation
+    v = monotonic_violations(_seq(spark), ["k"], ["pos"], "v",
+                             row_key_cols=["k", "pos"])
+    assert not [r for r in v.collect() if r["k"] == 3]
+
+
+def test_volume_anomalies(spark):
+    rows = [(d, i) for d in ("a", "b", "c") for i in range(100)]
+    rows += [("d", i) for i in range(10)]  # d has 10 rows, mean 77.5
+    df = spark.createDataFrame(rows, "g string, i int")
+    v = volume_anomalies(df, F.col("g"), "grp", max_rel_dev=0.5)
+    got = {(r["grp"], r["cnt"], r["rule_id"]) for r in v.collect()}
+    assert got == {("d", 10, "DRIFT")}
+
+
+def test_volume_min_count_floor(spark):
+    rows = [("a", 1)] * 50 + [("b", 1)] * 40
+    df = spark.createDataFrame(rows, "g string, i int")
+    # mean 45, both within 50% — only the absolute floor fires
+    v = volume_anomalies(df, F.col("g"), "grp", max_rel_dev=0.5,
+                         min_count=45)
+    got = {(r["grp"], r["cnt"]) for r in v.collect()}
+    assert got == {("b", 40)}
+
+
+def test_calendar_gaps(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01",), ("2024-01-02",), ("2024-01-05",), (None,)],
+        "d string").select(F.col("d").cast("date").alias("d"))
+    v = calendar_gap_violations(df, F.col("d"), "day")
+    got = {(str(r["day"]), r["rule_id"], r["actual"]) for r in v.collect()}
+    assert got == {("2024-01-03", "REQUIRED", "2024-01-03"),
+                   ("2024-01-04", "REQUIRED", "2024-01-04")}
+
+
+def test_calendar_no_gaps(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01",), ("2024-01-02",)], "d string") \
+        .select(F.col("d").cast("date").alias("d"))
+    assert calendar_gap_violations(df, F.col("d"), "day").count() == 0

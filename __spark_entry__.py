@@ -264,6 +264,35 @@ def q_calendar_gaps_orders(spark, sf_dir):
                 "rule_id")
 
 
+def q_vector_rules_embeddings(spark, sf_dir):
+    """First-class vector rules (rules/vector.py): dim / finite /
+    L2-norm bounds as JVM higher-order expressions, zero UDF. The
+    fixture's embeddings are clean unit vectors, so three corruption
+    classes are planted deterministically in BOTH engines (the
+    psi_by_group pattern): 65th element appended (TYPE), ×3 scale
+    (MAX on norm), NaN in slot 0 (RANGE; the NaN norm also fails MAX —
+    both engines order NaN above all doubles). The norm is a
+    sequential double fold, bit-identical across engines."""
+    from protovalidate_spark import Object, Vector
+    em = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    corrupted = (
+        F.when(F.col("vec_id") % 7 == 0,
+               F.concat(e.cast("array<double>"), F.array(F.lit(0.5))))
+         .when(F.col("vec_id") % 11 == 3,
+               F.transform(e, lambda x: x.cast("double") * F.lit(3.0)))
+         .when(F.col("vec_id") % 13 == 5,
+               F.concat(F.array(F.lit(float("nan"))),
+                        F.slice(e.cast("array<double>"), 2, 63)))
+         .otherwise(e.cast("array<double>")))
+    em = em.withColumn("embedding", corrupted)
+    rs = Object().with_unknown().with_key(
+        "embedding",
+        Vector().dim(64).finite().norm_min(0.9).norm_max(1.5))
+    v = rs.violations(em, row_key_cols=["vec_id"])
+    return v.select("vec_id", "field_path", "rule_id")
+
+
 def q_stats_drift_lineitem(spark, sf_dir):
     """Stats-delta drift gates: baseline = even-orderkey half, current =
     odd half with three engineered regressions (l_extendedprice nulls
@@ -1554,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monotonic_lineitem": q_monotonic_lineitem,
         "volume_anomaly_events": q_volume_anomaly_events,
         "calendar_gaps_orders": q_calendar_gaps_orders,
+        "vector_rules_embeddings": q_vector_rules_embeddings,
         "collection_lineitem": q_collection_lineitem,
         "conditional_orders": q_conditional_orders,
         "cross_column_lineitem": q_cross_column_lineitem,
@@ -1839,6 +1869,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(d AS VARCHAR) AS order_date,
                    'REQUIRED' AS rule_id
               FROM alldays WHERE d NOT IN (SELECT d FROM dd)
+        """,
+        "vector_rules_embeddings": """
+            WITH c AS (SELECT vec_id,
+                          CASE WHEN vec_id % 7 = 0
+                                 THEN list_append(embedding, 0.5)
+                               WHEN vec_id % 11 = 3
+                                 THEN list_transform(embedding,
+                                          x -> x::DOUBLE * 3.0)
+                               WHEN vec_id % 13 = 5
+                                 THEN list_prepend('NaN'::DOUBLE,
+                                          embedding[2:])
+                               ELSE embedding END AS e
+                         FROM embeddings),
+                 n AS (SELECT vec_id, len(e) AS d,
+                              sqrt(list_aggregate(list_transform(e,
+                                  x -> x::DOUBLE * x::DOUBLE), 'sum'))
+                                  AS nrm,
+                              len(list_filter(e, x -> x IS NULL
+                                  OR isnan(x::DOUBLE)
+                                  OR isinf(x::DOUBLE))) > 0 AS badfin
+                         FROM c)
+            SELECT vec_id, '/embedding' AS field_path, 'TYPE' AS rule_id
+              FROM n WHERE d <> 64
+            UNION ALL
+            SELECT vec_id, '/embedding', 'RANGE' FROM n WHERE badfin
+            UNION ALL
+            SELECT vec_id, '/embedding', 'MIN' FROM n
+             WHERE NOT (nrm >= 0.9)
+            UNION ALL
+            SELECT vec_id, '/embedding', 'MAX' FROM n
+             WHERE NOT (nrm <= 1.5)
         """,
         "psi_by_group_lineitem": """
             WITH d AS (SELECT (l_orderkey % 4)::VARCHAR grp,

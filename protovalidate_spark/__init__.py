@@ -15,7 +15,7 @@ from .rules import (  # noqa: F401
     IP, URI, Any, Binary, Bool, Constant, Domain, Duration, Email,
     Float32, Float64, Int, Int8, Int16, Int32, Int64, Interface, Map,
     MapOfStrings, Object, ObjectRule, Query, Slice, String, Time, Uint8,
-    Uint16, Uint32, Uint64,
+    Uint16, Uint32, Uint64, Vector,
 )
 
 __version__ = "0.1.0"

@@ -10,6 +10,7 @@ from .boolean import Bool, BoolRuleSet  # noqa: F401
 from .temporal import Duration, DurationRuleSet, Time, TimeRuleSet  # noqa: F401
 from .binary import Binary, BinaryRuleSet  # noqa: F401
 from .array_ import ArrayRuleSet, Slice  # noqa: F401
+from .vector import Vector, VectorRuleSet, l2_norm  # noqa: F401
 from .map_ import Map, MapOfStrings, MapRuleSet  # noqa: F401
 from .misc import Any, AnyRuleSet, Constant, ConstantRuleSet, Interface  # noqa: F401
 from .net import (  # noqa: F401

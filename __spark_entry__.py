@@ -561,6 +561,51 @@ def q_standardize_audio_clips(spark, sf_dir):
         F.round(F.col("_dec")["rms"], 4).alias("rms4"))
 
 
+def q_trim_audio_clips(spark, sf_dir):
+    """Leading/trailing silence trim (audio/repair.py
+    with_trimmed_audio): dead air cut under a -40 dBFS frame gate with
+    50 ms context pad, re-encoded and decoded back through the
+    unmodified pipeline; an all-silent clip trims to 0 samples. Also
+    exercises RMS-target loudness normalization (normalize_pcm
+    target_rms_dbfs) on the trimmed bytes. Non-SQL (decode+encode);
+    deterministic, so the oracle is a committed snapshot."""
+    import numpy as np
+
+    from protovalidate_spark.audio import (with_decoded,
+                                           with_normalized_audio,
+                                           with_trimmed_audio)
+    from protovalidate_spark.audio.wav import synth_wav
+    rows = []
+    for fmt, sr in (("pcm16", 16000), ("float32", 8000)):
+        tone = 0.4 * np.sin(2 * np.pi * 330.0 * np.arange(sr // 2) / sr)
+        pad_front = np.concatenate([np.zeros(sr // 4), tone])
+        pad_both = np.concatenate([np.zeros(sr // 5), tone,
+                                   np.zeros(2 * sr // 5)])
+        for label, x in (("tight", tone), ("front", pad_front),
+                         ("both", pad_both),
+                         ("silent", np.zeros(sr // 2))):
+            rows.append((f"{fmt}_{label}", synth_wav(x, sr, fmt=fmt)))
+    rows += [("bad_garbage", b"not audio"), ("bad_null", None)]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    tr = with_trimmed_audio(df)
+    norm = with_normalized_audio(
+        tr.select("clip_id", F.col("_trim")["ok"].alias("trim_ok"),
+                  F.round(F.col("_trim")["lead_ms"], 1).alias("lead_ms"),
+                  F.round(F.col("_trim")["tail_ms"], 1).alias("tail_ms"),
+                  F.col("_trim")["out_dur_ms"].alias("out_dur_ms"),
+                  F.col("_trim")["bytes"].alias("bytes")),
+        target_rms_dbfs=-20.0)
+    dec = with_decoded(
+        norm.select("clip_id", "trim_ok", "lead_ms", "tail_ms",
+                    "out_dur_ms",
+                    F.col("_norm")["bytes"].alias("bytes")),
+        out_col="_dec")
+    return dec.select(
+        "clip_id", "trim_ok", "lead_ms", "tail_ms", "out_dur_ms",
+        F.col("_dec")["dur_ms"].alias("dec_dur_ms"),
+        F.round(F.col("_dec")["rms"], 4).alias("rms4"))
+
+
 def q_curate_clips(spark, sf_dir):
     """Audio curation end-to-end (pipeline/curate.py curate_clips):
     decode/quality gates -> spectral content dedup (keep-smallest-id) ->
@@ -1627,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_clips": q_curate_clips,
         "repair_audio_clips": q_repair_audio_clips,
         "standardize_audio_clips": q_standardize_audio_clips,
+        "trim_audio_clips": q_trim_audio_clips,
         "split_documents": q_split_documents,
         "stratified_sample_clips": q_stratified_sample_clips,
         "chi2_js_returnflag": q_chi2_js_returnflag,
@@ -2764,6 +2810,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT clip_id, std_ok, src_sr, out_sr, out_dur_ms, rms4
               FROM read_parquet(
                 '{EXPECTED_DIR}/standardize_audio_clips.parquet')
+        """,
+        "trim_audio_clips": f"""
+            SELECT clip_id, trim_ok, lead_ms, tail_ms, out_dur_ms,
+                   dec_dur_ms, rms4
+              FROM read_parquet('{EXPECTED_DIR}/trim_audio_clips.parquet')
         """,
         "audio_dup_clips": f"""
             SELECT id, group_id, group_size

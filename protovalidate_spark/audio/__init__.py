@@ -51,6 +51,8 @@ from .features import (  # noqa: F401
 from .repair import (  # noqa: F401
     normalize_pcm,
     resample_linear,
+    trim_silence_pcm,
     with_normalized_audio,
     with_standardized_audio,
+    with_trimmed_audio,
 )

@@ -29,6 +29,7 @@ EXPECTED = ["minhash_neardup_documents", "simhash_documents",
             "clips_format_family", "clips_audio_features",
             "audio_level_clips", "audio_snr_clips", "curate_clips",
             "repair_audio_clips", "standardize_audio_clips",
+            "trim_audio_clips",
             "audio_dup_clips", "audio_embed_neardup_clips",
             "audio_segments_clips", "transcript_conflict_content_clips"]
 

@@ -379,3 +379,72 @@ def test_with_standardized_audio(spark):
     # undecodable: NULL standardized bytes, which the decoder reports
     # as a failed decode (ok=false, zeroed fields)
     assert not r["bad"]["std_ok"] and not r["bad"]["ok"]
+
+
+def test_trim_silence_kernel():
+    from protovalidate_spark.audio.repair import trim_silence_pcm
+    sr = 8000
+    tone = 0.5 * np.sin(2 * np.pi * 300.0 * np.arange(sr // 2) / sr)
+    x = np.concatenate([np.zeros(sr // 4), tone, np.zeros(sr // 2)])
+    y, lead, tail = trim_silence_pcm(x, sr, pad_ms=0)
+    # 250 ms leading and 500 ms trailing silence removed (frame-quantized)
+    assert abs(lead - 250.0) <= 10.0 and abs(tail - 500.0) <= 10.0
+    assert abs(y.size - tone.size) <= 2 * sr // 100
+    # pad keeps context on both sides
+    y2, lead2, tail2 = trim_silence_pcm(x, sr, pad_ms=50)
+    assert y2.size - y.size >= int(0.09 * sr)
+    assert lead2 < lead and tail2 < tail
+    # all-silent trims to nothing, reporting the full duration as lead
+    z, lz, tz = trim_silence_pcm(np.zeros(sr), sr)
+    assert z.size == 0 and abs(lz - 1000.0) < 1e-9 and tz == 0.0
+    # interior silence untouched
+    gap = np.concatenate([tone, np.zeros(sr // 4), tone])
+    g, _, _ = trim_silence_pcm(gap, sr, pad_ms=0)
+    assert g.size >= gap.size - 2 * sr // 100
+
+
+def test_normalize_pcm_rms_mode():
+    from protovalidate_spark.audio.repair import normalize_pcm
+    t = np.arange(8000) / 8000.0
+    x = 0.05 * np.sin(2 * np.pi * 300.0 * t)
+    fixed, gain_db, _ = normalize_pcm(x, target_rms_dbfs=-20.0)
+    rms = float(np.sqrt(np.mean(fixed ** 2)))
+    assert abs(20 * np.log10(rms) - (-20.0)) < 0.01
+    # peak ceiling: a sine asked to hit -3 dBFS RMS would clip;
+    # the peak cap wins instead
+    loud, _, _ = normalize_pcm(x, target_peak=0.95, target_rms_dbfs=-3.0)
+    assert abs(np.abs(loud).max() - 0.95) < 1e-9
+
+
+def test_with_trimmed_audio(spark):
+    from protovalidate_spark.audio import with_decoded, with_trimmed_audio
+    from protovalidate_spark.audio.wav import synth_wav
+    sr = 8000
+    tone = 0.5 * np.sin(2 * np.pi * 300.0 * np.arange(sr // 2) / sr)
+    padded = np.concatenate([np.zeros(sr // 4), tone, np.zeros(sr // 2)])
+    rows = [("padded", synth_wav(padded, sr)),
+            ("tight", synth_wav(tone, sr)),
+            ("silent", synth_wav(np.zeros(sr), sr)),
+            ("bad", b"nope")]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    tr = with_trimmed_audio(df, pad_ms=0)
+    dec = with_decoded(
+        tr.select("clip_id",
+                  F.col("_trim")["ok"].alias("trim_ok"),
+                  F.col("_trim")["lead_ms"].alias("lead_ms"),
+                  F.col("_trim")["out_dur_ms"].alias("out_dur_ms"),
+                  F.col("_trim")["bytes"].alias("bytes")),
+        out_col="_dec")
+    r = {x["clip_id"]: x for x in
+         dec.select("clip_id", "trim_ok", "lead_ms", "out_dur_ms",
+                    "_dec.*").collect()}
+    assert r["padded"]["trim_ok"] and abs(r["padded"]["lead_ms"] - 250) <= 10
+    assert abs(r["padded"]["out_dur_ms"] - 500) <= 20
+    # trimmed bytes decode through the unmodified pipeline
+    assert r["padded"]["ok"] and r["padded"]["sr"] == sr
+    assert abs(r["padded"]["dur_ms"] - r["padded"]["out_dur_ms"]) <= 1
+    # already-tight input loses (almost) nothing
+    assert r["tight"]["out_dur_ms"] >= 490
+    # all-silent trims to a 0-sample WAV
+    assert r["silent"]["trim_ok"] and r["silent"]["out_dur_ms"] == 0
+    assert not r["bad"]["trim_ok"]

@@ -36,7 +36,7 @@ def curate_documents(
     df: DataFrame, id_col: str, text_col: str,
     min_tokens: int = 10, max_punct_ratio: float = 0.30,
     near_dup: bool = False, jaccard_threshold: float = 0.85,
-    shingle_n: int = 3,
+    shingle_n: int = 3, keeper_score=None,
 ) -> Tuple[DataFrame, DataFrame]:
     """(kept, dropped) — dropped carries one violation row per reason:
 
@@ -48,9 +48,23 @@ def curate_documents(
 
     A document appears in ``kept`` iff it produced NO violation. Quality
     gates are evaluated first; only quality-passing docs participate in
-    dedup (a dropped doc cannot crowd out its duplicates)."""
+    dedup (a dropped doc cannot crowd out its duplicates).
+
+    ``keeper_score``: optional numeric Column expression (evaluated over
+    ``df``'s columns) switching the keep policy from smallest-id to
+    BEST-QUALITY — within each duplicate group (exact fingerprint group
+    and near-dup component alike) the highest-scoring copy survives,
+    ties broken by smallest id, so the policy stays deterministic and
+    idempotent. A longer copy of a near-dup pair, or the copy with
+    richer metadata, is usually the one worth keeping."""
     tid = F.col(id_col)
     txt = F.col(text_col)
+
+    def _best(score_col, ident):
+        # argmax(score) with smallest-id tie-break via lexicographic
+        # struct MIN over (-score, id) — one expression, no window
+        return F.min(F.struct((-score_col).alias("s"),
+                              ident.alias("i")))["i"]
 
     n_tok = token_count(txt)
     p_ratio = punct_ratio(txt)
@@ -69,9 +83,16 @@ def curate_documents(
     # fingerprint group (deterministic); duplicate groups are tiny vs
     # the corpus ⇒ broadcast the keeper map back
     fp = F.md5(normalize_text(txt))
-    with_fp = clean.select(tid.alias("__id"), fp.alias("__fp"))
+    score = (F.coalesce(keeper_score.cast("double"),
+                        F.lit(float("-inf")))
+             if keeper_score is not None else None)
+    with_fp = clean.select(
+        tid.alias("__id"), fp.alias("__fp"),
+        *([score.alias("__score")] if score is not None else []))
     keepers = (with_fp.groupBy("__fp")
-               .agg(F.min("__id").alias("__keep"),
+               .agg((F.min("__id") if score is None
+                     else _best(F.col("__score"), F.col("__id")))
+                    .alias("__keep"),
                     F.count(F.lit(1)).alias("__n"))
                .filter(F.col("__n") > 1))
     exact_v = (with_fp.join(F.broadcast(keepers), "__fp")
@@ -97,6 +118,20 @@ def curate_documents(
         # keeper — round-2 ADVICE/VERDICT.) The representative always
         # survives: components only contain quality+exact survivors.
         comp = connected_components(pairs)
+        if score is not None:
+            # re-elect each component's representative by quality: the
+            # min-label rep is only a cluster LABEL; the keeper is the
+            # best-scoring member (smallest-id tie-break). Components
+            # are tiny vs the corpus ⇒ broadcast the rep map.
+            # comp (dup-cluster members) is the tiny side — broadcast IT
+            # and probe the corpus-sized score frame map-side
+            members = with_fp.select("__id", "__score").join(
+                F.broadcast(comp), "__id")
+            best = (members.groupBy("__rep")
+                    .agg(_best(F.col("__score"), F.col("__id"))
+                         .alias("__keep2")))
+            comp = (comp.join(F.broadcast(best), "__rep")
+                    .select("__id", F.col("__keep2").alias("__rep")))
         near_v = (comp.filter(F.col("__id") != F.col("__rep"))
                   .select(*_viol(id_col, F.col("__id"), f"/{text_col}",
                                  "DUPLICATE",

@@ -848,3 +848,52 @@ def test_curate_clips(spark):
     _, raw = curate_clips(df, materialize=False)
     pre = raw._jdf.queryExecution().executedPlan().toString()
     assert pre.count("ArrowEvalPython") == 3
+
+
+def test_curate_quality_keeper_exact(spark):
+    """keeper_score switches exact dedup from smallest-id to
+    best-quality (ties → smallest id); NULL scores always lose."""
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = [("a1", base, 1.0), ("a2", base, 9.0),   # a2 outranks a1
+            ("b1", base + " x", 5.0), ("b2", base + " x", 5.0),  # tie
+            ("c1", " ".join(f"z{i}" for i in range(40)), None)]
+    df = spark.createDataFrame(docs, "doc_id string, text string, q double")
+    from protovalidate_spark.pipeline import curate_documents
+    kept, dropped = curate_documents(
+        df, "doc_id", "text", min_tokens=10, keeper_score=F.col("q"))
+    assert {r["doc_id"] for r in kept.collect()} == {"a2", "b1", "c1"}
+    got = {(r["doc_id"], r["actual"]) for r in dropped.collect()}
+    assert got == {("a1", "a2"), ("b2", "b1")}
+
+
+def test_curate_quality_keeper_near_dup(spark):
+    """Best-quality representative per near-dup COMPONENT: the re-elected
+    keeper is kept, every other member drops pointing at it."""
+    base = [f"w{i}" for i in range(40)]
+    mid = ["x" if i == 10 else w for i, w in enumerate(base)]
+    docs = [("a", " ".join(base), 1.0), ("b", " ".join(mid), 8.0),
+            ("z", " ".join(f"q{i}" for i in range(30)), 2.0)]
+    df = spark.createDataFrame(docs, "doc_id string, text string, q double")
+    from protovalidate_spark.pipeline import curate_documents
+    kept, dropped = curate_documents(
+        df, "doc_id", "text", min_tokens=5, near_dup=True,
+        jaccard_threshold=0.8, keeper_score=F.col("q"))
+    assert {r["doc_id"] for r in kept.collect()} == {"b", "z"}
+    dup = {(r["doc_id"], r["actual"])
+           for r in dropped.filter(F.col("rule_id") == "DUPLICATE").collect()}
+    assert dup == {("a", "b")}
+
+
+def test_curate_quality_keeper_idempotent(spark):
+    base = " ".join(f"w{i}" for i in range(30))
+    docs = [("a1", base, 1.0), ("a2", base, 9.0),
+            ("c1", " ".join(f"z{i}" for i in range(40)), 3.0)]
+    df = spark.createDataFrame(docs, "doc_id string, text string, q double")
+    from protovalidate_spark.pipeline import curate_documents
+    kept, _ = curate_documents(df, "doc_id", "text", min_tokens=10,
+                               keeper_score=F.col("q"))
+    kept2, dropped2 = curate_documents(kept, "doc_id", "text",
+                                       min_tokens=10,
+                                       keeper_score=F.col("q"))
+    assert dropped2.count() == 0
+    assert kept2.count() == kept.count()

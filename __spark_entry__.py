@@ -264,6 +264,28 @@ def q_calendar_gaps_orders(spark, sf_dir):
                 "rule_id")
 
 
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-distribution drift (dataset/embedding.py): per-DIM
+    z-score vs a baseline snapshot (one stacked single-row agg, no
+    explode/shuffle; mean-cosine deliberately rejected — near-isotropic
+    means are noise). Baseline = even vec_ids; current = odd vec_ids
+    with dim 0 shifted +0.2 in BOTH engines. Natural half-vs-half dim
+    shifts z≲0.3 on this fixture; the planted shift lands z≈1.6 ⇒
+    exactly dim 0 plus the aggregate fraction row fire at z>1."""
+    from protovalidate_spark.dataset import (embedding_drift_violations,
+                                             embedding_snapshot)
+    em = _t(spark, sf_dir, "embeddings")
+    base = embedding_snapshot(em.filter(F.col("vec_id") % 2 == 0),
+                              "embedding", dim=64)
+    cur = em.filter(F.col("vec_id") % 2 == 1).withColumn(
+        "embedding",
+        F.concat(F.array(F.col("embedding")[0] + F.lit(0.2)),
+                 F.slice(F.col("embedding").cast("array<double>"), 2, 63)))
+    v = embedding_drift_violations(cur, "embedding", base,
+                                   z_threshold=1.0, max_drift_frac=0.01)
+    return v.select("field_path", "rule_id")
+
+
 def q_vector_rules_embeddings(spark, sf_dir):
     """First-class vector rules (rules/vector.py): dim / finite /
     L2-norm bounds as JVM higher-order expressions, zero UDF. The
@@ -1629,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_anomaly_events": q_volume_anomaly_events,
         "calendar_gaps_orders": q_calendar_gaps_orders,
         "vector_rules_embeddings": q_vector_rules_embeddings,
+        "embedding_drift": q_embedding_drift,
         "collection_lineitem": q_collection_lineitem,
         "conditional_orders": q_conditional_orders,
         "cross_column_lineitem": q_cross_column_lineitem,
@@ -1915,6 +1938,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(d AS VARCHAR) AS order_date,
                    'REQUIRED' AS rule_id
               FROM alldays WHERE d NOT IN (SELECT d FROM dd)
+        """,
+        "embedding_drift": """
+            WITH dims AS (SELECT i FROM range(0, 64) t(i)),
+                 base AS (SELECT i,
+                                 avg(embedding[i + 1]::DOUBLE) AS mb,
+                                 stddev(embedding[i + 1]::DOUBLE) AS sb
+                            FROM embeddings, dims
+                           WHERE vec_id % 2 = 0 GROUP BY i),
+                 cur AS (SELECT i,
+                                avg(CASE WHEN i = 0
+                                         THEN embedding[1]::DOUBLE + 0.2
+                                         ELSE embedding[i + 1]::DOUBLE
+                                    END) AS mc
+                           FROM embeddings, dims
+                          WHERE vec_id % 2 = 1 GROUP BY i),
+                 z AS (SELECT base.i,
+                              abs(mc - mb) / greatest(sb, 1e-9) AS z
+                         FROM base JOIN cur ON base.i = cur.i),
+                 hits AS (SELECT i FROM z WHERE z > 1.0)
+            SELECT '/embedding/' || i::VARCHAR AS field_path,
+                   'DRIFT' AS rule_id FROM hits
+            UNION ALL
+            SELECT '/embedding', 'DRIFT'
+             WHERE (SELECT count(*) FROM hits) / 64.0 > 0.01
         """,
         "vector_rules_embeddings": """
             WITH c AS (SELECT vec_id,

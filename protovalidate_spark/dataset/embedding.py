@@ -1,0 +1,93 @@
+"""Embedding-distribution drift (engine extension; SURVEY.md §2.9).
+
+Histogram drift (drift.py) watches scalar columns; an embedding column
+needs its own detector: the per-DIMENSION mean shift normalized by the
+baseline's per-dimension spread (a z-score per dimension), plus an
+aggregate "fraction of drifted dimensions" gate. Mean-COSINE between
+snapshots is deliberately NOT the metric — for near-isotropic embedding
+clouds the mean vector's norm is ~1/√n of a unit vector, so its
+direction is noise and the cosine swings wildly on healthy data (the
+sf0.01 fixture's two halves cosine at 0.10).
+
+Scale shape: ONE stacked single-row aggregation — per-dimension
+``avg``/``stddev``/``count`` built from array element access
+(``col[i]``), no explode, no shuffle beyond the final single-row
+reduce; whole-stage codegen keeps it JVM-side. The z-score compare runs
+driver-side on two dim-length vectors.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..errors import Code
+
+
+def embedding_dim(df: DataFrame, col: str) -> int:
+    """Dimensionality from the first non-null vector (one tiny job)."""
+    r = df.select(F.size(F.col(col)).alias("d")) \
+          .filter(F.col("d") > 0).limit(1).collect()
+    if not r:
+        raise ValueError(f"column {col!r} has no non-empty vectors")
+    return int(r[0]["d"])
+
+
+def embedding_snapshot(df: DataFrame, col: str,
+                       dim: Optional[int] = None) -> Dict:
+    """Baseline snapshot: per-dimension mean/std + row count, ONE
+    stacked aggregation. JSON-serializable. Rows whose vector is NULL
+    or shorter than ``dim`` contribute NULL elements, which avg/stddev
+    skip per-dimension (the vector-shape gates are Vector()'s job)."""
+    d = dim or embedding_dim(df, col)
+    c = F.col(col)
+    aggs = []
+    for i in range(d):
+        # F.get (not col[i]): a short vector yields NULL, which the
+        # per-dim avg/stddev skip — ANSI element access would throw
+        x = F.get(c, i).cast("double")
+        aggs += [F.avg(x).alias(f"m{i}"), F.stddev(x).alias(f"s{i}")]
+    aggs.append(F.count(c).alias("n"))
+    row = df.agg(*aggs).collect()[0]
+    return {"dim": d, "n": int(row["n"]),
+            "mean": [row[f"m{i}"] for i in range(d)],
+            "std": [row[f"s{i}"] for i in range(d)]}
+
+
+def embedding_drift_violations(
+    df: DataFrame, col: str, baseline: Dict,
+    z_threshold: float = 1.0, max_drift_frac: float = 0.1,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """One DRIFT violation per dimension whose mean moved more than
+    ``z_threshold`` baseline standard deviations
+    (|mean_cur − mean_base| / max(std_base, eps)), plus one aggregate
+    DRIFT row on the column itself when more than ``max_drift_frac`` of
+    dimensions drifted. Output: (field_path, rule_id, message, actual) —
+    ``actual`` carries the formatted z (or drifted fraction), rounded to
+    4 decimals.
+    """
+    d = baseline["dim"]
+    cur = embedding_snapshot(df, col, dim=d)
+    rows = []
+    drifted = 0
+    for i in range(d):
+        mb, sb, mc = baseline["mean"][i], baseline["std"][i], cur["mean"][i]
+        if mb is None or mc is None:
+            continue
+        z = abs(mc - mb) / max(sb if sb is not None else 0.0, eps)
+        if z > z_threshold:
+            drifted += 1
+            rows.append((f"/{col}/{i}", Code.DRIFT,
+                         f"dimension mean shifted more than {z_threshold} "
+                         f"baseline std", f"z={z:.4f}"))
+    frac = drifted / d if d else 0.0
+    if frac > max_drift_frac:
+        rows.append((f"/{col}", Code.DRIFT,
+                     f"more than {max_drift_frac:.0%} of dimensions "
+                     f"drifted", f"frac={frac:.4f}"))
+    return df.sparkSession.createDataFrame(
+        rows, "field_path string, rule_id string, message string, "
+              "actual string")

@@ -352,3 +352,47 @@ def test_suite_drift_group_col(spark):
     got = [r for r in res.violations.collect() if r["rule_id"] == "DRIFT"]
     assert len(got) == 1
     assert "[src=bad]" in got[0]["message"] and got[0]["id"] is None
+
+
+def test_embedding_snapshot_and_drift(spark):
+    from protovalidate_spark.dataset import (embedding_drift_violations,
+                                             embedding_snapshot)
+    import random
+    rnd = random.Random(7)
+    base_rows = [(i, [rnd.gauss(0.0, 0.1) for _ in range(4)])
+                 for i in range(300)]
+    df = spark.createDataFrame(base_rows, "id int, v array<double>")
+    snap = embedding_snapshot(df, "v")
+    assert snap["dim"] == 4 and snap["n"] == 300
+    assert all(abs(m) < 0.05 for m in snap["mean"])
+    assert all(0.05 < s < 0.2 for s in snap["std"])
+
+    # same distribution → no drift
+    same_rows = [(i, [rnd.gauss(0.0, 0.1) for _ in range(4)])
+                 for i in range(300)]
+    same = spark.createDataFrame(same_rows, "id int, v array<double>")
+    assert embedding_drift_violations(same, "v", snap).count() == 0
+
+    # dim 2 shifted by 5 baseline stds → dim row + aggregate row (1/4)
+    from pyspark.sql import functions as F
+    shifted = same.withColumn(
+        "v", F.concat(F.slice("v", 1, 2),
+                      F.array(F.col("v")[2] + F.lit(0.5)),
+                      F.slice("v", 4, 1)))
+    v = embedding_drift_violations(shifted, "v", snap,
+                                   z_threshold=1.0, max_drift_frac=0.2)
+    got = {(r["field_path"], r["rule_id"]) for r in v.collect()}
+    assert got == {("/v/2", "DRIFT"), ("/v", "DRIFT")}
+
+
+def test_embedding_drift_null_and_short_vectors(spark):
+    from protovalidate_spark.dataset import (embedding_drift_violations,
+                                             embedding_snapshot)
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.2, 2.2]), (3, None), (4, [0.8])],
+        "id int, v array<double>")
+    snap = embedding_snapshot(df, "v", dim=2)
+    # dim 1 stats skip the short vector's missing element and the NULL row
+    assert snap["mean"][1] is not None
+    v = embedding_drift_violations(df, "v", snap)
+    assert v.count() == 0  # a table never drifts from its own snapshot

@@ -73,6 +73,21 @@ class ValidationSuite:
     # e.g. {"id_col": "clip_id", "bytes_col": "bytes",
     # "transcript_col": "transcript", "key": "exact"}
     label_conflicts: Sequence[dict] = ()
+    # cross-row/cross-table integrity (dataset/integrity.py):
+    # monotonic: kwargs for monotonic_violations minus df/row_key_cols
+    monotonic: Sequence[dict] = ()
+    # reconciliations: kwargs for reconciliation_violations minus `fact`
+    # (the suite's df IS the fact side); violations ride with NULL row
+    # keys, the dim key appended to the message (same group-drift style)
+    reconciliations: Sequence[dict] = ()
+    # volume anomaly specs: {"group_col": str, "max_rel_dev": float,
+    # "min_count": Optional[int]}
+    volume_specs: Sequence[dict] = ()
+    # date columns whose calendar must be gap-free between min and max
+    calendar_cols: Sequence[str] = ()
+    # embedding drift specs: {"col": str, "baseline": dict, ...} — NOTE:
+    # eager (two tiny single-row agg jobs fire at plan-build time)
+    embedding_drift: Sequence[dict] = ()
 
     # ------------------------------------------------------------------
 
@@ -123,10 +138,46 @@ class ValidationSuite:
             from .audio.consistency import transcript_conflict_violations
             out.append(transcript_conflict_violations(
                 df, row_key_cols=keep, **spec))
+        null_keys = [F.lit(None).cast("string").alias(k) for k in self.row_keys]
+        part = ([F.lit(None).cast("date").alias(self.partition_col)]
+                if self.partition_col else [])
+
+        def _tag(v: DataFrame, label_col: Optional[str] = None,
+                 label_name: Optional[str] = None) -> DataFrame:
+            """Project a table-level check's rows into the suite shape:
+            NULL row keys; an identifying column rides in the message."""
+            msg = (F.concat(F.col("message"), F.lit(f" [{label_name}="),
+                            F.col(label_col).cast("string"), F.lit("]"))
+                   if label_col else F.col("message"))
+            return v.select(*null_keys, *part, "field_path", "rule_id",
+                            msg.alias("message"), "actual")
+
+        for spec in self.monotonic:
+            from .dataset.integrity import monotonic_violations
+            out.append(monotonic_violations(df, row_key_cols=keep, **spec))
+        for spec in self.reconciliations:
+            from .dataset.integrity import reconciliation_violations
+            rv = reconciliation_violations(df, **spec)
+            out.append(_tag(rv, spec["dim_key"], spec["dim_key"]))
+        for spec in self.volume_specs:
+            from .dataset.integrity import volume_anomalies
+            gc = spec["group_col"]
+            vv = volume_anomalies(
+                df, F.col(gc), gc,
+                max_rel_dev=spec.get("max_rel_dev", 0.5),
+                min_count=spec.get("min_count"))
+            out.append(_tag(vv, gc, gc))
+        for c in self.calendar_cols:
+            from .dataset.integrity import calendar_gap_violations
+            out.append(_tag(calendar_gap_violations(df, F.col(c), c)))
+        for spec in self.embedding_drift:
+            from .dataset.embedding import embedding_drift_violations
+            ev = embedding_drift_violations(
+                df, spec["col"], spec["baseline"],
+                z_threshold=spec.get("z_threshold", 1.0),
+                max_drift_frac=spec.get("max_drift_frac", 0.1))
+            out.append(_tag(ev))
         if self.drift_baseline:
-            null_keys = [F.lit(None).cast("string").alias(k) for k in self.row_keys]
-            part = ([F.lit(None).cast("date").alias(self.partition_col)]
-                    if self.partition_col else [])
             d = drift_violations(df, self.drift_baseline,
                                  self.psi_threshold, self.ks_threshold)
             out.append(d.select(*null_keys, *part,

@@ -134,3 +134,45 @@ def test_calendar_no_gaps(spark):
         [("2024-01-01",), ("2024-01-02",)], "d string") \
         .select(F.col("d").cast("date").alias("d"))
     assert calendar_gap_violations(df, F.col("d"), "day").count() == 0
+
+
+def test_suite_integration_integrity_checks(spark):
+    """ValidationSuite carries the integrity family: monotonic rows keep
+    their row keys; volume/calendar/reconciliation rows ride with NULL
+    keys and the identifying value in the message."""
+    from protovalidate_spark import Int64, Object
+    from protovalidate_spark.suite import ValidationSuite
+
+    df = spark.createDataFrame(
+        [("2024-01-01", 1, 1, 10), ("2024-01-01", 1, 2, 5),
+         ("2024-01-03", 2, 1, 7)] + [("2024-01-03", 3, 1, 1)] * 9,
+        "d string, k int, pos int, v int") \
+        .select(F.col("d").cast("date").alias("d"), "k", "pos", "v")
+    dim = spark.createDataFrame([(1, 15), (2, 7), (9, 1)],
+                                "dk int, total int")
+    suite = ValidationSuite(
+        rules=Object().with_unknown().with_key(
+            "v", Int64().with_required()),
+        row_keys=["k", "pos"],
+        monotonic=[{"key_cols": ["k"], "order_cols": ["pos"],
+                    "value_col": "v"}],
+        reconciliations=[{"dim": dim, "fact_key": "k", "dim_key": "dk",
+                          "fact_expr": F.sum("v"), "dim_col": "total"}],
+        volume_specs=[{"group_col": "d", "max_rel_dev": 0.5}],
+        calendar_cols=["d"])
+    res = suite.run(df)
+    rows = res.violations.collect()
+    by_rule = {}
+    for r in rows:
+        by_rule.setdefault(r["rule_id"], []).append(r)
+    # k=1: 10 -> 5 breaks monotonicity, keyed to the violating row
+    assert len(by_rule["MONOTONIC"]) == 1
+    assert by_rule["MONOTONIC"][0]["k"] == 1
+    # dim 9 has no fact rows (REQUIRED); dim 1 sums to 15 = exact match,
+    # dim 2 sums to 7 = exact match -> only the missing-fact row
+    assert any("[dk=9]" in r["message"] for r in by_rule["REQUIRED"])
+    # 2024-01-02 missing from the calendar
+    assert any(r["actual"] == "2024-01-02" for r in by_rule["REQUIRED"])
+    # day counts 2 / 10 vs mean 6 -> both days flagged DRIFT
+    drift_days = [r for r in by_rule["DRIFT"] if "[d=" in r["message"]]
+    assert len(drift_days) == 2

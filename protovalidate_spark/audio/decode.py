@@ -42,7 +42,8 @@ DECODED_DDL = "struct<ok:boolean,sr:int,n_samples:bigint,dur_ms:int,rms:double>"
 _LE32 = np.array([1, 1 << 8, 1 << 16, 1 << 24], dtype=np.int64)
 
 
-def _decode_series(bs: pd.Series, want_pcm: bool) -> pd.DataFrame:
+def _decode_series(bs: pd.Series, want_pcm: bool,
+                   downmix: bool = False) -> pd.DataFrame:
     """Batched WAV decode: ONE vectorized header parse for the whole
     Arrow batch (44-byte headers gathered into an (n, 44) uint8 matrix,
     field extraction as column arithmetic — no per-row struct.unpack or
@@ -116,8 +117,10 @@ def _decode_series(bs: pd.Series, want_pcm: bool) -> pd.DataFrame:
             pcm[i] = x
 
     # exact fallback for non-canonical-but-maybe-valid layouts
+    # (multi-channel input lands here too: the canonical fast path is
+    # channels==1, and the walker honors the downmix policy)
     for i in np.nonzero(has_hdr & ~canonical)[0]:
-        d = decode_bytes(bytes(bufs[i]), "wav", want_pcm)
+        d = decode_bytes(bytes(bufs[i]), "wav", want_pcm, downmix)
         ok[i] = d.ok
         sr_out[i], n_samp[i], dur[i], rms[i] = d.sr, d.n_samples, d.dur_ms, d.rms
         if want_pcm:
@@ -132,19 +135,24 @@ def _decode_series(bs: pd.Series, want_pcm: bool) -> pd.DataFrame:
     return out
 
 
-def _make_udf(include_pcm: bool):
+def _make_udf(include_pcm: bool, downmix: bool = False):
     rt = DECODED_PCM_TYPE if include_pcm else DECODED_TYPE
 
     def decode_wav_udf(bs: pd.Series) -> pd.DataFrame:
-        return _decode_series(bs, want_pcm=include_pcm)
+        return _decode_series(bs, want_pcm=include_pcm, downmix=downmix)
 
     return pandas_udf(decode_wav_udf, rt)
 
 
 def with_decoded(df: DataFrame, bytes_col: str = "bytes",
-                 out_col: str = "_decoded", include_pcm: bool = False) -> DataFrame:
-    """Append the decoded struct column (single Arrow-batched stage)."""
-    return df.withColumn(out_col, _make_udf(include_pcm)(F.col(bytes_col)))
+                 out_col: str = "_decoded", include_pcm: bool = False,
+                 downmix: bool = False) -> DataFrame:
+    """Append the decoded struct column (single Arrow-batched stage).
+    ``downmix=True`` additionally accepts multi-channel WAV via
+    per-frame channel-mean downmix (default: multi-channel is a DECODE
+    violation — the validation stance for a mono table)."""
+    return df.withColumn(out_col,
+                         _make_udf(include_pcm, downmix)(F.col(bytes_col)))
 
 
 # ---------------------------------------------------------------------------

@@ -131,24 +131,28 @@ def synth_sine_wav(freq_hz: float, sr: int, dur_ms: int, amp: float = 0.5,
 
 def synth_wav(x: "np.ndarray", sr: int, fmt: str = "pcm16",
               extensible: bool = False) -> bytes:
-    """Mono WAV from a float sample array in [-1, 1] — the general
-    synth entry (sine/segment/noise fixtures all route here), encoding
+    """WAV from a float sample array in [-1, 1] — the general synth
+    entry (sine/segment/noise fixtures all route here), encoding
     through the same ``_pack_samples`` paths the decoder is tested
-    against. Deterministic for a fixed array."""
-    fmt_code, bits, data = _pack_samples(np.asarray(x, dtype=np.float64), fmt)
-    bytes_per = bits // 8
+    against. Deterministic for a fixed array. A 1-D array is mono; a
+    2-D ``(frames, channels)`` array is interleaved multi-channel."""
+    x = np.asarray(x, dtype=np.float64)
+    ch = x.shape[1] if x.ndim == 2 else 1
+    fmt_code, bits, data = _pack_samples(x.reshape(-1), fmt)
+    bytes_per = (bits // 8) * ch
     if extensible:
         # 40-byte fmt body: base 16 + cbSize(2) + validBits(2) + mask(4)
         # + SubFormat GUID (effective code + fixed PCM-GUID tail)
         guid = struct.pack("<H", fmt_code) + bytes.fromhex(
             "000000001000800000aa00389b71")
-        body = struct.pack("<HHIIHH", FMT_EXTENSIBLE, 1, sr, sr * bytes_per,
-                           bytes_per, bits) + struct.pack(
+        body = struct.pack("<HHIIHH", FMT_EXTENSIBLE, ch, sr,
+                           sr * bytes_per, bytes_per, bits) + struct.pack(
             "<HHI", 22, bits, 0x4) + guid
         fmt_chunk = _FMT + struct.pack("<I", len(body)) + body
     else:
         fmt_chunk = _FMT + struct.pack(
-            "<IHHIIHH", 16, fmt_code, 1, sr, sr * bytes_per, bytes_per, bits)
+            "<IHHIIHH", 16, fmt_code, ch, sr, sr * bytes_per, bytes_per,
+            bits)
     hdr = (_RIFF + struct.pack("<I", 4 + len(fmt_chunk) + 8 + len(data))
            + _WAVE + fmt_chunk + _DATA + struct.pack("<I", len(data)))
     return hdr + data
@@ -181,10 +185,17 @@ def _samples_to_float(data: bytes, fmt_code: int, bits: int):
     return _g711_table(law)[np.frombuffer(data, dtype=np.uint8)]
 
 
-def decode_wav(b: Optional[bytes], want_pcm: bool = False) -> Decoded:
-    """Parse a mono RIFF WAV in any supported uncompressed format
+def decode_wav(b: Optional[bytes], want_pcm: bool = False,
+               downmix: bool = False) -> Decoded:
+    """Parse a RIFF WAV in any supported uncompressed format
     (PCM 8/16/24/32, IEEE float 32/64, G.711 A-law/mu-law, plus the
-    EXTENSIBLE wrapper); any malformation ⇒ ok=False."""
+    EXTENSIBLE wrapper); any malformation ⇒ ok=False.
+
+    Channel policy: mono decodes everywhere; multi-channel input is
+    INVALID by default (a validation engine should flag a stereo clip
+    in a mono table, not paper over it) and decodes only when
+    ``downmix=True`` — de-interleave + per-frame channel mean, with
+    n_samples/dur_ms counted in FRAMES."""
     bad = Decoded(False, 0, 0, 0, 0.0, None)
     if b is None or len(b) < 44:
         return bad
@@ -211,8 +222,21 @@ def decode_wav(b: Optional[bytes], want_pcm: bool = False) -> Decoded:
             pos += 8 + size + (size & 1)
     except struct.error:
         return bad
-    if sr <= 0 or channels != 1 or data is None:
+    if sr <= 0 or channels < 1 or data is None:
         return bad
+    if channels != 1:
+        if not downmix:
+            return bad
+        x = _samples_to_float(data, fmt_code, bits)
+        if x is None or x.size % channels:
+            return bad
+        frames = x.size // channels
+        x = x.reshape(frames, channels).mean(axis=1).astype(np.float32) \
+            if frames else np.array([], dtype=np.float32)
+        rms = float(np.sqrt(np.dot(x, x) / frames)) if frames else 0.0
+        return Decoded(True, int(sr), frames,
+                       int(round(frames * 1000.0 / sr)), rms,
+                       x if want_pcm else None)
     if fmt_code == FMT_PCM and bits == 16:
         if len(data) % 2:
             return bad
@@ -277,14 +301,15 @@ def _decode_soundfile(sf, b: bytes, want_pcm: bool) -> Decoded:
                    x if want_pcm else None)
 
 
-def decode_bytes(b: Optional[bytes], codec: str = "wav", want_pcm: bool = False) -> Decoded:
+def decode_bytes(b: Optional[bytes], codec: str = "wav",
+                 want_pcm: bool = False, downmix: bool = False) -> Decoded:
     """Codec dispatch. WAV decodes in-process; compressed codecs
     (flac/opus/mp3) dispatch to ``soundfile`` WHEN IMPORTABLE — inside
     the same Arrow batch UDF, same Decoded shape — and otherwise remain
     a clearly-marked stub (this container has no codec libs; the
     Spark-side plumbing is codec-agnostic and fully tested on WAV)."""
     if codec in ("wav", "", None):
-        return decode_wav(b, want_pcm)
+        return decode_wav(b, want_pcm, downmix)
     if codec in ("flac", "opus", "mp3"):
         sf = _soundfile()
         if sf is not None:

@@ -421,3 +421,55 @@ def test_audio_dup_groups(spark):
     assert plan.count("ArrowEvalPython") == 1  # ONE decode+FFT stage
     assert "Join" not in plan  # window grouping, no self-join re-decode
     assert plan.count("Exchange") == 1  # one shuffle on the 16-byte key
+
+
+def test_multichannel_wav_policy():
+    """Multi-channel WAV: invalid by default (validation stance for a
+    mono table), decodable via per-frame channel-mean downmix."""
+    import numpy as np
+    from protovalidate_spark.audio.wav import decode_wav, snr_db, synth_wav
+    sr = 8000
+    t = np.arange(sr // 2) / sr
+    left = 0.5 * np.sin(2 * np.pi * 300.0 * t)
+    right = 0.3 * np.sin(2 * np.pi * 300.0 * t)
+    stereo = synth_wav(np.stack([left, right], axis=1), sr)
+    # default: stereo is a failed decode
+    assert not decode_wav(stereo).ok
+    # downmix: frames counted once, PCM = channel mean
+    d = decode_wav(stereo, want_pcm=True, downmix=True)
+    assert d.ok and d.sr == sr and d.n_samples == left.size
+    assert abs(d.dur_ms - 500) <= 1
+    assert snr_db((left + right) / 2.0, d.pcm) >= 30.0
+    # mono behavior unchanged through the same synth entry
+    mono = synth_wav(left, sr)
+    m = decode_wav(mono, want_pcm=True)
+    assert m.ok and m.n_samples == left.size
+    # 4-channel float32 via the generic path
+    quad = synth_wav(np.stack([left, right, left, right], axis=1), sr,
+                     fmt="float32")
+    q = decode_wav(quad, want_pcm=True, downmix=True)
+    assert q.ok and q.n_samples == left.size
+    assert snr_db((left + right) / 2.0, q.pcm) >= 30.0
+
+
+def test_multichannel_batch_stage(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from protovalidate_spark.audio import with_decoded
+    from protovalidate_spark.audio.wav import synth_wav
+    sr = 8000
+    t = np.arange(sr // 4) / sr
+    tone = 0.5 * np.sin(2 * np.pi * 300.0 * t)
+    rows = [("mono", synth_wav(tone, sr)),
+            ("stereo", synth_wav(np.stack([tone, tone], axis=1), sr)),
+            ("bad", b"nope")]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    strict = {r["clip_id"]: r for r in
+              with_decoded(df).select("clip_id", "_decoded.*").collect()}
+    assert strict["mono"]["ok"] and not strict["stereo"]["ok"]
+    mixed = {r["clip_id"]: r for r in
+             with_decoded(df, downmix=True)
+             .select("clip_id", "_decoded.*").collect()}
+    assert mixed["stereo"]["ok"] and mixed["stereo"]["sr"] == sr
+    assert abs(mixed["stereo"]["dur_ms"] - 250) <= 1
+    assert not mixed["bad"]["ok"]

@@ -237,3 +237,71 @@ def test_quantize_embeddings_invariants(spark, vecs):
         assert max(abs(c) for c in q) == 127
         for x, c in zip(emb, q):
             assert abs(x - c * s) <= s / 2 * (1 + 1e-9) + 1e-12
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    sig=st.lists(st.floats(min_value=-1.0, max_value=1.0, width=32,
+                           allow_nan=False), min_size=0, max_size=400),
+    lead=st.integers(min_value=0, max_value=300),
+    tail=st.integers(min_value=0, max_value=300),
+)
+def test_trim_silence_properties(sig, lead, tail):
+    """Kernel invariants for arbitrary signals: (1) trim removes only
+    edges — the kept span is a contiguous slice; (2) every above-
+    threshold frame survives (pad 0); (3) re-trimming a trimmed signal
+    at the same settings removes at most one frame of slop
+    (idempotence up to frame quantization)."""
+    import numpy as np
+    from protovalidate_spark.audio.repair import trim_silence_pcm
+    sr, frame_ms = 1000, 10  # 10-sample frames
+    x = np.concatenate([np.zeros(lead), np.asarray(sig, dtype=np.float64),
+                        np.zeros(tail)])
+    y, lead_ms, tail_ms = trim_silence_pcm(x, sr, threshold_dbfs=-40.0,
+                                           pad_ms=0, frame_ms=frame_ms)
+    lo = int(round(lead_ms * sr / 1000.0))
+    assert np.array_equal(y, x[lo:lo + y.size])          # contiguous slice
+    cut = int(round((lead_ms + tail_ms) * sr / 1000.0))
+    assert cut + y.size == x.size                        # nothing invented
+    # every above-threshold frame is inside the kept span
+    flen = sr * frame_ms // 1000
+    thr = 10.0 ** (-40.0 / 20.0)
+    n_frames = (x.size + flen - 1) // flen
+    padded = np.zeros(n_frames * flen)
+    padded[:x.size] = x
+    rms = np.sqrt((padded.reshape(n_frames, flen) ** 2).mean(axis=1))
+    active = np.nonzero(rms > thr)[0]
+    if active.size:
+        assert lo <= active[0] * flen
+        assert lo + y.size >= (active[-1] + 1) * flen - (flen - 1)
+        # idempotence: a second trim removes at most one frame per edge
+        y2, l2, t2 = trim_silence_pcm(y, sr, threshold_dbfs=-40.0,
+                                      pad_ms=0, frame_ms=frame_ms)
+        assert l2 * sr / 1000.0 <= flen and t2 * sr / 1000.0 <= flen
+    else:
+        assert y.size == 0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    frames=st.integers(min_value=0, max_value=200),
+    channels=st.integers(min_value=1, max_value=6),
+    fmt=st.sampled_from(["pcm16", "float32", "float64"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_multichannel_downmix_roundtrip_property(frames, channels, fmt,
+                                                 seed):
+    """synth(frames×ch) → decode(downmix) must return the per-frame
+    channel mean at SNR≥30dB, with duration counted in frames, for any
+    channel count and supported sample format."""
+    import numpy as np
+    from protovalidate_spark.audio.wav import decode_wav, snr_db, synth_wav
+    rng = np.random.RandomState(seed)
+    x = (rng.rand(frames, channels) * 1.6 - 0.8)
+    b = synth_wav(x, 8000, fmt=fmt)
+    d = decode_wav(b, want_pcm=True, downmix=(channels > 1))
+    assert d.ok and d.n_samples == frames
+    if frames:
+        ref = x.mean(axis=1)
+        if float(np.abs(ref).max()) > 1e-3:  # SNR defined away from zero
+            assert snr_db(ref, d.pcm) >= 30.0

@@ -519,3 +519,79 @@ def stream_drift_violations(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def windowed_volume_counts(stream_df: DataFrame, ts_col: str,
+                           window: str = "10 minutes",
+                           watermark: str = "10 minutes") -> DataFrame:
+    """Per-window row counts (watermarked — bounded state, one count
+    per open window): the streaming stage of the volume-anomaly check
+    (dataset/integrity.py volume_anomalies is the batch analog)."""
+    return (stream_df.withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window).alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "cnt"))
+
+
+def window_volume_rows(batch_rows, expected_per_window: float,
+                       max_rel_dev: float = 0.5,
+                       min_count: Optional[int] = None) -> list:
+    """Driver-side verdict for CLOSED windows: one DRIFT tuple per
+    window whose count deviates from ``expected_per_window`` by more
+    than ``max_rel_dev`` (relative) or falls under the ``min_count``
+    floor. Unlike the batch check (mean over observed groups), a stream
+    needs the expected rate pinned UP FRONT — there is no full set of
+    sibling windows to average; derive it from a batch baseline
+    (rows/window at the same window size)."""
+    out = []
+    for r in sorted(batch_rows, key=lambda r: r["window_start"]):
+        cnt = int(r["cnt"])
+        rel_bad = (abs(cnt - expected_per_window)
+                   / max(expected_per_window, 1e-9)) > max_rel_dev
+        floor_bad = min_count is not None and cnt < min_count
+        if rel_bad or floor_bad:
+            out.append((r["window_start"], r["window_end"],
+                        "/__volume__", Code.DRIFT,
+                        f"window row count deviates from expected "
+                        f"{expected_per_window:g} by more than "
+                        f"{max_rel_dev}"
+                        + (f" or falls below {min_count}"
+                           if min_count is not None else ""),
+                        str(cnt)))
+    return out
+
+
+def stream_volume_violations(
+    stream_df: DataFrame, ts_col: str, out_path: str, checkpoint: str,
+    expected_per_window: float, window: str = "10 minutes",
+    watermark: str = "10 minutes", max_rel_dev: float = 0.5,
+    min_count: Optional[int] = None, trigger_available_now: bool = True,
+):
+    """End-to-end streaming volume monitor (the "ingest fell over at
+    2am" detector): watermarked window counts -> per-closed-window
+    verdict vs the pinned expected rate -> violation rows as Parquet,
+    same epoch-overwrite idempotent sink as the drift monitor. NOTE: a
+    window with ZERO rows produces no aggregate row at all - an
+    entirely-absent ingest interval must be caught by the batch
+    calendar/volume pass over the landed table; a stream can only flag
+    what arrives."""
+    counts = windowed_volume_counts(stream_df, ts_col, window, watermark)
+
+    def _sink(batch_df: DataFrame, epoch: int) -> None:
+        rows = window_volume_rows(batch_df.collect(), expected_per_window,
+                                  max_rel_dev, min_count)
+        if rows:
+            (batch_df.sparkSession.createDataFrame(
+                rows, _DRIFT_WINDOW_SCHEMA)
+             .withColumn("__epoch", F.lit(int(epoch)))
+             .coalesce(1).write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("__epoch").parquet(out_path))
+
+    w = (counts.writeStream.foreachBatch(_sink)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -432,3 +432,39 @@ def test_streaming_transcript_conflict_exact_null_label(spark, tmp_path):
     assert (r["clip_id"], r["first_id"], r["rule_id"]) \
         == ("a2", "a1", "CONSISTENT")
     assert r["actual"] is None
+
+
+def test_stream_volume_violations(spark, tmp_path):
+    """Windowed volume monitor vs a pinned expected rate: the starved
+    window and the flooded window flag DRIFT; the on-rate window
+    passes; the sentinel-open window never emits."""
+    from protovalidate_spark.streaming import stream_volume_violations
+
+    rows = []
+    for i in range(100):      # window 00:00 — on rate (100/expected 100)
+        rows.append((i, "2026-01-01 00:0%d:%02d" % (i % 10, i % 60)))
+    for i in range(30):       # window 01:00 — starved (30)
+        rows.append((1000 + i, "2026-01-01 01:0%d:%02d" % (i % 10, i % 60)))
+    for i in range(200):      # window 02:00 — flooded (200)
+        rows.append((2000 + i, "2026-01-01 02:0%d:%02d" % (i % 10, i % 60)))
+    rows.append((9999, "2026-01-01 09:00:00"))  # sentinel keeps 02 closed
+    df = spark.createDataFrame(rows, "id long, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_volume_violations(stream, "ts", out, ckpt,
+                                 expected_per_window=100.0,
+                                 window="10 minutes",
+                                 watermark="0 seconds",
+                                 max_rel_dev=0.5)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).collect()
+    flagged = {(r["window_start"].strftime("%H:%M"), r["actual"])
+               for r in got}
+    assert all(r["rule_id"] == "DRIFT"
+               and r["field_path"] == "/__volume__" for r in got)
+    assert flagged == {("01:00", "30"), ("02:00", "200")}

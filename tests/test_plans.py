@@ -138,3 +138,67 @@ def test_duplicate_spans_plan_shape(spark):
     assert plan.count("Generate") == 1
     assert plan.count("Exchange") == 2
     assert "Join" not in plan
+
+
+def test_reconciliation_partial_agg_and_small_join(spark, clips_path):
+    """Reconciliation shuffles the fact side ONCE with map-side partial
+    sums; the join runs on the collapsed (key, sum) aggregate, never on
+    raw fact rows."""
+    from pyspark.sql import functions as F
+    from protovalidate_spark.dataset import reconciliation_violations
+    fact = spark.range(1000).select(
+        (F.col("id") % 100).alias("k"), F.lit(1.0).alias("amt"))
+    dim = spark.range(100).select(F.col("id").alias("dk"),
+                                  F.lit(10.0).alias("total"))
+    plan = _plan(reconciliation_violations(
+        fact, dim, "k", "dk", F.sum("amt"), "total"))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_monotonic_is_single_key_shuffle(spark):
+    """Monotonicity = one hash partitioning on the key + in-partition
+    sort; no global sort, no second exchange."""
+    from protovalidate_spark.dataset import monotonic_violations
+    from pyspark.sql import functions as F
+    df = spark.range(1000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("pos"),
+        (F.col("id") * 7 % 13).alias("v"))
+    plan = _plan(monotonic_violations(df, ["k"], ["pos"], "v",
+                                      row_key_cols=["k", "pos"]))
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+
+
+def test_volume_calendar_collapse_before_compare(spark):
+    """Volume/calendar checks aggregate to group cardinality FIRST; the
+    mean/sequence side rides a broadcast, never a fact-side shuffle."""
+    from pyspark.sql import functions as F
+    from protovalidate_spark.dataset import (calendar_gap_violations,
+                                             volume_anomalies)
+    df = spark.range(1000).select(
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   (F.col("id") % 20).cast("int")).alias("d"))
+    vplan = _plan(volume_anomalies(df, F.col("d"), "d", 0.5))
+    assert vplan.count("HashAggregate") >= 2      # map-side partials
+    assert "BroadcastNestedLoopJoin" in vplan or "BroadcastExchange" in vplan
+    cplan = _plan(calendar_gap_violations(df, F.col("d"), "d"))
+    assert "BroadcastHashJoin" in cplan and "LeftAnti" in cplan
+
+
+def test_embedding_snapshot_is_single_row_agg(spark):
+    """The embedding moment pass is ONE stacked aggregation — no
+    explode (Generate) node anywhere in the plan."""
+    from pyspark.sql import functions as F
+    from protovalidate_spark.dataset.embedding import embedding_dim
+    df = spark.range(100).select(
+        F.array(F.rand(1), F.rand(2), F.rand(3)).alias("v"))
+    # reproduce the snapshot's agg plan without collecting
+    d = 3
+    aggs = []
+    for i in range(d):
+        x = F.get(F.col("v"), i).cast("double")
+        aggs += [F.avg(x).alias(f"m{i}"), F.stddev(x).alias(f"s{i}")]
+    plan = _plan(df.agg(*aggs))
+    assert "Generate" not in plan                 # no explode
+    assert plan.count("Exchange") <= 1            # single-row reduce
+    assert embedding_dim(df, "v") == 3

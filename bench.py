@@ -41,6 +41,10 @@ BENCH_QUERIES = [
     "decontaminate_documents",
     "duplicate_spans_documents",
     "c4_quality_documents",
+    "reconcile_orders_lineitem",
+    "monotonic_lineitem",
+    "vector_rules_embeddings",
+    "embedding_drift",
 ]
 
 _FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -63,8 +63,11 @@ def reconciliation_violations(
     joined = d.join(agg, on=F.col(dim_key) == F.col("__k"), how="left")
 
     diff = F.abs(F.col("__agg") - F.col("__expected"))
-    within = (diff <= F.lit(float(abs_tol))) | (
-        diff / F.abs(F.col("__expected")) <= F.lit(float(rel_tol)))
+    # try_divide: a ZERO expected value has no relative tolerance (ANSI
+    # division would throw) — only the absolute tolerance can admit it
+    within = (diff <= F.lit(float(abs_tol))) | F.coalesce(
+        F.try_divide(diff, F.abs(F.col("__expected")))
+        <= F.lit(float(rel_tol)), F.lit(False))
     mismatch = F.col("__agg").isNotNull() & ~within
     missing = F.col("__agg").isNull()
 

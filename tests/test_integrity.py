@@ -176,3 +176,19 @@ def test_suite_integration_integrity_checks(spark):
     # day counts 2 / 10 vs mean 6 -> both days flagged DRIFT
     drift_days = [r for r in by_rule["DRIFT"] if "[d=" in r["message"]]
     assert len(drift_days) == 2
+
+
+def test_reconciliation_zero_expected_no_ansi_crash(spark):
+    """A ZERO dim value must not crash ANSI division: relative tolerance
+    is undefined there (try_divide → NULL → no admit); abs_tol still
+    applies, and 0-vs-0 reconciles exactly."""
+    fact = spark.createDataFrame([(1, 5.0), (2, 0.0)], "k int, amt double")
+    dim = spark.createDataFrame([(1, 0.0), (2, 0.0)],
+                                "dk int, total double")
+    v = reconciliation_violations(fact, dim, "k", "dk", F.sum("amt"),
+                                  "total", rel_tol=0.1)
+    got = {(r["dk"], r["rule_id"]) for r in v.collect()}
+    assert got == {(1, "RECONCILE")}  # 5 vs 0 flags; 0 vs 0 passes
+    v = reconciliation_violations(fact, dim, "k", "dk", F.sum("amt"),
+                                  "total", abs_tol=5.0)
+    assert v.count() == 0

@@ -39,6 +39,12 @@ DEFAULT_DICT: Dict[str, str] = {
     "DRIFT": "distribution drift detected on {path}",
     "DECODE": "field {path} payload is not decodable",
     "CONSISTENT": "field {path} is inconsistent with the decoded payload",
+    "RECONCILE": "aggregate of {path} does not reconcile with the "
+                 "recorded value (got {actual})",
+    "MONOTONIC": "field {path} breaks the expected ordering "
+                 "(got {actual})",
+    "TIMEOUT": "validation of {path} exceeded its wall-clock budget",
+    "CANCELED": "validation of {path} was canceled before it ran",
 }
 
 

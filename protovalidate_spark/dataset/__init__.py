@@ -9,6 +9,7 @@ from .drift import (  # noqa: F401
     js_divergence, ks_stat, load_snapshot, psi, save_snapshot, snapshot,
 )
 from .rollup import salted_rollup  # noqa: F401
+from .schema import schema_violations  # noqa: F401
 from .embedding import (  # noqa: F401
     embedding_dim, embedding_drift_violations, embedding_snapshot,
 )

@@ -192,3 +192,23 @@ def test_reconciliation_zero_expected_no_ansi_crash(spark):
     v = reconciliation_violations(fact, dim, "k", "dk", F.sum("amt"),
                                   "total", abs_tol=5.0)
     assert v.count() == 0
+
+
+def test_schema_contract(spark):
+    from protovalidate_spark.dataset import schema_violations
+    df = spark.createDataFrame([(1, "a", 2.0)],
+                               "id bigint, name string, v double")
+    spec = {"id": "bigint", "name": "string", "v": "double"}
+    assert schema_violations(df, spec).count() == 0
+    got = {(r["field_path"], r["rule_id"]) for r in schema_violations(
+        df, {"id": "int", "name": "string", "missing": "date"}).collect()}
+    assert got == {("/id", "TYPE"), ("/missing", "REQUIRED"),
+                   ("/v", "UNEXPECTED")}
+    # allow_extra suppresses UNEXPECTED only
+    got = {(r["field_path"], r["rule_id"]) for r in schema_violations(
+        df, {"id": "int"}, allow_extra=True).collect()}
+    assert got == {("/id", "TYPE")}
+    # type normalization: decimal spacing and case are cosmetic
+    from decimal import Decimal
+    d = spark.createDataFrame([(Decimal("1.00"),)], "x decimal(10,2)")
+    assert schema_violations(d, {"x": "DECIMAL(10, 2)"}).count() == 0

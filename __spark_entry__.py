@@ -286,6 +286,17 @@ def q_embedding_drift(spark, sf_dir):
     return v.select("field_path", "rule_id")
 
 
+def q_group_size_lineitem(spark, sf_dir):
+    """Per-key cardinality bounds (dataset/integrity.py
+    group_size_violations): every order must have 2–6 lineitems; one
+    MIN/MAX row per out-of-bounds order. One map-side-combined shuffle
+    of (key, count) pairs."""
+    from protovalidate_spark.dataset import group_size_violations
+    li = _t(spark, sf_dir, "lineitem")
+    return group_size_violations(li, ["l_orderkey"], min_n=2, max_n=6) \
+        .select("l_orderkey", "group_n", "rule_id")
+
+
 def q_vector_rules_embeddings(spark, sf_dir):
     """First-class vector rules (rules/vector.py): dim / finite /
     L2-norm bounds as JVM higher-order expressions, zero UDF. The
@@ -1652,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_gaps_orders": q_calendar_gaps_orders,
         "vector_rules_embeddings": q_vector_rules_embeddings,
         "embedding_drift": q_embedding_drift,
+        "group_size_lineitem": q_group_size_lineitem,
         "collection_lineitem": q_collection_lineitem,
         "conditional_orders": q_conditional_orders,
         "cross_column_lineitem": q_cross_column_lineitem,
@@ -1938,6 +1950,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(d AS VARCHAR) AS order_date,
                    'REQUIRED' AS rule_id
               FROM alldays WHERE d NOT IN (SELECT d FROM dd)
+        """,
+        "group_size_lineitem": """
+            WITH g AS (SELECT l_orderkey, count(*) AS group_n
+                         FROM lineitem WHERE l_orderkey IS NOT NULL
+                        GROUP BY 1)
+            SELECT l_orderkey, group_n, 'MIN' AS rule_id
+              FROM g WHERE group_n < 2
+            UNION ALL
+            SELECT l_orderkey, group_n, 'MAX' FROM g WHERE group_n > 6
         """,
         "embedding_drift": """
             WITH dims AS (SELECT i FROM range(0, 64) t(i)),

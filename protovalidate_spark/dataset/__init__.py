@@ -14,6 +14,6 @@ from .embedding import (  # noqa: F401
     embedding_dim, embedding_drift_violations, embedding_snapshot,
 )
 from .integrity import (  # noqa: F401
-    calendar_gap_violations, monotonic_violations,
+    calendar_gap_violations, group_size_violations, monotonic_violations,
     reconciliation_violations, volume_anomalies,
 )

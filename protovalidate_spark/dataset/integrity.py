@@ -134,6 +134,51 @@ def monotonic_violations(
                       "_v.actual"))
 
 
+def group_size_violations(
+    df: DataFrame, key_cols: Sequence[str],
+    min_n: Optional[int] = None, max_n: Optional[int] = None,
+) -> DataFrame:
+    """Per-key cardinality bounds — the 1:N relationship contract
+    ("every order has 1–7 lineitems", "every clip has exactly 1
+    transcript row"): one MIN/MAX violation per key whose group size
+    falls outside [min_n, max_n]. NULL keys are skipped (their rows
+    belong to the REQUIRED field rule). Keys entirely ABSENT cannot be
+    seen here — that direction is ``reconciliation_violations``'s
+    REQUIRED row against the dimension.
+
+    One map-side-combined shuffle of (key, count) pairs; the violating
+    set is proportional to bad keys, not rows.
+
+    Output: (key_cols..., group_n, field_path, rule_id, message,
+    actual)."""
+    nn = df
+    for c in key_cols:
+        nn = nn.filter(F.col(c).isNotNull())
+    counts = nn.groupBy(*[F.col(c) for c in key_cols]) \
+               .agg(F.count(F.lit(1)).alias("group_n"))
+    path = "/" + ",".join(key_cols)
+    parts = []
+    if min_n is not None:
+        v = violation_struct(
+            path, Code.MIN,
+            f"group must have at least {min_n} rows", F.col("group_n"))
+        parts.append(counts.filter(F.col("group_n") < int(min_n))
+                     .select(*key_cols, "group_n", v.alias("_v")))
+    if max_n is not None:
+        v = violation_struct(
+            path, Code.MAX,
+            f"group must have at most {max_n} rows", F.col("group_n"))
+        parts.append(counts.filter(F.col("group_n") > int(max_n))
+                     .select(*key_cols, "group_n", v.alias("_v")))
+    if not parts:
+        raise ValueError("group_size_violations needs min_n or max_n")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*key_cols, "group_n", "_v.field_path", "_v.rule_id",
+                      "_v.message", "_v.actual")
+
+
 def volume_anomalies(
     df: DataFrame, group_expr: Column, group_name: str,
     max_rel_dev: float = 0.5, min_count: Optional[int] = None,

@@ -212,3 +212,19 @@ def test_schema_contract(spark):
     from decimal import Decimal
     d = spark.createDataFrame([(Decimal("1.00"),)], "x decimal(10,2)")
     assert schema_violations(d, {"x": "DECIMAL(10, 2)"}).count() == 0
+
+
+def test_group_size_bounds(spark):
+    from protovalidate_spark.dataset import group_size_violations
+    rows = ([(1, i) for i in range(3)] + [(2, 0)]
+            + [(3, i) for i in range(8)] + [(None, 0)])
+    df = spark.createDataFrame(rows, "k int, i int")
+    v = group_size_violations(df, ["k"], min_n=2, max_n=6)
+    got = {(r["k"], r["group_n"], r["rule_id"]) for r in v.collect()}
+    # NULL keys skipped; 1 (n=3) within bounds
+    assert got == {(2, 1, "MIN"), (3, 8, "MAX")}
+    # one-sided bounds
+    assert group_size_violations(df, ["k"], max_n=10).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        group_size_violations(df, ["k"])

@@ -529,6 +529,46 @@ def q_audio_snr_clips(spark, sf_dir):
     return v.select("clip_id", "field_path", "rule_id", "actual")
 
 
+def q_audio_bandwidth_clips(spark, sf_dir):
+    """Effective-bandwidth / upsample-detection gate
+    (audio/bandwidth.py bandwidth_rule): spectral rolloff vs the
+    container's Nyquist over deterministic synth clips — full-band
+    noise passes, band-limited content (ideally-resampled-from-lower-
+    rate / telephony band) fails CONSISTENT, silent and undecodable
+    clips are other rules' findings. Non-SQL (decode + rfft);
+    deterministic, so the oracle is a committed snapshot."""
+    import numpy as np
+
+    from protovalidate_spark import Object
+    from protovalidate_spark.audio import bandwidth_rule, with_bandwidth
+    from protovalidate_spark.audio.wav import synth_wav
+
+    def lowpass(sr, freqs, amp=0.25):
+        t = np.arange(int(sr * 0.3)) / sr
+        return amp * sum(np.sin(2 * np.pi * f * t + 0.1 * i)
+                         for i, f in enumerate(freqs)) / len(freqs)
+
+    rows = []
+    for fmt, sr in (("pcm16", 16000), ("float32", 16000), ("alaw", 8000)):
+        rng = np.random.default_rng(11)
+        rows.append((f"{fmt}_fullband",
+                     synth_wav(0.3 * rng.standard_normal(
+                         int(sr * 0.3)).clip(-1, 1), sr, fmt=fmt)))
+        rows.append((f"{fmt}_upsampled",
+                     synth_wav(lowpass(sr, [300.0, 800.0, 1400.0]),
+                               sr, fmt=fmt)))
+        rows.append((f"{fmt}_narrowband",
+                     synth_wav(lowpass(sr, [600.0]), sr, fmt=fmt)))
+        rows.append((f"{fmt}_silent",
+                     synth_wav(np.zeros(int(sr * 0.3)), sr, fmt=fmt)))
+    rows += [("bad_garbage", b"not audio"), ("bad_null", None)]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary")
+    bw = with_bandwidth(df)
+    rs = Object().with_unknown().with_rule(bandwidth_rule(min_ratio=0.5))
+    v = rs.violations(bw, row_key_cols=["clip_id"])
+    return v.select("clip_id", "field_path", "rule_id", "actual")
+
+
 def q_repair_audio_clips(spark, sf_dir):
     """Audio repair (audio/repair.py with_normalized_audio): DC removal
     + peak normalization under a 30 dB gain cap, re-encoded and decoded
@@ -1704,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_audio_features": q_clips_audio_features,
         "audio_level_clips": q_audio_level_clips,
         "audio_snr_clips": q_audio_snr_clips,
+        "audio_bandwidth_clips": q_audio_bandwidth_clips,
         "curate_clips": q_curate_clips,
         "repair_audio_clips": q_repair_audio_clips,
         "standardize_audio_clips": q_standardize_audio_clips,
@@ -2865,6 +2906,10 @@ def oracle_sql() -> dict[str, str]:
         "audio_snr_clips": f"""
             SELECT clip_id, field_path, rule_id, actual
               FROM read_parquet('{EXPECTED_DIR}/audio_snr_clips.parquet')
+        """,
+        "audio_bandwidth_clips": f"""
+            SELECT clip_id, field_path, rule_id, actual
+              FROM read_parquet('{EXPECTED_DIR}/audio_bandwidth_clips.parquet')
         """,
         "curate_clips": f"""
             SELECT clip_id, field_path, rule_id, actual

@@ -30,6 +30,11 @@ from .fingerprint import (  # noqa: F401
     spectral_tokens,
     with_fingerprint,
 )
+from .bandwidth import (  # noqa: F401
+    bandwidth_rule,
+    rolloff_hz,
+    with_bandwidth,
+)
 from .decode import (  # noqa: F401
     DECODED_DDL,
     decode_ok_rule,

@@ -159,18 +159,33 @@ FULL_AUDIO_TYPE = T.StructType(
     ])
 
 
+#: FULL_AUDIO_TYPE + effective-bandwidth fields (with_full_audio(...,
+#: bandwidth=True)); field names match BANDWIDTH_TYPE so bandwidth_rule
+#: reads the fused column unchanged via bw_col=
+FULL_AUDIO_BW_TYPE = T.StructType(
+    FULL_AUDIO_TYPE.fields + [
+        T.StructField("rolloff_hz", T.DoubleType()),
+        T.StructField("bandwidth_ratio", T.DoubleType()),
+    ])
+
+
 def with_full_audio(df: DataFrame, bytes_col: str = "bytes",
                     out_col: str = "_audio", frame_ms: int = 20,
                     silence_rms: float = 0.01, clip_level: float = 0.999,
                     vad_threshold_rms: float = 0.01,
                     hangover_frames: int = 2,
-                    min_speech_frames: int = 2) -> DataFrame:
+                    min_speech_frames: int = 2,
+                    bandwidth: bool = False, rolloff: float = 0.99,
+                    n_fft: int = 2048) -> DataFrame:
     """Decode struct + PCM features + energy-VAD/SNR from ONE fused
     Arrow stage — a suite with EVERY audio gate enabled (decode/sr/dur
     consistency, clipping/silence/quiet/DC, speech-presence/max-gap/
     min-SNR) still pays a single Python round-trip and a single decode.
     Field names match DECODED_TYPE / AUDIO_FEATURES_TYPE / SEGMENTS_TYPE,
-    so every rule consumes this column unchanged via its *_col kwarg."""
+    so every rule consumes this column unchanged via its *_col kwarg.
+    ``bandwidth=True`` additionally computes the effective-bandwidth
+    fields (audio/bandwidth.py) in the SAME stage — opt-in because the
+    per-frame rffts cost more than every other feature combined."""
     from .segments import _segments_series
 
     def _udf(bs: pd.Series) -> pd.DataFrame:
@@ -180,7 +195,7 @@ def with_full_audio(df: DataFrame, bytes_col: str = "bytes",
         vad = _segments_series(bs, frame_ms, vad_threshold_rms,
                                hangover_frames, min_speech_frames,
                                _decoded=dec)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "ok": dec["ok"], "sr": dec["sr"], "n_samples": dec["n_samples"],
             "dur_ms": dec["dur_ms"], "rms": dec["rms"],
             "peak": feat["peak"], "clip_ratio": feat["clip_ratio"],
@@ -191,9 +206,16 @@ def with_full_audio(df: DataFrame, bytes_col: str = "bytes",
             "n_segments": vad["n_segments"],
             "longest_gap_ms": vad["longest_gap_ms"],
             "snr_db": vad["snr_db"]})
+        if bandwidth:
+            from .bandwidth import _bandwidth_frame
+            roll, ratio = _bandwidth_frame(dec, len(bs), rolloff, n_fft)
+            out["rolloff_hz"] = roll
+            out["bandwidth_ratio"] = ratio
+        return out
 
+    otype = FULL_AUDIO_BW_TYPE if bandwidth else FULL_AUDIO_TYPE
     return df.withColumn(out_col,
-                         pandas_udf(_udf, FULL_AUDIO_TYPE)(F.col(bytes_col)))
+                         pandas_udf(_udf, otype)(F.col(bytes_col)))
 
 
 def clipping_rule(bytes_col: str = "bytes", feat_col: str = "_afeat",

@@ -252,6 +252,34 @@ def q_volume_anomaly_events(spark, sf_dir):
                 "cnt", "rule_id")
 
 
+def q_outliers_iqr_events(spark, sf_dir):
+    """Robust row-level outliers, Tukey IQR fences (dataset/outliers.py
+    iqr_outlier_violations): rows of events.value outside
+    [q1-1.5*IQR, q3+1.5*IQR] with data-derived (exact-percentile) fences
+    — the parameter agg is one map-side-combined scan, the flag pass is
+    a shuffle-free projection with the fences inlined as literals."""
+    from protovalidate_spark.dataset import iqr_outlier_violations
+    ev = _t(spark, sf_dir, "events")
+    v = iqr_outlier_violations(ev, ["value"], row_key_cols=["event_id"],
+                               k=1.5, exact=True)
+    return v.select("event_id", "field_path", "rule_id",
+                    F.round(F.col("actual").cast("double"), 2).alias("val2"))
+
+
+def q_outliers_mad_events(spark, sf_dir):
+    """Robust row-level outliers, Iglewicz-Hoaglin modified z-score
+    (dataset/outliers.py mad_outlier_violations): rows of events.value
+    with |0.6745*(x-median)/MAD| > 3.5, median/MAD exact — the
+    estimators a heavy tail cannot drag (mean/std z-scores break down
+    exactly when outliers are present)."""
+    from protovalidate_spark.dataset import mad_outlier_violations
+    ev = _t(spark, sf_dir, "events")
+    v = mad_outlier_violations(ev, ["value"], row_key_cols=["event_id"],
+                               k=3.5, exact=True)
+    return v.select("event_id", "field_path", "rule_id",
+                    F.round(F.col("actual").cast("double"), 2).alias("val2"))
+
+
 def q_calendar_gaps_orders(spark, sf_dir):
     """Calendar completeness (dataset/integrity.py): every date between
     the observed min and max o_orderdate must be present; one REQUIRED
@@ -1700,6 +1728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconcile_orders_lineitem": q_reconcile_orders_lineitem,
         "monotonic_lineitem": q_monotonic_lineitem,
         "volume_anomaly_events": q_volume_anomaly_events,
+        "outliers_iqr_events": q_outliers_iqr_events,
+        "outliers_mad_events": q_outliers_mad_events,
         "calendar_gaps_orders": q_calendar_gaps_orders,
         "vector_rules_embeddings": q_vector_rules_embeddings,
         "embedding_drift": q_embedding_drift,
@@ -1980,6 +2010,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_date, cnt, 'DRIFT' AS rule_id
               FROM d, m
              WHERE abs(cnt - a) / a > 0.05
+        """,
+        "outliers_iqr_events": """
+            WITH f AS (SELECT percentile_cont(0.25)
+                                  WITHIN GROUP (ORDER BY value) AS q1,
+                              percentile_cont(0.75)
+                                  WITHIN GROUP (ORDER BY value) AS q3
+                         FROM events)
+            SELECT event_id, '/value' AS field_path,
+                   'OUTLIER' AS rule_id, round(value, 2) AS val2
+              FROM events, f
+             WHERE value IS NOT NULL
+               AND (value < q1 - 1.5 * (q3 - q1)
+                    OR value > q3 + 1.5 * (q3 - q1))
+        """,
+        "outliers_mad_events": """
+            WITH m AS (SELECT percentile_cont(0.5)
+                                  WITHIN GROUP (ORDER BY value) AS med
+                         FROM events),
+                 d AS (SELECT percentile_cont(0.5) WITHIN GROUP (
+                                  ORDER BY abs(value - m.med)) AS mad,
+                              any_value(m.med) AS med
+                         FROM events, m WHERE value IS NOT NULL)
+            SELECT event_id, '/value' AS field_path,
+                   'OUTLIER' AS rule_id, round(value, 2) AS val2
+              FROM events, d
+             WHERE value IS NOT NULL
+               AND abs(value - med) * (0.6745 / mad) > 3.5
         """,
         "calendar_gaps_orders": """
             WITH dd AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d

@@ -13,6 +13,9 @@ from .schema import schema_violations  # noqa: F401
 from .embedding import (  # noqa: F401
     embedding_dim, embedding_drift_violations, embedding_snapshot,
 )
+from .outliers import (  # noqa: F401
+    iqr_fences, iqr_outlier_violations, mad_outlier_violations, mad_params,
+)
 from .integrity import (  # noqa: F401
     calendar_gap_violations, group_size_violations, monotonic_violations,
     reconciliation_violations, volume_anomalies,

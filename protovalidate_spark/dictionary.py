@@ -43,6 +43,8 @@ DEFAULT_DICT: Dict[str, str] = {
                  "recorded value (got {actual})",
     "MONOTONIC": "field {path} breaks the expected ordering "
                  "(got {actual})",
+    "OUTLIER": "field {path} is a robust-statistical outlier "
+               "(got {actual})",
     "TIMEOUT": "validation of {path} exceeded its wall-clock budget",
     "CANCELED": "validation of {path} was canceled before it ran",
 }

@@ -49,6 +49,7 @@ class Code:
     CONSISTENT = "CONSISTENT"
     RECONCILE = "RECONCILE"
     MONOTONIC = "MONOTONIC"
+    OUTLIER = "OUTLIER"
 
 
 #: DDL of one violation row / array element. Every rule in the engine emits

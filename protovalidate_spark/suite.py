@@ -88,6 +88,13 @@ class ValidationSuite:
     # embedding drift specs: {"col": str, "baseline": dict, ...} — NOTE:
     # eager (two tiny single-row agg jobs fire at plan-build time)
     embedding_drift: Sequence[dict] = ()
+    # robust row-level outlier specs (dataset/outliers.py): each dict is
+    # kwargs for iqr_outlier_violations / mad_outlier_violations minus
+    # df/row_key_cols, plus "method": "iqr" (default) | "mad". NOTE:
+    # eager unless "fences"/"params" (e.g. from a baseline snapshot) is
+    # supplied — the parameter agg fires at plan-build time; the flag
+    # pass itself is shuffle-free
+    outliers: Sequence[dict] = ()
 
     # ------------------------------------------------------------------
 
@@ -152,6 +159,13 @@ class ValidationSuite:
             return v.select(*null_keys, *part, "field_path", "rule_id",
                             msg.alias("message"), "actual")
 
+        for spec in self.outliers:
+            from .dataset.outliers import (iqr_outlier_violations,
+                                           mad_outlier_violations)
+            s = dict(spec)
+            fn = (mad_outlier_violations if s.pop("method", "iqr") == "mad"
+                  else iqr_outlier_violations)
+            out.append(fn(df, row_key_cols=keep, **s))
         for spec in self.monotonic:
             from .dataset.integrity import monotonic_violations
             out.append(monotonic_violations(df, row_key_cols=keep, **spec))

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "c4_quality_documents",
     "reconcile_orders_lineitem",
     "monotonic_lineitem",
+    "outliers_iqr_events",
     "vector_rules_embeddings",
     "embedding_drift",
 ]

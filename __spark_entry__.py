@@ -280,6 +280,24 @@ def q_outliers_mad_events(spark, sf_dir):
                     F.round(F.col("actual").cast("double"), 2).alias("val2"))
 
 
+def q_freshness_events(spark, sf_dir):
+    """Per-group ingestion freshness (dataset/integrity.py
+    freshness_violations): a shard/producer whose newest row is older
+    than the budget is one EXPIRED row — invisible to the global max
+    when the other shards keep flowing. as_of is pinned (never
+    wall-clock now), so the run is reproducible. One map-side-combined
+    (group, max_ts) shuffle of group-cardinality rows."""
+    from protovalidate_spark.dataset import freshness_violations
+    ev = _t(spark, sf_dir, "events")
+    v = freshness_violations(ev, F.col("ts"), "ts", max_age_hours=0.5,
+                             as_of="2024-01-31 00:00:00",
+                             group_col="event_type")
+    return v.select(
+        "event_type",
+        F.date_format("max_ts", "yyyy-MM-dd HH:mm:ss").alias("max_ts_s"),
+        "field_path", "rule_id")
+
+
 def q_calendar_gaps_orders(spark, sf_dir):
     """Calendar completeness (dataset/integrity.py): every date between
     the observed min and max o_orderdate must be present; one REQUIRED
@@ -1730,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_anomaly_events": q_volume_anomaly_events,
         "outliers_iqr_events": q_outliers_iqr_events,
         "outliers_mad_events": q_outliers_mad_events,
+        "freshness_events": q_freshness_events,
         "calendar_gaps_orders": q_calendar_gaps_orders,
         "vector_rules_embeddings": q_vector_rules_embeddings,
         "embedding_drift": q_embedding_drift,
@@ -2023,6 +2042,16 @@ def oracle_sql() -> dict[str, str]:
              WHERE value IS NOT NULL
                AND (value < q1 - 1.5 * (q3 - q1)
                     OR value > q3 + 1.5 * (q3 - q1))
+        """,
+        "freshness_events": """
+            WITH g AS (SELECT event_type, max(ts) AS max_ts
+                         FROM events WHERE ts IS NOT NULL GROUP BY 1)
+            SELECT event_type,
+                   strftime(max_ts, '%Y-%m-%d %H:%M:%S') AS max_ts_s,
+                   '/ts' AS field_path, 'EXPIRED' AS rule_id
+              FROM g
+             WHERE max_ts < TIMESTAMP '2024-01-31 00:00:00'
+                            - INTERVAL 30 MINUTE
         """,
         "outliers_mad_events": """
             WITH m AS (SELECT percentile_cont(0.5)

@@ -244,3 +244,45 @@ def calendar_gap_violations(df: DataFrame, date_expr: Column,
         F.col(date_name))
     return missing.select(F.col(date_name), v.alias("_v")).select(
         date_name, "_v.field_path", "_v.rule_id", "_v.message", "_v.actual")
+
+
+def freshness_violations(df: DataFrame, ts_expr: Column, ts_name: str,
+                         max_age_hours: float, as_of: str,
+                         group_col: Optional[str] = None) -> DataFrame:
+    """Ingestion freshness: the newest row's timestamp must be within
+    ``max_age_hours`` of ``as_of`` (one ``EXPIRED`` violation when the
+    whole table — or, with ``group_col``, any group/shard — has gone
+    stale). The per-group form is the operational one at scale: a
+    single upstream producer (one codec, one source shard) silently
+    stopping is invisible to the global max but an immediate per-group
+    EXPIRED row.
+
+    ``as_of`` is an explicit timestamp string, NOT wall-clock now() —
+    pinned by the caller exactly like Time.WithMinDiff pins now at
+    compile (temporal.py), so runs are reproducible and resumable.
+
+    One max() aggregation; with ``group_col`` it is a map-side-combined
+    (group, max_ts) shuffle of group-cardinality rows. Groups with NO
+    rows at all are the reconciliation/volume checks' finding (nothing
+    to aggregate here).
+
+    Output: ([group_col,] max_ts, field_path, rule_id, message, actual).
+    """
+    cutoff = F.to_timestamp(F.lit(as_of)) - F.expr(
+        f"INTERVAL {int(round(max_age_hours * 3600))} SECONDS")
+    ts = ts_expr.cast("timestamp")
+    if group_col is not None:
+        agg = df.filter(ts.isNotNull()).groupBy(F.col(group_col)) \
+                .agg(F.max(ts).alias("max_ts"))
+        keys = [group_col]
+    else:
+        agg = df.agg(F.max(ts).alias("max_ts"))
+        keys = []
+    stale = agg.filter(F.col("max_ts") < cutoff)
+    v = violation_struct(
+        f"/{ts_name}", Code.EXPIRED,
+        f"newest row older than {max_age_hours}h before {as_of}",
+        F.col("max_ts"))
+    return stale.select(*keys, "max_ts", v.alias("_v")).select(
+        *keys, "max_ts", "_v.field_path", "_v.rule_id", "_v.message",
+        "_v.actual")

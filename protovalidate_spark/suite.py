@@ -85,6 +85,10 @@ class ValidationSuite:
     volume_specs: Sequence[dict] = ()
     # date columns whose calendar must be gap-free between min and max
     calendar_cols: Sequence[str] = ()
+    # ingestion-freshness specs (dataset/integrity.py
+    # freshness_violations): {"ts_col": str, "max_age_hours": float,
+    # "as_of": str (pinned, never wall-clock), "group_col": Optional}
+    freshness: Sequence[dict] = ()
     # embedding drift specs: {"col": str, "baseline": dict, ...} — NOTE:
     # eager (two tiny single-row agg jobs fire at plan-build time)
     embedding_drift: Sequence[dict] = ()
@@ -184,6 +188,14 @@ class ValidationSuite:
         for c in self.calendar_cols:
             from .dataset.integrity import calendar_gap_violations
             out.append(_tag(calendar_gap_violations(df, F.col(c), c)))
+        for spec in self.freshness:
+            from .dataset.integrity import freshness_violations
+            fv = freshness_violations(
+                df, F.col(spec["ts_col"]), spec["ts_col"],
+                spec["max_age_hours"], spec["as_of"],
+                group_col=spec.get("group_col"))
+            gc = spec.get("group_col")
+            out.append(_tag(fv, gc, gc) if gc else _tag(fv))
         for spec in self.embedding_drift:
             from .dataset.embedding import embedding_drift_violations
             ev = embedding_drift_violations(

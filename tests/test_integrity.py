@@ -228,3 +228,43 @@ def test_group_size_bounds(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         group_size_violations(df, ["k"])
+
+
+def test_freshness_global_and_per_group(spark):
+    from protovalidate_spark.dataset import freshness_violations
+    d = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 11:59:00"),
+         ("b", "2024-01-01 09:00:00"), ("c", None)],
+        "src string, ts string").withColumn("ts", F.to_timestamp("ts"))
+    # global: newest row (11:59) within 1h of noon -> fresh
+    g = freshness_violations(d, F.col("ts"), "ts", 1.0,
+                             "2024-01-01 12:00:00")
+    assert g.count() == 0
+    # global with a 30s budget -> stale, one EXPIRED row
+    g2 = freshness_violations(d, F.col("ts"), "ts", 30 / 3600,
+                              "2024-01-01 12:00:00").collect()
+    assert len(g2) == 1 and g2[0]["rule_id"] == "EXPIRED"
+    assert g2[0]["field_path"] == "/ts"
+    # per-group: only b is stale at a 1h budget; c (all-NULL ts) is
+    # filtered out, not a crash and not a finding here
+    pg = freshness_violations(d, F.col("ts"), "ts", 1.0,
+                              "2024-01-01 12:00:00",
+                              group_col="src").collect()
+    assert [(r["src"], r["rule_id"]) for r in pg] == [("b", "EXPIRED")]
+    assert str(pg[0]["max_ts"]).startswith("2024-01-01 09:00:00")
+
+
+def test_freshness_suite_spec(spark):
+    from protovalidate_spark import Object
+    from protovalidate_spark.suite import ValidationSuite
+    d = spark.createDataFrame(
+        [(1, "a", "2024-01-01 11:30:00"), (2, "b", "2024-01-01 08:00:00")],
+        "id int, src string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    suite = ValidationSuite(
+        rules=Object().with_unknown(), row_keys=["id"],
+        freshness=[{"ts_col": "ts", "max_age_hours": 1.0,
+                    "as_of": "2024-01-01 12:00:00", "group_col": "src"}])
+    rows = suite.run(d, persist=False).violations \
+        .filter(F.col("rule_id") == "EXPIRED").collect()
+    assert len(rows) == 1 and "[src=b]" in rows[0]["message"]

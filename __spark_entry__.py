@@ -280,6 +280,24 @@ def q_outliers_mad_events(spark, sf_dir):
                     F.round(F.col("actual").cast("double"), 2).alias("val2"))
 
 
+def q_grouped_stats_events(spark, sf_dir):
+    """Per-group per-column profiling (dataset/stats.py
+    grouped_column_stats): null-rate/min/max/distinct/median of
+    events.value for every event_type from ONE groupBy agg — the
+    per-shard profile pass; wide→long reshape AFTER aggregation on
+    group-cardinality rows. Exact distinct/quantiles = oracle mode."""
+    from protovalidate_spark.dataset import grouped_column_stats
+    ev = _t(spark, sf_dir, "events")
+    g = grouped_column_stats(ev, "event_type", ["value"],
+                             exact_distinct=True, exact_quantiles=True)
+    return g.select(
+        "event_type", "column", "n_rows", "null_rate",
+        F.round(F.col("min").cast("double"), 2).alias("min2"),
+        F.round(F.col("max").cast("double"), 2).alias("max2"),
+        F.col("approx_distinct").alias("distinct_n"),
+        F.round(F.col("quantiles")[3], 4).alias("q50_4"))
+
+
 def q_freshness_events(spark, sf_dir):
     """Per-group ingestion freshness (dataset/integrity.py
     freshness_violations): a shard/producer whose newest row is older
@@ -1749,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_iqr_events": q_outliers_iqr_events,
         "outliers_mad_events": q_outliers_mad_events,
         "freshness_events": q_freshness_events,
+        "grouped_stats_events": q_grouped_stats_events,
         "calendar_gaps_orders": q_calendar_gaps_orders,
         "vector_rules_embeddings": q_vector_rules_embeddings,
         "embedding_drift": q_embedding_drift,
@@ -2042,6 +2061,17 @@ def oracle_sql() -> dict[str, str]:
              WHERE value IS NOT NULL
                AND (value < q1 - 1.5 * (q3 - q1)
                     OR value > q3 + 1.5 * (q3 - q1))
+        """,
+        "grouped_stats_events": """
+            SELECT event_type, 'value' AS column, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS null_rate,
+                   round(min(value), 2) AS min2,
+                   round(max(value), 2) AS max2,
+                   count(DISTINCT value) AS distinct_n,
+                   round(percentile_cont(0.5)
+                         WITHIN GROUP (ORDER BY value), 4) AS q50_4
+              FROM events GROUP BY event_type
         """,
         "freshness_events": """
             WITH g AS (SELECT event_type, max(ts) AS max_ts

@@ -242,3 +242,50 @@ def stats_drift_violations(df: DataFrame, baseline: dict,
                          "; ".join(probs)))
     return spark.createDataFrame(
         rows, "field_path string, rule_id string, message string, actual string")
+
+
+def grouped_column_stats(
+    df: DataFrame, group_col: str,
+    cols: Optional[Sequence[str]] = None,
+    quantiles: Sequence[float] = DEFAULT_QUANTILES,
+    accuracy: int = 2500,
+    exact_distinct: bool = False,
+    rsd: float = 0.05,
+    exact_quantiles: bool = False,
+) -> DataFrame:
+    """Per-GROUP per-column stats — the per-shard profiling pass: one
+    ``groupBy(group_col).agg(...)`` computes every column's null-rate /
+    min / max / distinct / quantile sketch for every codec / source /
+    ingest-day group in a SINGLE scan and a single map-side-combined
+    shuffle of (group, sketches) rows. The complement of
+    ``drift_by_group_violations``: that one GATES each group against a
+    baseline, this one REPORTS the per-group profile (what you snapshot,
+    eyeball, or feed to the stats-delta gates per shard).
+
+    Output: one row per (group, column) —
+    (group_col, column, n_rows, null_rate, min, max, approx_distinct,
+    quantiles). The wide→long reshape happens AFTER aggregation on
+    group-cardinality rows (explode of a per-column struct array), so
+    the row-side scan is never exploded. NULL group values form their
+    own group (profiling them is usually the point).
+    """
+    dtypes = dict(df.dtypes)
+    cols = [c for c in (cols or df.columns) if c != group_col]
+    aggs = stats_aggs(dtypes, cols, quantiles=quantiles, accuracy=accuracy,
+                      exact_distinct=exact_distinct, rsd=rsd,
+                      exact_quantiles=exact_quantiles)
+    agg = df.groupBy(F.col(group_col)).agg(*aggs)
+    per_col = [F.struct(
+        F.lit(c).alias("column"),
+        F.col(f"{c}__nulls").alias("nulls"),
+        F.col(f"{c}__min").alias("min"),
+        F.col(f"{c}__max").alias("max"),
+        F.col(f"{c}__distinct").cast("long").alias("approx_distinct"),
+        F.col(f"{c}__q").alias("quantiles")) for c in cols]
+    ex = agg.select(F.col(group_col), F.col("__n").alias("n_rows"),
+                    F.explode(F.array(*per_col)).alias("s"))
+    return ex.select(
+        group_col, "s.column", "n_rows",
+        (F.col("s.nulls") / F.col("n_rows")).cast("double")
+        .alias("null_rate"),
+        "s.min", "s.max", "s.approx_distinct", "s.quantiles")

@@ -1,6 +1,7 @@
 """Dataset-level checks: stats, uniqueness, referential, drift
 (SURVEY.md §2.9 — engine extensions reusing the reference error model)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from protovalidate_spark.dataset import (
@@ -396,3 +397,35 @@ def test_embedding_drift_null_and_short_vectors(spark):
     assert snap["mean"][1] is not None
     v = embedding_drift_violations(df, "v", snap)
     assert v.count() == 0  # a table never drifts from its own snapshot
+
+
+def test_grouped_column_stats(spark):
+    from protovalidate_spark.dataset import grouped_column_stats
+    d = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", 10.0), ("b", 10.0),
+         (None, 5.0)],
+        "g string, x double")
+    out = grouped_column_stats(d, "g", ["x"], exact_distinct=True,
+                               exact_quantiles=True)
+    rows = {r["g"]: r for r in out.collect()}
+    a = rows["a"]
+    assert a["column"] == "x" and a["n_rows"] == 3
+    assert a["null_rate"] == pytest.approx(1 / 3)
+    assert a["min"] == "1.0" and a["max"] == "3.0"
+    assert a["approx_distinct"] == 2
+    assert a["quantiles"][3] == pytest.approx(2.0)  # median of {1,3}
+    b = rows["b"]
+    assert b["null_rate"] == 0.0 and b["approx_distinct"] == 1
+    # NULL group is ITS OWN group, not dropped
+    assert rows[None]["n_rows"] == 1
+
+
+def test_grouped_column_stats_one_shuffle(spark):
+    from protovalidate_spark.dataset import grouped_column_stats
+    d = spark.createDataFrame(
+        [("a", 1.0, 2.0)] * 10, "g string, x double, y double")
+    out = grouped_column_stats(d, "g", ["x", "y"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one hash-partitioned exchange for the groupBy; the reshape adds none
+    assert plan.count("Exchange") == 1
+    assert out.count() == 2  # (a,x), (a,y)

@@ -33,6 +33,12 @@ def main():
                     help="add energy-VAD gates: speech presence, max "
                          "silent gap, VAD-estimated min SNR (still one "
                          "fused Arrow decode stage)")
+    ap.add_argument("--bandwidth-checks", action="store_true",
+                    help="add the effective-bandwidth / upsample gate "
+                         "(spectral rolloff vs Nyquist; still one fused "
+                         "Arrow decode stage). NOTE: the synth tone "
+                         "fixture is narrowband by construction, so on "
+                         "it this flags most decodable clips")
     args = ap.parse_args()
 
     from protovalidate_spark.conf import apply_recommended
@@ -47,7 +53,8 @@ def main():
     profile = Profile(n_rows=args.rows, dur_range_ms=1000) if args.rows else TINY
     suite = clips_suite(spark, audio_checks=args.audio_checks,
                         level_checks=args.level_checks,
-                        vad_checks=args.vad_checks)
+                        vad_checks=args.vad_checks,
+                        bandwidth_checks=args.bandwidth_checks)
     t0 = time.time()
 
     if args.resume:

@@ -40,6 +40,7 @@ def clips_suite(spark: SparkSession,
                 audio_checks: bool = False,
                 level_checks: bool = False,
                 vad_checks: bool = False,
+                bandwidth_checks: bool = False,
                 label_conflicts: bool = False) -> ValidationSuite:
     """``audio_checks=True`` adds the PCM quality gates (clipping ratio,
     silence ratio) and the transcript speech-rate consistency rule; the
@@ -49,7 +50,13 @@ def clips_suite(spark: SparkSession,
     the same feature fields. ``vad_checks=True`` adds the energy-VAD
     gates (speech presence, max silent gap, VAD-estimated min SNR) —
     with every flag on it is STILL one Arrow stage and one decode
-    (features.with_full_audio). ``label_conflicts=True`` adds the
+    (features.with_full_audio). ``bandwidth_checks=True`` adds the
+    effective-bandwidth / upsample-detection gate (audio/bandwidth.py:
+    spectral rolloff vs the container's Nyquist) — the bandwidth fields
+    ride the SAME everything-on Arrow stage. NOTE: the deterministic
+    test fixture synthesizes pure tones, which ARE narrowband — on the
+    fixture this gate flags most decodable clips by design; it is meant
+    for real recorded speech. ``label_conflicts=True`` adds the
     byte-exact transcript-conflict dataset check
     (audio/consistency.py): byte-identical clips whose transcripts
     disagree emit CONSISTENT violation rows."""
@@ -78,6 +85,11 @@ def clips_suite(spark: SparkSession,
         extra += [speech_presence_rule("bytes", "__dec_bytes"),
                   max_gap_rule("bytes", "__dec_bytes"),
                   min_snr_rule("bytes", "__dec_bytes")]
+    bw = ()
+    if bandwidth_checks:
+        from .audio.bandwidth import bandwidth_rule
+        bw = ("bytes",)
+        extra += [bandwidth_rule("bytes", "__dec_bytes")]
     return ValidationSuite(
         rules=clips_rules(),
         row_keys=("row_idx", "clip_id"),
@@ -90,6 +102,7 @@ def clips_suite(spark: SparkSession,
         salt_buckets=salt_buckets,
         audio_features=features,
         audio_vad=vad,
+        audio_bandwidth=bw,
         label_conflicts=(({"id_col": "clip_id", "bytes_col": "bytes",
                            "transcript_col": "transcript",
                            "key": "exact"},)

@@ -68,6 +68,11 @@ class ValidationSuite:
     # feature fields too (features.with_full_audio): EVERY audio gate on
     # is still ONE Arrow stage and ONE decode
     audio_vad: Sequence[str] = ()
+    # bytes columns whose decode stage should ALSO emit the
+    # effective-bandwidth fields (rolloff_hz/bandwidth_ratio — upsample
+    # detection, audio/bandwidth.py); implies features + VAD: the
+    # everything-on stage stays ONE Arrow stage and ONE decode
+    audio_bandwidth: Sequence[str] = ()
     # transcript-label conflict specs (audio/consistency.py): each dict
     # is kwargs for transcript_conflict_violations minus row_key_cols,
     # e.g. {"id_col": "clip_id", "bytes_col": "bytes",
@@ -118,7 +123,12 @@ class ValidationSuite:
         rules = self.rules
         work = df
         for c in self._decodable_cols():
-            if c in self.audio_vad:
+            if c in self.audio_bandwidth:
+                from .audio.features import with_full_audio
+                work = with_full_audio(work, bytes_col=c,
+                                       out_col=f"__dec_{c}",
+                                       bandwidth=True)
+            elif c in self.audio_vad:
                 from .audio.features import with_full_audio
                 work = with_full_audio(work, bytes_col=c,
                                        out_col=f"__dec_{c}")

@@ -140,3 +140,23 @@ def test_bandwidth_rule_composes_with_ruleset(spark):
           .with_rule(bandwidth_rule(min_ratio=0.5)))
     v = rs.violations(bw, row_key_cols=["clip_id"]).collect()
     assert {r["rule_id"] for r in v} == {"MAX", "CONSISTENT"}
+
+
+def test_clips_suite_bandwidth_flag(spark):
+    """clips_suite(bandwidth_checks=True): the gate rides the fused
+    stage (ONE ArrowEvalPython in the row pass) and flags the synth
+    tone clips (narrowband by construction) as CONSISTENT on
+    /bytes/bandwidth_ratio; the default suite emits none."""
+    from protovalidate_spark.clips import clips_suite
+    from protovalidate_spark.fixtures import TINY, clips_df
+    df = clips_df(spark, TINY).limit(200)
+    suite = clips_suite(spark, bandwidth_checks=True)
+    rv = suite.row_violations(df)
+    plan = rv._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    bw = rv.filter(F.col("field_path") == "/bytes/bandwidth_ratio")
+    assert bw.count() > 0
+    assert {r["rule_id"] for r in bw.collect()} == {"CONSISTENT"}
+    base = clips_suite(spark).row_violations(df)
+    assert base.filter(
+        F.col("field_path") == "/bytes/bandwidth_ratio").count() == 0

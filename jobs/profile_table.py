@@ -27,6 +27,7 @@ import sys
 import time
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -43,6 +44,15 @@ def main():
                          "approx-distinct exceeds this (ID-shaped)")
     ap.add_argument("--snapshot", default="")
     ap.add_argument("--baseline", default="")
+    ap.add_argument("--outlier-cols", default="",
+                    help="comma-separated numeric columns to run the "
+                         "Tukey IQR fence outlier check on (reports the "
+                         "flagged-row count per column)")
+    ap.add_argument("--outlier-k", type=float, default=1.5)
+    ap.add_argument("--group-col", default="",
+                    help="additionally print per-group stats for the "
+                         "profiled columns grouped by this column "
+                         "(one extra groupBy agg scan)")
     args = ap.parse_args()
 
     from protovalidate_spark.conf import apply_recommended
@@ -92,6 +102,26 @@ def main():
         save_snapshot(snapshot(df, cols), args.snapshot)
         summary["snapshot"] = args.snapshot
 
+    if args.outlier_cols:
+        from protovalidate_spark.dataset import iqr_outlier_violations
+        ocols = [c for c in args.outlier_cols.split(",") if c]
+        bad = [c for c in ocols if c not in df.columns]
+        if bad:
+            raise SystemExit(f"--outlier-cols names not in table: {bad}")
+        ov = iqr_outlier_violations(df, ocols, k=args.outlier_k)
+        per = {r["field_path"]: r["cnt"] for r in
+               ov.groupBy("field_path")
+                 .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        summary["outliers"] = {c: per.get(f"/{c}", 0) for c in ocols}
+
+    grouped = []
+    if args.group_col:
+        from protovalidate_spark.dataset import grouped_column_stats
+        grouped = grouped_column_stats(
+            df, args.group_col,
+            [c for c in cols if c != args.group_col]).collect()
+        summary["groups"] = len({r[args.group_col] for r in grouped})
+
     summary["wall_s"] = round(time.time() - t0, 2)
     print(json.dumps(summary))
 
@@ -104,6 +134,14 @@ def main():
     for r in hh:
         print(f"  {r['column']:>12s} #{r['rank']}: {r['value']} "
               f"(n={r['n']})", file=sys.stderr)
+    if grouped:
+        print(f"\n== per-group stats ({args.group_col}) ==",
+              file=sys.stderr)
+        for r in grouped:
+            print(f"  {str(r[args.group_col]):>12s}.{r['column']}: "
+                  f"n={r['n_rows']} nulls={r['null_rate']:.4f} "
+                  f"distinct={r['approx_distinct']} min={r['min']} "
+                  f"max={r['max']}", file=sys.stderr)
 
     spark.stop()
     return 0

@@ -595,3 +595,82 @@ def stream_volume_violations(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def windowed_outlier_counts(stream_df: DataFrame, ts_col: str,
+                            fences: dict, window: str = "10 minutes",
+                            watermark: str = "10 minutes") -> DataFrame:
+    """Per-window outlier counts per column against FROZEN fences (the
+    streaming stage of dataset/outliers.py): ``fences`` comes from
+    ``iqr_fences`` over a healthy batch baseline — a stream cannot
+    derive robust quantiles over itself without unbounded state, and
+    freezing them is the same baseline-snapshot contract the drift
+    monitor uses. ONE watermarked agg (bounded state): per window, the
+    row count plus each column's breach count — shuffle volume is one
+    counter row per open window, never per row."""
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for c, (lo, hi, _q1, _q3) in fences.items():
+        x = F.col(c).cast("double")
+        breach = (x.isNotNull() & ((x < F.lit(lo)) | (x > F.lit(hi))))
+        aggs.append(F.sum(breach.cast("long")).alias(f"{c}__outliers"))
+    return (stream_df.withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window).alias("w"))
+            .agg(*aggs)
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "*")
+            .drop("w"))
+
+
+def window_outlier_rows(batch_rows, fences: dict,
+                        max_rate: float = 0.01) -> list:
+    """Driver-side verdict for CLOSED windows: one OUTLIER tuple per
+    (window, column) whose fence-breach RATE exceeds ``max_rate``.
+    A few outliers per window are normal (that is what fences mean);
+    the monitored regression is the rate jumping — a producer started
+    emitting garbage magnitudes."""
+    out = []
+    for r in sorted(batch_rows, key=lambda r: r["window_start"]):
+        n = int(r["cnt"])
+        if n == 0:
+            continue
+        for c in fences:
+            k = int(r[f"{c}__outliers"])
+            rate = k / n
+            if rate > max_rate:
+                out.append((r["window_start"], r["window_end"],
+                            f"/{c}", Code.OUTLIER,
+                            f"fence-breach rate {rate:.4f} exceeds "
+                            f"{max_rate} ({k}/{n} rows)",
+                            f"{rate:.6f}"))
+    return out
+
+
+def stream_outlier_violations(
+    stream_df: DataFrame, ts_col: str, out_path: str, checkpoint: str,
+    fences: dict, window: str = "10 minutes",
+    watermark: str = "10 minutes", max_rate: float = 0.01,
+    trigger_available_now: bool = True,
+):
+    """End-to-end streaming outlier-rate monitor: watermarked per-window
+    breach counts vs frozen fences -> per-closed-window rate verdict ->
+    violation rows as Parquet, same epoch-overwrite idempotent sink as
+    the drift and volume monitors."""
+    counts = windowed_outlier_counts(stream_df, ts_col, fences,
+                                     window, watermark)
+
+    def _sink(batch_df: DataFrame, epoch: int) -> None:
+        rows = window_outlier_rows(batch_df.collect(), fences, max_rate)
+        if rows:
+            (batch_df.sparkSession.createDataFrame(
+                rows, _DRIFT_WINDOW_SCHEMA)
+             .withColumn("__epoch", F.lit(int(epoch)))
+             .coalesce(1).write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("__epoch").parquet(out_path))
+
+    w = (counts.writeStream.foreachBatch(_sink)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

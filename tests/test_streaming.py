@@ -468,3 +468,42 @@ def test_stream_volume_violations(spark, tmp_path):
     assert all(r["rule_id"] == "DRIFT"
                and r["field_path"] == "/__volume__" for r in got)
     assert flagged == {("01:00", "30"), ("02:00", "200")}
+
+
+def test_stream_outlier_violations(spark, tmp_path):
+    """Windowed outlier-rate monitor vs FROZEN fences (from a healthy
+    batch baseline): the poisoned window's breach rate flags OUTLIER,
+    the healthy window's background rate stays under max_rate."""
+    from protovalidate_spark.dataset import iqr_fences
+    from protovalidate_spark.streaming import stream_outlier_violations
+
+    base = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], "value double")
+    fences = iqr_fences(base, ["value"], k=1.5, exact=True)
+
+    rows = []
+    for i in range(100):      # window 00:00 — healthy (1 mild breach)
+        v = 5000.0 if i == 0 else float(i % 100)
+        rows.append((v, "2026-01-01 00:0%d:%02d" % (i % 10, i % 60)))
+    for i in range(100):      # window 01:00 — poisoned (20% breaches)
+        v = 9999.0 if i % 5 == 0 else float(i % 100)
+        rows.append((v, "2026-01-01 01:0%d:%02d" % (i % 10, i % 60)))
+    rows.append((1.0, "2026-01-01 09:00:00"))   # sentinel closes 01:00
+    df = spark.createDataFrame(rows, "value double, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_outlier_violations(stream, "ts", out, ckpt, fences,
+                                  window="10 minutes",
+                                  watermark="0 seconds", max_rate=0.05)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["rule_id"] == "OUTLIER" and r["field_path"] == "/value"
+    assert r["window_start"].strftime("%H:%M") == "01:00"
+    assert abs(float(r["actual"]) - 0.2) < 1e-9

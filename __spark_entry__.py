@@ -633,6 +633,42 @@ def q_audio_bandwidth_clips(spark, sf_dir):
     return v.select("clip_id", "field_path", "rule_id", "actual")
 
 
+def q_codec_consistency_clips(spark, sf_dir):
+    """Declared-codec vs container-format consistency
+    (audio/container.py codec_consistency_rule): the metadata column's
+    promise checked against the RIFF header's effective format code
+    (EXTENSIBLE resolved) — header-chain parse only, membership test
+    compiled to a JVM map lookup. Non-SQL (binary header parse);
+    deterministic, so the oracle is a committed snapshot."""
+    from protovalidate_spark import Object
+    from protovalidate_spark.audio import (codec_consistency_rule,
+                                           with_container_format)
+    from protovalidate_spark.audio.wav import synth_sine_wav
+
+    fmts = ["pcm8", "pcm16", "pcm24", "pcm32", "float32", "float64",
+            "mulaw", "alaw"]
+    rows = []
+    for i, fmt in enumerate(fmts):
+        for ext in (False, True):
+            b = synth_sine_wav(220.0 + 31 * i, 8000, 60, 0.4, fmt=fmt,
+                               extensible=ext)
+            rows.append((f"{fmt}_ext{int(ext)}_true", b, fmt))
+            rows.append((f"{fmt}_ext{int(ext)}_coarse", b, "wav"))
+            wrong = fmts[(i + 3) % len(fmts)]
+            rows.append((f"{fmt}_ext{int(ext)}_as_{wrong}", b, wrong))
+    rows += [("unknown_codec", synth_sine_wav(330.0, 8000, 60, 0.4),
+              "opus"),
+             ("bad_garbage", b"not audio", "pcm16"),
+             ("bad_null", None, "pcm16"),
+             ("null_codec", synth_sine_wav(330.0, 8000, 60, 0.4), None)]
+    df = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string")
+    cf = with_container_format(df)
+    rs = Object().with_unknown().with_rule(codec_consistency_rule())
+    v = rs.violations(cf, row_key_cols=["clip_id"])
+    return v.select("clip_id", "field_path", "rule_id", "actual")
+
+
 def q_repair_audio_clips(spark, sf_dir):
     """Audio repair (audio/repair.py with_normalized_audio): DC removal
     + peak normalization under a 30 dB gain cap, re-encoded and decoded
@@ -1813,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_level_clips": q_audio_level_clips,
         "audio_snr_clips": q_audio_snr_clips,
         "audio_bandwidth_clips": q_audio_bandwidth_clips,
+        "codec_consistency_clips": q_codec_consistency_clips,
         "curate_clips": q_curate_clips,
         "repair_audio_clips": q_repair_audio_clips,
         "standardize_audio_clips": q_standardize_audio_clips,
@@ -3026,6 +3063,11 @@ def oracle_sql() -> dict[str, str]:
         "audio_bandwidth_clips": f"""
             SELECT clip_id, field_path, rule_id, actual
               FROM read_parquet('{EXPECTED_DIR}/audio_bandwidth_clips.parquet')
+        """,
+        "codec_consistency_clips": f"""
+            SELECT clip_id, field_path, rule_id, actual
+              FROM read_parquet(
+                '{EXPECTED_DIR}/codec_consistency_clips.parquet')
         """,
         "curate_clips": f"""
             SELECT clip_id, field_path, rule_id, actual

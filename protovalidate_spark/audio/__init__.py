@@ -35,6 +35,12 @@ from .bandwidth import (  # noqa: F401
     rolloff_hz,
     with_bandwidth,
 )
+from .container import (  # noqa: F401
+    CODEC_FORMATS,
+    codec_consistency_rule,
+    container_format,
+    with_container_format,
+)
 from .decode import (  # noqa: F401
     DECODED_DDL,
     decode_ok_rule,

@@ -28,7 +28,8 @@ EXPECTED = ["minhash_neardup_documents", "simhash_documents",
             "lsh_topk_embeddings", "ivf_topk_embeddings",
             "clips_format_family", "clips_audio_features",
             "audio_level_clips", "audio_snr_clips",
-            "audio_bandwidth_clips", "curate_clips",
+            "audio_bandwidth_clips", "codec_consistency_clips",
+            "curate_clips",
             "repair_audio_clips", "standardize_audio_clips",
             "trim_audio_clips",
             "audio_dup_clips", "audio_embed_neardup_clips",

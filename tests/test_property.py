@@ -305,3 +305,66 @@ def test_multichannel_downmix_roundtrip_property(frames, channels, fmt,
         ref = x.mean(axis=1)
         if float(np.abs(ref).max()) > 1e-3:  # SNR defined away from zero
             assert snr_db(ref, d.pcm) >= 30.0
+
+
+def _py_iqr_flags(vals, k=1.5):
+    """Pure-Python oracle for the IQR fence flag set: numpy 'linear'
+    percentile interpolation == Spark's exact percentile formula
+    (lower + frac*(higher-lower))."""
+    import numpy as np
+    xs = np.array([v for v in vals if v is not None], dtype=np.float64)
+    if xs.size == 0:
+        return set()
+    q1, q3 = np.percentile(xs, [25, 75], method="linear")
+    lo, hi = q1 - k * (q3 - q1), q3 + k * (q3 - q1)
+    return {i for i, v in enumerate(vals)
+            if v is not None and (v < lo or v > hi)}
+
+
+@settings(max_examples=5, deadline=None)
+@given(vals=st.lists(st.one_of(st.none(),
+                               st.integers(-1000, 1000).map(float)),
+                     min_size=2, max_size=40),
+       a=st.sampled_from([0.5, 2.0, 10.0]),
+       b=st.sampled_from([-5.0, 0.0, 7.0]))
+def test_iqr_outliers_match_python_oracle_and_affine_invariant(
+        spark, vals, a, b):
+    """The Spark exact-IQR flag set equals the pure-Python oracle, and
+    is invariant under positive affine maps x -> a*x + b (fences are
+    order statistics, so they transform with the data). Exact-in-
+    float64 inputs (ints, dyadic a, int b) keep both properties sharp."""
+    from protovalidate_spark.dataset.outliers import iqr_outlier_violations
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id int, x double")
+    got = {r["id"] for r in iqr_outlier_violations(
+        df, ["x"], row_key_cols=["id"], exact=True).collect()}
+    assert got == _py_iqr_flags(vals)
+
+    tdf = spark.createDataFrame(
+        [(i, None if v is None else a * v + b) for i, v in rows],
+        "id int, x double")
+    got_t = {r["id"] for r in iqr_outlier_violations(
+        tdf, ["x"], row_key_cols=["id"], exact=True).collect()}
+    assert got_t == got
+
+
+@settings(max_examples=5, deadline=None)
+@given(vals=st.lists(st.integers(-1000, 1000).map(float),
+                     min_size=2, max_size=40))
+def test_mad_outliers_match_python_oracle(spark, vals):
+    """Spark exact-MAD flags == pure-Python oracle (same 0.6745
+    constant, same exact-median interpolation); degenerate MAD==0
+    columns produce NO flags on both sides."""
+    import numpy as np
+
+    from protovalidate_spark.dataset.outliers import mad_outlier_violations
+    xs = np.array(vals, dtype=np.float64)
+    med = float(np.percentile(xs, 50, method="linear"))
+    mad = float(np.percentile(np.abs(xs - med), 50, method="linear"))
+    expect = set() if mad <= 0 else {
+        i for i, v in enumerate(vals)
+        if abs(v - med) * (0.6745 / mad) > 3.5}
+    df = spark.createDataFrame(list(enumerate(vals)), "id int, x double")
+    got = {r["id"] for r in mad_outlier_violations(
+        df, ["x"], row_key_cols=["id"], k=3.5, exact=True).collect()}
+    assert got == expect

@@ -1422,6 +1422,26 @@ def q_pii_documents(spark, sf_dir):
         "doc_id", "n_emails", "n_ipv4", "n_phones")
 
 
+def q_redact_pii_documents(spark, sf_dir):
+    """PII redaction (pipeline/text.py redact_pii): every detected span
+    replaced by its bracketed marker, SAME patterns as pii_counts
+    (imported, never re-stated), fixed replace order
+    (emails → IPs → phones); the post-scrub pii_counts on the redacted
+    column must be all-zero — emitted so the oracle verifies
+    convergence, not just the string transform."""
+    from protovalidate_spark.pipeline import pii_counts, with_redacted_text
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn("text", F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(_PII_INJECT))).otherwise(F.col("text")))
+    red = with_redacted_text(d, "text").drop("text") \
+        .withColumnRenamed("text_redacted", "text")
+    return pii_counts(red, "text").select(
+        "doc_id", F.col("text").alias("redacted"),
+        (F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones"))
+        .alias("residual_pii"))
+
+
 def q_ann_topk_embeddings(spark, sf_dir):
     from protovalidate_spark.pipeline import cosine_topk
     e = _t(spark, sf_dir, "embeddings")
@@ -1794,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_documents": q_gopher_quality_documents,
         "c4_quality_documents": q_c4_quality_documents,
         "pii_documents": q_pii_documents,
+        "redact_pii_documents": q_redact_pii_documents,
         "duplicate_spans_documents": q_duplicate_spans_documents,
         "remove_spans_documents": q_remove_spans_documents,
         "oov_documents": q_oov_documents,
@@ -2986,6 +3007,33 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text,
                      '\+\d[\d()\- ]{{7,}}\d'))::BIGINT AS n_phones
               FROM d
+        """,
+        "redact_pii_documents": rf"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || '{_PII_INJECT}'
+                          ELSE text END AS text
+                FROM documents),
+            r AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+                           '[EMAIL]', 'g'),
+                         '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b',
+                         '[IP]', 'g'),
+                       '\+\d[\d()\- ]{{7,}}\d', '[PHONE]', 'g') AS redacted
+                FROM d)
+            SELECT doc_id, redacted,
+                   (len(regexp_extract_all(redacted,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+                    + len(regexp_extract_all(redacted,
+                      '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b'))
+                    + len(regexp_extract_all(redacted,
+                      '\+\d[\d()\- ]{{7,}}\d')))::BIGINT AS residual_pii
+              FROM r
         """,
         "ann_topk_embeddings": """
             WITH q AS (SELECT embedding::DOUBLE[] v FROM embeddings

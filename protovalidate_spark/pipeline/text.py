@@ -415,6 +415,36 @@ def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
           for name, pat in _PII_PATTERNS.items()])
 
 
+#: replacement tokens for redaction — bracketed uppercase markers, the
+#: C4/Dolma-style scrub convention (greppable, tokenizer-stable)
+_PII_REDACTIONS = {
+    "n_emails": "[EMAIL]",
+    "n_ipv4": "[IP]",
+    "n_phones": "[PHONE]",
+}
+
+
+def redact_pii(col: Column) -> Column:
+    """Scrub PII in place: each detected span replaced by its bracketed
+    marker ([EMAIL]/[IP]/[PHONE]) — one chained ``regexp_replace`` per
+    pattern, the SAME patterns ``pii_counts`` detects with (imported,
+    not re-stated, so detect and scrub can never drift apart). Pure
+    JVM, map-only; order matters only for phones-vs-IPs overlap and is
+    fixed (emails, then IPs, then phones) so output is deterministic."""
+    out = col
+    for name in ("n_emails", "n_ipv4", "n_phones"):
+        out = F.regexp_replace(out, _PII_PATTERNS[name],
+                               _PII_REDACTIONS[name])
+    return out
+
+
+def with_redacted_text(df: DataFrame, text_col: str = "text",
+                       out_col: str = "text_redacted") -> DataFrame:
+    """Append the scrubbed text column; pair with ``pii_counts`` to
+    assert the scrub converged (counts on the redacted column are 0)."""
+    return df.withColumn(out_col, redact_pii(F.col(text_col)))
+
+
 def normalize_text(col: Column) -> Column:
     """Dedup normalization: lowercase, strip non-alphanumerics, squeeze
     whitespace."""

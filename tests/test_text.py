@@ -4,6 +4,7 @@ parity on the same synthetic multilingual rows."""
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from protovalidate_spark.pipeline import lang_id
 
@@ -211,3 +212,26 @@ def test_oov_rate(spark):
     plan = oov_rate(df, "doc_id", vocab) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_redact_pii(spark):
+    from protovalidate_spark.pipeline import pii_counts, with_redacted_text
+    rows = [
+        (1, "mail a@b.io and c.d+x@e.org, call +1 (555) 123-4567"),
+        (2, "server at 10.0.0.1 and 192.168.1.255 ok"),
+        (3, "clean text, no pii at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    red = with_redacted_text(df)
+    got = {r["id"]: r["text_redacted"] for r in red.collect()}
+    assert got[1] == "mail [EMAIL] and [EMAIL], call [PHONE]"
+    assert got[2] == "server at [IP] and [IP] ok"
+    assert got[3] == "clean text, no pii at all"
+    assert got[4] is None
+    # convergence: detection on the scrubbed column finds nothing
+    post = pii_counts(red.drop("text").withColumnRenamed(
+        "text_redacted", "text"), "text")
+    assert post.filter(
+        (F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")) > 0
+    ).count() == 0

@@ -316,6 +316,23 @@ def q_freshness_events(spark, sf_dir):
         "field_path", "rule_id")
 
 
+def q_fd_events(spark, sf_dir):
+    """Functional-dependency contract (dataset/integrity.py
+    functional_dependency_violations): each derived shard
+    (event_id div 10) must map to ONE label — a deterministic planted
+    break (label flips on event_id % 97 == 0) makes every group
+    containing a flip row a CONSISTENT violation with min/max
+    witnesses. One map-side-combined distinct agg, no join."""
+    from protovalidate_spark.dataset import functional_dependency_violations
+    ev = _t(spark, sf_dir, "events")
+    d = (ev.filter(F.col("event_id").isNotNull())
+           .withColumn("shard", (F.col("event_id") / 10).cast("long"))
+           .withColumn("label", F.when(F.col("event_id") % 97 == 0, "x")
+                       .otherwise("y")))
+    v = functional_dependency_violations(d, ["shard"], "label")
+    return v.select("shard", "n_values", "dep_min", "dep_max", "rule_id")
+
+
 def q_calendar_gaps_orders(spark, sf_dir):
     """Calendar completeness (dataset/integrity.py): every date between
     the observed min and max o_orderdate must be present; one REQUIRED
@@ -1825,6 +1842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_mad_events": q_outliers_mad_events,
         "freshness_events": q_freshness_events,
         "grouped_stats_events": q_grouped_stats_events,
+        "fd_events": q_fd_events,
         "calendar_gaps_orders": q_calendar_gaps_orders,
         "vector_rules_embeddings": q_vector_rules_embeddings,
         "embedding_drift": q_embedding_drift,
@@ -2119,6 +2137,17 @@ def oracle_sql() -> dict[str, str]:
              WHERE value IS NOT NULL
                AND (value < q1 - 1.5 * (q3 - q1)
                     OR value > q3 + 1.5 * (q3 - q1))
+        """,
+        "fd_events": """
+            WITH e AS (SELECT event_id // 10 AS shard,
+                              CASE WHEN event_id % 97 = 0
+                                   THEN 'x' ELSE 'y' END AS label
+                         FROM events WHERE event_id IS NOT NULL)
+            SELECT shard, count(DISTINCT label) AS n_values,
+                   min(label) AS dep_min, max(label) AS dep_max,
+                   'CONSISTENT' AS rule_id
+              FROM e GROUP BY shard
+            HAVING count(DISTINCT label) > 1
         """,
         "grouped_stats_events": """
             SELECT event_type, 'value' AS column, count(*) AS n_rows,

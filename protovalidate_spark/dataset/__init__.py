@@ -18,6 +18,7 @@ from .outliers import (  # noqa: F401
     iqr_fences, iqr_outlier_violations, mad_outlier_violations, mad_params,
 )
 from .integrity import (  # noqa: F401
-    calendar_gap_violations, freshness_violations, group_size_violations,
+    calendar_gap_violations, freshness_violations,
+    functional_dependency_violations, group_size_violations,
     monotonic_violations, reconciliation_violations, volume_anomalies,
 )

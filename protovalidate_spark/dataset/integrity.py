@@ -286,3 +286,42 @@ def freshness_violations(df: DataFrame, ts_expr: Column, ts_name: str,
     return stale.select(*keys, "max_ts", v.alias("_v")).select(
         *keys, "max_ts", "_v.field_path", "_v.rule_id", "_v.message",
         "_v.actual")
+
+
+def functional_dependency_violations(
+    df: DataFrame, key_cols: Sequence[str], dep_col: str,
+) -> DataFrame:
+    """Functional-dependency contract: every ``key_cols`` group must
+    map to exactly ONE distinct value of ``dep_col`` ("a clip_id always
+    carries the same codec", "an order ships from one warehouse") —
+    one CONSISTENT violation per key that maps to several. The generic
+    form of the transcript-conflict gate (audio/consistency.py), for
+    plain scalar columns with no normalization/tolerance semantics.
+
+    One map-side-combined shuffle of (key, distinct-dep partials);
+    min/max dep values ride along as witnesses so the violation is
+    actionable without a second scan. NULL dep values are ignored
+    (count_distinct semantics — a missing value is the REQUIRED rule's
+    finding, not a conflicting one); NULL keys are skipped like every
+    other key-wise check.
+
+    Output: (key_cols..., n_values, dep_min, dep_max, field_path,
+    rule_id, message, actual)."""
+    nn = df.filter(F.col(dep_col).isNotNull())
+    for c in key_cols:
+        nn = nn.filter(F.col(c).isNotNull())
+    agg = nn.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count_distinct(F.col(dep_col)).alias("n_values"),
+        F.min(dep_col).cast("string").alias("dep_min"),
+        F.max(dep_col).cast("string").alias("dep_max"))
+    bad = agg.filter(F.col("n_values") > 1)
+    v = violation_struct(
+        f"/{dep_col}", Code.CONSISTENT,
+        f"{dep_col} must be functionally determined by {list(key_cols)}",
+        F.concat(F.col("n_values").cast("string"),
+                 F.lit(" values, e.g. "), F.col("dep_min"),
+                 F.lit(" vs "), F.col("dep_max")))
+    return bad.select(*key_cols, "n_values", "dep_min", "dep_max",
+                      v.alias("_v")).select(
+        *key_cols, "n_values", "dep_min", "dep_max",
+        "_v.field_path", "_v.rule_id", "_v.message", "_v.actual")

@@ -268,3 +268,32 @@ def test_freshness_suite_spec(spark):
     rows = suite.run(d, persist=False).violations \
         .filter(F.col("rule_id") == "EXPIRED").collect()
     assert len(rows) == 1 and "[src=b]" in rows[0]["message"]
+
+
+def test_functional_dependency(spark):
+    from protovalidate_spark.dataset import functional_dependency_violations
+    d = spark.createDataFrame(
+        [("c1", "wav"), ("c1", "wav"),            # consistent
+         ("c2", "wav"), ("c2", "flac"),           # conflict
+         ("c3", None), ("c3", "opus"),            # NULL dep ignored
+         (None, "wav"), (None, "flac")],          # NULL key skipped
+        "clip string, codec string")
+    v = functional_dependency_violations(d, ["clip"], "codec")
+    rows = v.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["clip"] == "c2" and r["n_values"] == 2
+    assert (r["dep_min"], r["dep_max"]) == ("flac", "wav")
+    assert r["rule_id"] == "CONSISTENT" and r["field_path"] == "/codec"
+    assert "2 values, e.g. flac vs wav" == r["actual"]
+
+
+def test_functional_dependency_single_shuffle(spark):
+    from protovalidate_spark.dataset import functional_dependency_violations
+    d = spark.createDataFrame([("a", 1)] * 10, "k string, v int")
+    v = functional_dependency_violations(d, ["k"], "v")
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    # count_distinct expands to a two-phase agg over ONE key exchange;
+    # no join, no second scan
+    assert "Join" not in plan
+    assert v.count() == 0

@@ -147,16 +147,31 @@ def test_clips_suite_bandwidth_flag(spark):
     stage (ONE ArrowEvalPython in the row pass) and flags the synth
     tone clips (narrowband by construction) as CONSISTENT on
     /bytes/bandwidth_ratio; the default suite emits none."""
+    import datetime
+
     from protovalidate_spark.clips import clips_suite
     from protovalidate_spark.fixtures import TINY, clips_df
-    df = clips_df(spark, TINY).limit(200)
+    # plan pin on a synth-free frame: clips_df itself synthesizes bytes
+    # through a pandas UDF, which shows as a second, unrelated
+    # ArrowEvalPython unless the fixture is persisted first (same
+    # pattern as test_audio_features' suite plan pins)
+    plain = spark.createDataFrame(
+        [(1, "clip-0000000001", synth_sine_wav(440.0, 16000, 100), 16000,
+          100, "wav", "some words", datetime.date(2026, 1, 1))],
+        "row_idx long, clip_id string, bytes binary, sr_hz int, "
+        "dur_ms int, codec string, transcript string, part_date date")
     suite = clips_suite(spark, bandwidth_checks=True)
-    rv = suite.row_violations(df)
-    plan = rv._jdf.queryExecution().executedPlan().toString()
+    plan = suite.row_violations(plain) \
+        ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
+
+    df = clips_df(spark, TINY).limit(200).persist()
+    df.count()
+    rv = suite.row_violations(df)
     bw = rv.filter(F.col("field_path") == "/bytes/bandwidth_ratio")
     assert bw.count() > 0
     assert {r["rule_id"] for r in bw.collect()} == {"CONSISTENT"}
     base = clips_suite(spark).row_violations(df)
     assert base.filter(
         F.col("field_path") == "/bytes/bandwidth_ratio").count() == 0
+    df.unpersist()

@@ -8,6 +8,8 @@ Usage:
       [--table PATH] [--monotonic key:order:value] \
       [--volume-col COL --max-rel-dev 0.5] [--calendar-col COL] \
       [--reconcile dim_path:fact_key:dim_key:sum_col:dim_col:rel_tol] \
+      [--fd key_cols:dep_col] [--group-size key_cols:min:max] \
+      [--freshness ts_col:max_age_hours:as_of[:group_col]] \
       [--out DIR]
 
 With no args it runs the TPC-H-shaped demo on the driver testdata:
@@ -39,6 +41,15 @@ def main():
         "l_extendedprice:o_totalprice:0.25",
         help="dim_path:fact_key:dim_key:sum_col:dim_col:rel_tol "
              "('' disables)")
+    ap.add_argument("--fd", default="",
+                    help="key_cols:dep_col (comma-list keys) — "
+                         "functional-dependency contract")
+    ap.add_argument("--group-size", default="",
+                    help="key_cols:min:max (either bound may be '') — "
+                         "per-key cardinality bounds")
+    ap.add_argument("--freshness", default="",
+                    help="ts_col:max_age_hours:as_of[:group_col] — "
+                         "as_of is a pinned 'YYYY-MM-DD HH:MM:SS'")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -48,8 +59,9 @@ def main():
     spark.sparkContext.setLogLevel("WARN")
 
     from protovalidate_spark.dataset import (
-        calendar_gap_violations, monotonic_violations,
-        reconciliation_violations, volume_anomalies,
+        calendar_gap_violations, freshness_violations,
+        functional_dependency_violations, group_size_violations,
+        monotonic_violations, reconciliation_violations, volume_anomalies,
     )
 
     df = spark.read.parquet(args.table)
@@ -75,6 +87,27 @@ def main():
         parts.append(("reconcile", reconciliation_violations(
             df, dim, fk, dk, F.sum(F.col(sum_col)), dim_col,
             rel_tol=float(tol))))
+    if args.fd:
+        keys, dep = args.fd.split(":")
+        parts.append(("fd", functional_dependency_violations(
+            df, keys.split(","), dep)))
+    if args.group_size:
+        keys, lo, hi = args.group_size.split(":")
+        parts.append(("group_size", group_size_violations(
+            df, keys.split(","),
+            min_n=int(lo) if lo else None,
+            max_n=int(hi) if hi else None)))
+    if args.freshness:
+        bits = args.freshness.split(":")
+        ts_col, hours = bits[0], float(bits[1])
+        if len(bits) >= 5:        # as_of carries HH:MM:SS colons
+            as_of = ":".join(bits[2:5])
+            group = bits[5] if len(bits) > 5 else None
+        else:                     # date-only as_of
+            as_of = bits[2]
+            group = bits[3] if len(bits) > 3 else None
+        parts.append(("freshness", freshness_violations(
+            df, F.col(ts_col), ts_col, hours, as_of, group_col=group)))
 
     for name, v in parts:
         counts[name] = v.count()

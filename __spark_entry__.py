@@ -70,19 +70,28 @@ def q_collection_lineitem(spark, sf_dir):
     written in ANY serializer (normalized driver-side to the stored
     default form — here the dot and JSONPath forms), and
     ``with_error_type`` appends the validation/permission/internal
-    classification (NOTALLOWED → permission, bound rules → validation)."""
+    classification (NOTALLOWED → permission, bound rules → validation).
+    The quantity branch goes through ``violations_for_as(..., dtype=
+    "double")`` — the ForPathAs typed accessor (collection.go:85-102) —
+    so ``actual_typed`` carries the violating value cast back from the
+    stored string to its original type."""
+    from pyspark.sql import functions as F
     from protovalidate_spark import Float64, Object, String
-    from protovalidate_spark.errors import violations_for, with_error_type
+    from protovalidate_spark.errors import (violations_for,
+                                            violations_for_as,
+                                            with_error_type)
     li = _t(spark, sf_dir, "lineitem")
     rs = (Object().with_unknown()
           .with_key("l_quantity", Float64().with_required().min(1).max(45))
           .with_key("l_returnflag", String().allowed_values("A", "N", "R")))
     v = rs.violations(li, row_key_cols=["l_orderkey", "l_linenumber"])
-    qty = violations_for(v, "l_quantity", serializer="dot")
-    flag = violations_for(v, "$.l_returnflag", serializer="jsonpath")
+    qty = violations_for_as(v, "l_quantity", serializer="dot",
+                            dtype="double")
+    flag = (violations_for(v, "$.l_returnflag", serializer="jsonpath")
+            .withColumn("actual_typed", F.lit(None).cast("double")))
     return (with_error_type(qty.unionByName(flag))
             .select("l_orderkey", "l_linenumber", "field_path", "rule_id",
-                    "error_type"))
+                    "error_type", "actual_typed"))
 
 
 def q_conditional_orders(spark, sf_dir):
@@ -1984,15 +1993,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "collection_lineitem": """
             SELECT l_orderkey, l_linenumber, '/l_quantity' AS field_path,
-                   'MAX' AS rule_id, 'validation' AS error_type
+                   'MAX' AS rule_id, 'validation' AS error_type,
+                   CAST(l_quantity AS DOUBLE) AS actual_typed
               FROM lineitem WHERE l_quantity > 45
             UNION ALL
             SELECT l_orderkey, l_linenumber, '/l_quantity', 'MIN',
-                   'validation'
+                   'validation', CAST(l_quantity AS DOUBLE)
               FROM lineitem WHERE l_quantity < 1
             UNION ALL
             SELECT l_orderkey, l_linenumber, '/l_returnflag', 'NOTALLOWED',
-                   'permission'
+                   'permission', CAST(NULL AS DOUBLE)
               FROM lineitem WHERE l_returnflag NOT IN ('A','N','R')
         """,
         "conditional_orders": """

@@ -185,14 +185,30 @@ def violations_for(df, path: str, serializer: str = "default",
 
 
 def violations_for_as(df, path: str, serializer: str,
-                      path_col: str = "field_path"):
+                      dtype: "str | None" = None,
+                      path_col: str = "field_path",
+                      actual_col: str = "actual",
+                      out_col: str = "actual_typed"):
     """Collection.ForPathAs(path, serializer) (collection.go:85-102):
     identical filter to :func:`violations_for`, with the serializer
     REQUIRED — the reference compares ``err.PathAs(serializer) == path``;
     since every serializer is a bijection on path segments, normalizing
     the query to the stored default form is the same comparison, kept as
-    a pushable equality instead of re-serializing every row."""
-    return violations_for(df, path, serializer, path_col)
+    a pushable equality instead of re-serializing every row.
+
+    ``dtype`` is the typed-accessor half: the reference's Go caller gets
+    ``ValidationError`` values back with their original Go type, whereas
+    the violation frame stores ``actual`` stringified (util.go:14-20).
+    When given, a ``try_cast(actual, dtype)`` column (``out_col``) is
+    appended — NULL where the stored string does not parse as ``dtype``
+    (e.g. a NOTALLOWED violation on a text field queried as double),
+    mirroring Go's failed type assertion. Plain projection, no UDF."""
+    from pyspark.sql import functions as F
+    out = violations_for(df, path, serializer, path_col)
+    if dtype is not None:
+        out = out.withColumn(
+            out_col, F.expr(f"try_cast(`{actual_col}` as {dtype})"))
+    return out
 
 
 def with_error_type(df, code_col: str = "rule_id",

@@ -96,3 +96,23 @@ def test_violations_for_as_alias(spark, viols):
     assert {r["actual"] for r in
             violations_for_as(viols, "tags[0]", "dot").collect()} == {"spam"}
     assert violations_for_as(viols, "/email", "json_pointer").count() == 2
+
+
+def test_violations_for_as_typed_actual(spark, viols):
+    """ForPathAs typed accessor: ``dtype`` appends ``actual_typed`` =
+    try_cast(actual, dtype) — the violating value back in its original
+    type. A stored string that does not parse as dtype yields NULL
+    (Go's failed type assertion), never an ANSI cast error."""
+    from protovalidate_spark import violations_for_as
+    got = violations_for_as(viols, "/age", "json_pointer",
+                            dtype="double").collect()
+    assert len(got) == 1
+    assert got[0]["actual_typed"] == -1.0
+    assert got[0]["actual"] == "-1"
+    # non-numeric actuals ('spam') must cast to NULL, not raise
+    spam = violations_for_as(viols, "tags[0]", "dot",
+                             dtype="double").collect()
+    assert spam[0]["actual_typed"] is None
+    # no dtype -> no extra column (backwards compatible)
+    assert "actual_typed" not in violations_for_as(
+        viols, "/age", "json_pointer").columns

@@ -10,6 +10,7 @@ With no --table, generates the deterministic fixture table first.
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -60,7 +61,9 @@ def main():
     if args.resume:
         table = args.table or "/tmp/protovalidate_clips_table"
         out = args.out or "/tmp/protovalidate_clips_out"
-        if not args.table:
+        if not args.table and not os.path.isdir(table):
+            # generate once: a rewrite would change part-file names and
+            # the runner's lineage check would (correctly) re-validate
             write_clips(spark, table, profile)
         rep = run_checkpointed(spark, suite, table, out)
         verdicts = verdicts_from_outputs(spark, out)

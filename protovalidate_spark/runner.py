@@ -18,6 +18,16 @@ supersedes its earlier ``TIMEOUT`` rec), then re-runs the cheap GLOBAL
 phase (uniqueness/ref/drift span partitions) and records it under the
 ``__global__`` key.
 
+Lineage-verified resume: a ``complete`` record is trusted only while the
+partition's CURRENT data-file list still equals the recorded
+``file_list`` — a partition rewritten between runs (late-arriving files,
+compaction, backfill) is re-validated, not skipped. File-name equality
+is the Iceberg comparison: writers never reuse data-file names (UUID
+part files / Iceberg data paths), so any rewrite changes the set. The
+re-run appends a fresh ``complete`` rec (last-line-wins) with the new
+lineage. Disable with ``verify_lineage=False`` to get blind
+skip-if-recorded semantics.
+
 Timeout/cancel semantics mirror the reference's context handling
 (``pkg/rules/object.go:416-427``, ``slice.go:289-292``: ctx deadline ⇒
 ``TIMEOUT``, ctx cancel ⇒ ``CANCELED``, both first-class validation
@@ -108,6 +118,26 @@ class RunReport:
     total_violations: int
     partitions_timed_out: List[str] = field(default_factory=list)
     partitions_canceled: List[str] = field(default_factory=list)
+    # complete in the manifest but re-run because the partition's current
+    # file list diverged from the recorded lineage (also in partitions_run)
+    partitions_stale: List[str] = field(default_factory=list)
+
+
+def stale_partitions(done: dict, table_path: str, partition_col: str) -> List[str]:
+    """Completed-manifest partitions whose recorded ``file_list`` lineage no
+    longer matches the partition directory's current data files. Only
+    meaningful for directory-backed tables (the Iceberg seam compares
+    manifest data-file paths instead)."""
+    stale = []
+    for pv, rec in done.items():
+        if pv == GLOBAL_KEY:
+            continue
+        d = os.path.join(table_path, f"{partition_col}={pv}")
+        current = (partition_files(table_path, partition_col, pv)
+                   if os.path.isdir(d) else [])
+        if sorted(rec.get("file_list") or []) != current:
+            stale.append(pv)
+    return stale
 
 
 def _manifest_rec(pv, snapshot_id, files, rows, viols, wall_ms,
@@ -186,6 +216,7 @@ def run_checkpointed(
     partition_timeout_secs: Optional[float] = None,
     time_budget_secs: Optional[float] = None,
     partitions_per_job: int = 1,
+    verify_lineage: bool = True,
 ) -> RunReport:
     """Validate partition-by-partition with resume.
 
@@ -210,11 +241,22 @@ def run_checkpointed(
     Per-partition rows/violations still come from the same job via
     conditional Observation aggregates, and the manifest keeps one rec per
     partition; only driver job-scheduling overhead changes.
+
+    ``verify_lineage``: re-run (instead of skip) completed partitions whose
+    current data-file list differs from the manifest's recorded lineage —
+    rewritten/backfilled partitions are never silently trusted. The check
+    is a directory listing per completed partition, O(partitions) driver
+    work and no Spark jobs.
     """
     pc = suite.partition_col or "part_date"
     manifest_dir = os.path.join(output_dir, "_manifest")
     viol_dir = os.path.join(output_dir, "violations")
     done = completed_partitions(manifest_dir)
+    stale = []
+    if verify_lineage and done and os.path.isdir(table_path):
+        stale = stale_partitions(done, table_path, pc)
+        for pv in stale:
+            done.pop(pv, None)
     # source seam: Iceberg catalog table (partitions/snapshots from
     # metadata tables) or directory-partitioned Parquet (fixtures)
     parts = table_partitions(spark, table_path, pc)
@@ -346,7 +388,7 @@ def run_checkpointed(
         total_viol += gn
 
     return RunReport(ran, skipped, total_rows, total_viol,
-                     timed_out, canceled)
+                     timed_out, canceled, stale)
 
 
 def verdicts_from_outputs(spark: SparkSession, output_dir: str,

@@ -3,6 +3,7 @@ remaining 9 are re-scanned and final outputs equal a cold full run
 (FIXTURES.md §5)."""
 
 import os
+import shutil
 
 from protovalidate_spark.clips import clips_suite
 from protovalidate_spark.fixtures import TINY, clips_df, expected_violations, write_clips
@@ -51,3 +52,54 @@ def test_resume_from_manifest(spark, tmp_path_factory):
               for r in cold.verdicts.collect()}
     for pd_, r in vmap.items():
         assert cold_v[pd_] == (r["pass"], r["rows_scanned"], r["violations"])
+
+
+def test_resume_reruns_rewritten_partition(spark, tmp_path_factory):
+    """Lineage-verified resume: a partition rewritten AFTER its manifest
+    rec (new data-file names) is re-validated on the next run; untouched
+    partitions stay skipped, and the rewritten partition's verdict
+    reflects the NEW data."""
+    table = str(tmp_path_factory.mktemp("clips_table_lin"))
+    out = str(tmp_path_factory.mktemp("run_out_lin"))
+    write_clips(spark, table, TINY)
+    suite = clips_suite(spark)
+
+    r1 = run_checkpointed(spark, suite, table, out)
+    assert not r1.partitions_stale
+    parts = sorted(r1.partitions_run)
+    victim = parts[0]
+
+    # rewrite ONE partition in place: same rows, new part-file names —
+    # exactly what a compaction/backfill commit looks like on disk
+    vdir = os.path.join(table, f"part_date={victim}")
+    pdf = spark.read.parquet(vdir)
+    tmp = vdir + "_rewrite"
+    pdf.coalesce(1).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(vdir)
+    os.replace(tmp, vdir)
+
+    r2 = run_checkpointed(spark, suite, table, out)
+    assert r2.partitions_stale == [victim]
+    assert r2.partitions_run == [victim]
+    assert len(r2.partitions_skipped) == len(parts) - 1
+
+    # manifest lineage updated to the new file list; verdicts still
+    # reconcile with a cold full run (data content unchanged)
+    m = read_manifest(os.path.join(out, "_manifest"))
+    rec = m[victim]
+    assert rec["file_list"] and all(
+        os.path.exists(f) for f in rec["file_list"])
+    verdicts = {r["part_date"]: r for r in
+                verdicts_from_outputs(spark, out).collect()}
+    cold = clips_suite(spark).run(clips_df(spark, TINY))
+    cold_v = {str(r["part_date"]): (r["pass"], r["violations"])
+              for r in cold.verdicts.collect()}
+    assert cold_v[victim] == (verdicts[victim]["pass"],
+                              verdicts[victim]["violations"])
+
+    # third run: nothing stale, everything skipped
+    r3 = run_checkpointed(spark, suite, table, out)
+    assert not r3.partitions_stale and not r3.partitions_run
+    # blind mode would have skipped the rewrite too
+    r4 = run_checkpointed(spark, suite, table, out, verify_lineage=False)
+    assert not r4.partitions_stale and not r4.partitions_run

@@ -14,9 +14,11 @@ partition's wall-clock budget expired mid-job — the job was cancelled)
 or ``CANCELED`` (the whole-run budget expired before the partition
 started). A rerun skips only ``complete`` partitions (resume; the LAST
 line per partition wins, so a retried partition's ``complete`` rec
-supersedes its earlier ``TIMEOUT`` rec), then re-runs the cheap GLOBAL
-phase (uniqueness/ref/drift span partitions) and records it under the
-``__global__`` key.
+supersedes its earlier ``TIMEOUT`` rec), then re-runs the GLOBAL phase
+(uniqueness/ref/drift span partitions) and records it under the
+``__global__`` key — unless lineage proves the table unchanged since the
+last global pass, in which case the recorded result is reused and the
+rerun performs zero table scans.
 
 Lineage-verified resume: a ``complete`` record is trusted only while the
 partition's CURRENT data-file list still equals the recorded
@@ -369,8 +371,20 @@ def run_checkpointed(
                 stop = True
 
     # global phase: dataset-level checks over the whole table — only once
-    # every partition is checkpointed (a truncated run resumes later)
+    # every partition is checkpointed (a truncated run resumes later).
+    # Skipped entirely when lineage proves the table unchanged since the
+    # last recorded global pass (no partition ran, none stale): the
+    # global phase is the one full-table scan in a resume, so an
+    # all-skipped rerun costs O(partition listing), not O(table).
     if len(skipped) + len(ran) == len(parts):
+        prior_global = read_manifest(manifest_dir).get(GLOBAL_KEY)
+        if (verify_lineage and not ran and not stale
+                and prior_global is not None
+                and prior_global.get("status",
+                                     STATUS_COMPLETE) == STATUS_COMPLETE):
+            return RunReport(ran, skipped, total_rows,
+                             total_viol + prior_global["violations"],
+                             timed_out, canceled, stale)
         t0 = time.time()
         full = read_table(spark, table_path)
         gparts = suite.dataset_violations(full)

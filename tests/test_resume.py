@@ -97,9 +97,19 @@ def test_resume_reruns_rewritten_partition(spark, tmp_path_factory):
     assert cold_v[victim] == (verdicts[victim]["pass"],
                               verdicts[victim]["violations"])
 
-    # third run: nothing stale, everything skipped
+    # third run: nothing stale, everything skipped — and the global phase
+    # is reused from the manifest (zero table scans), reporting the same
+    # dataset-level violation count without appending a new __global__ rec
+    mpath = os.path.join(out, "_manifest", "manifest.jsonl")
+    def n_global():
+        with open(mpath) as f:
+            return sum(1 for ln in f if '"__global__"' in ln)
+    g_before = n_global()
     r3 = run_checkpointed(spark, suite, table, out)
     assert not r3.partitions_stale and not r3.partitions_run
+    assert n_global() == g_before
+    g_rec = read_manifest(os.path.join(out, "_manifest"))["__global__"]
+    assert r3.total_violations == g_rec["violations"] > 0
     # blind mode would have skipped the rewrite too
     r4 = run_checkpointed(spark, suite, table, out, verify_lineage=False)
     assert not r4.partitions_stale and not r4.partitions_run

@@ -70,6 +70,7 @@ def main():
         print(json.dumps({
             "mode": "checkpointed", "partitions_run": rep.partitions_run,
             "partitions_skipped": rep.partitions_skipped,
+            "partitions_stale": rep.partitions_stale,
             "rows": rep.total_rows, "violations": rep.total_violations,
             "wall_s": round(time.time() - t0, 2),
         }))

@@ -64,6 +64,34 @@ def q_validate_lineitem(spark, sf_dir):
     return v.select("l_orderkey", "l_linenumber", "field_path", "rule_id")
 
 
+def q_exemplars_lineitem(spark, sf_dir):
+    """Bounded violation materialization (errors.cap_exemplars +
+    violation_summary; ValidationSuite.max_exemplars_per_rule): at
+    10^12-row scale a pervasive rule would materialize billions of
+    violation rows, so the sink keeps only the k=10 deterministically
+    smallest exemplars per (field_path, rule_id) while counts stay
+    exact on the pre-cap stream. Scale shape: the rank window gets a
+    map-side PARTIAL WindowGroupLimit (pinned in test_plans), so a hot
+    rule ships ≤ P·k rows through the shuffle, never its raw count;
+    the exact summary is a partial-aggregated groupBy broadcast back
+    onto the tiny capped frame."""
+    from protovalidate_spark import Float64, Object, String
+    from protovalidate_spark.errors import cap_exemplars, violation_summary
+    li = _t(spark, sf_dir, "lineitem")
+    rs = (Object().with_unknown()
+          .with_key("l_quantity", Float64().with_required().min(1).max(45))
+          .with_key("l_discount", Float64().with_required().max(0.07))
+          .with_key("l_returnflag", String().allowed_values("A", "N", "R")))
+    v = (rs.violations(li, row_key_cols=["l_orderkey", "l_linenumber"])
+           .select("l_orderkey", "l_linenumber", "field_path", "rule_id"))
+    capped = cap_exemplars(v, ["l_orderkey", "l_linenumber"], 10)
+    totals = violation_summary(v).withColumnRenamed("violations",
+                                                    "rule_total")
+    return capped.join(F.broadcast(totals),
+                       on=["field_path", "rule_id"]).select(
+        "l_orderkey", "l_linenumber", "field_path", "rule_id", "rule_total")
+
+
 def q_collection_lineitem(spark, sf_dir):
     """Collection-API parity (reference pkg/errors/collection.go:7-141
     + dict.go classification): ``violations_for`` filters by a path
@@ -1817,12 +1845,14 @@ def q_lsh_topk_embeddings(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Dict order is the driver's execution order and the sweep
-        # truncates at ~50 — so the rotation policy is least-recently-
+        # truncates at 50 — so the rotation policy is least-recently-
         # driver-verified first. Round-5 order: the 9 queries with NO
-        # driver row in any round, then the 39 last verified in r3,
-        # then the three round-5 code changes (quantize contract
-        # shape, duplicate_spans de-skew, embedding_drift dim path),
-        # then the r4-green remainder. Cumulative target: 98/98.
+        # driver row in any round, then 37 of the 39 last verified in
+        # r3, then the round-5 code changes (quantize contract shape,
+        # duplicate_spans de-skew, embedding_drift dim path) and the
+        # new exemplars_lineitem — exactly 50. Two r3-green scalar
+        # queries moved below the cut to make room (their r3 rows
+        # already count toward cumulative coverage).
         "audio_level_clips": q_audio_level_clips,
         "audio_snr_clips": q_audio_snr_clips,
         "audio_bandwidth_clips": q_audio_bandwidth_clips,
@@ -1847,9 +1877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "localized_lineitem": q_localized_lineitem,
         "uri_parts_orders": q_uri_parts_orders,
         "email_domain_customer": q_email_domain_customer,
-        "bool_constant_events": q_bool_constant_events,
         "duration_orders": q_duration_orders,
-        "int_base16_customer": q_int_base16_customer,
         "fixed_output_lineitem": q_fixed_output_lineitem,
         "time_diff_orders": q_time_diff_orders,
         "domain_suffix_customer": q_domain_suffix_customer,
@@ -1874,7 +1902,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "duplicate_spans_documents": q_duplicate_spans_documents,
         "embedding_drift": q_embedding_drift,
+        "exemplars_lineitem": q_exemplars_lineitem,
+        # below the ~50 sweep cut: r4-green + two r3-green scalar rules
+        # (bool_constant_events, int_base16_customer) moved down to make
+        # room — their r3 rows already count toward cumulative coverage
         "validate_lineitem": q_validate_lineitem,
+        "bool_constant_events": q_bool_constant_events,
+        "int_base16_customer": q_int_base16_customer,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "neardup_embeddings": q_neardup_embeddings,
         "neardup_embeddings_lsh": q_neardup_embeddings_lsh,
@@ -1990,6 +2024,35 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber, '/l_linestatus', 'NOTALLOWED'
               FROM lineitem WHERE l_linestatus NOT IN ('F','O')
+        """,
+        "exemplars_lineitem": """
+            WITH v AS (
+                SELECT l_orderkey, l_linenumber,
+                       '/l_quantity' AS field_path, 'MAX' AS rule_id
+                  FROM lineitem WHERE l_quantity > 45
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, '/l_quantity', 'MIN'
+                  FROM lineitem WHERE l_quantity < 1
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, '/l_discount', 'MAX'
+                  FROM lineitem WHERE l_discount > 0.07
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, '/l_returnflag',
+                       'NOTALLOWED'
+                  FROM lineitem WHERE l_returnflag NOT IN ('A','N','R')
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY field_path, rule_id
+                           ORDER BY l_orderkey ASC, l_linenumber ASC)
+                           AS rn,
+                       count(*) OVER (
+                           PARTITION BY field_path, rule_id) AS rule_total
+                  FROM v)
+            SELECT l_orderkey, l_linenumber, field_path, rule_id,
+                   rule_total
+              FROM ranked WHERE rn <= 10
         """,
         "collection_lineitem": """
             SELECT l_orderkey, l_linenumber, '/l_quantity' AS field_path,

@@ -7,8 +7,8 @@ distribution drift, audio decode) per SURVEY.md / BASELINE.json.
 """
 
 from .errors import (  # noqa: F401
-    Code, CompileError, collection_status, error_type, violations_for,
-    violations_for_as,
+    Code, CompileError, cap_exemplars, collection_status, error_type,
+    violation_summary, violations_for, violations_for_as,
     with_error_type,
 )
 from .rules import (  # noqa: F401

@@ -252,3 +252,38 @@ def collection_status(df, by=None, code_col: str = "rule_id"):
         by = [by] if isinstance(by, str) else list(by)
         return typed.groupBy(*by).agg(*aggs)
     return typed.agg(*aggs)
+
+
+def violation_summary(df, rule_cols=("field_path", "rule_id")):
+    """Exact per-rule violation counts: one partial-aggregated groupBy,
+    safe at any violation volume (output cardinality = distinct rules).
+    The counting half of the cap-exemplars contract — counts always come
+    from the full stream, exemplar ROWS may be capped."""
+    from pyspark.sql import functions as F
+    return df.groupBy(*rule_cols).agg(F.count(F.lit(1)).alias("violations"))
+
+
+def cap_exemplars(df, order_cols, k: int,
+                  rule_cols=("field_path", "rule_id")):
+    """At most ``k`` exemplar rows per (field_path, rule_id) —
+    deterministically the k smallest by ``order_cols`` (ascending, NULLs
+    last; pass row-unique keys for a stable result).
+
+    Skew story — why a plain rank window is safe here: Spark rewrites a
+    ``row_number() <= k`` filter into a PARTIAL ``WindowGroupLimit``
+    BEFORE the exchange (SPARK-37099, pinned in test_plans), so each map
+    partition ships at most k rows per rule. A pervasive rule's shuffle
+    volume is therefore P·k (P = map partitions), never its raw
+    violation count — the reduce side of the hottest rule receives a
+    bounded frame, identical to a hand-rolled two-phase
+    partition-local/global top-k but with one less shuffle. Take counts
+    BEFORE capping (``violation_summary`` or an ``Observation`` on the
+    pre-cap plan) — verdicts stay exact while the materialized rows
+    stay bounded."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    w = Window.partitionBy(*rule_cols).orderBy(
+        *[F.asc_nulls_last(c) for c in order_cols])
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= k)
+              .drop("__rn"))

@@ -325,6 +325,14 @@ def run_checkpointed(
             .alias(f"v{i}") for i, pv in enumerate(pvs)]
         rv = suite.row_violations(batch.observe(obs_in, *in_aggs))
         rv = rv.observe(obs_out, *out_aggs)
+        if suite.max_exemplars_per_rule > 0:
+            # Observations above ride the PRE-cap stream: manifest
+            # violation counts stay exact while the parquet sink is
+            # bounded to k rows per (partition batch, rule)
+            from .errors import cap_exemplars
+            rv = cap_exemplars(rv, list(suite.row_keys),
+                               suite.max_exemplars_per_rule,
+                               rule_cols=[pc, "field_path", "rule_id"])
 
         group = f"protovalidate-{pc}-{pvs[0]}-{len(pvs)}"
         watch = _JobGroupTimeout(spark, group, partition_timeout_secs)

@@ -104,6 +104,14 @@ class ValidationSuite:
     # supplied — the parameter agg fires at plan-build time; the flag
     # pass itself is shuffle-free
     outliers: Sequence[dict] = ()
+    # >0: bound the MATERIALIZED violation rows to the k deterministically
+    # smallest (by row_keys) per (field_path, rule_id) — at 10^12 rows a
+    # pervasive rule would otherwise materialize billions of rows into
+    # the sink. Verdict counts stay EXACT (aggregated from the pre-cap
+    # stream); only RunResult.violations / the runner's parquet sink are
+    # capped. Skew-immune: the rank window gets a map-side partial
+    # WindowGroupLimit, shuffle ≤ P·k per rule (errors.cap_exemplars)
+    max_exemplars_per_rule: int = 0
 
     # ------------------------------------------------------------------
 
@@ -261,6 +269,14 @@ class ValidationSuite:
                         .withColumn("pass", F.col("violations") == 0))
 
         stats = column_stats(df, list(self.stats_cols)) if with_stats else None
+        out_violations = violations
+        if self.max_exemplars_per_rule > 0:
+            # verdicts above reference the PRE-cap (persisted) frame, so
+            # their counts stay exact; only the returned rows are capped
+            from .errors import cap_exemplars
+            out_violations = cap_exemplars(
+                violations, list(self.row_keys),
+                self.max_exemplars_per_rule)
         wall_ms = int((time.time() - t0) * 1000)
         verdicts = verdicts.withColumn("wall_ms", F.lit(wall_ms))
-        return RunResult(violations, verdicts, stats, wall_ms)
+        return RunResult(out_violations, verdicts, stats, wall_ms)

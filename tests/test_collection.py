@@ -116,3 +116,64 @@ def test_violations_for_as_typed_actual(spark, viols):
     # no dtype -> no extra column (backwards compatible)
     assert "actual_typed" not in violations_for_as(
         viols, "/age", "json_pointer").columns
+
+
+def test_cap_exemplars_exact_global_topk(spark):
+    """Two-phase cap == exact global top-k per rule, independent of the
+    input partitioning (phase 1 keys on spark_partition_id, so the
+    partitioning changes intermediate volume, never the result)."""
+    from protovalidate_spark.errors import cap_exemplars, violation_summary
+    from pyspark.sql import functions as F
+    # hot rule: 1000 rows of one (path, rule); cold rule: 3 rows
+    hot = spark.range(1000).select(
+        F.col("id").alias("row_idx"), F.lit("/a").alias("field_path"),
+        F.lit("MIN").alias("rule_id"))
+    cold = spark.range(3).select(
+        (F.col("id") + 5000).alias("row_idx"),
+        F.lit("/b").alias("field_path"), F.lit("REQUIRED").alias("rule_id"))
+    df = hot.unionByName(cold)
+    for nparts in (1, 7, 32):
+        capped = cap_exemplars(df.repartition(nparts), ["row_idx"], 5)
+        rows = {(r["field_path"], r["rule_id"], r["row_idx"])
+                for r in capped.collect()}
+        expect = {("/a", "MIN", i) for i in range(5)} | \
+                 {("/b", "REQUIRED", i) for i in (5000, 5001, 5002)}
+        assert rows == expect, f"nparts={nparts}"
+    # counts come from the FULL stream
+    counts = {(r["field_path"], r["rule_id"]): r["violations"]
+              for r in violation_summary(df).collect()}
+    assert counts == {("/a", "MIN"): 1000, ("/b", "REQUIRED"): 3}
+
+
+def test_cap_exemplars_null_order_keys_last(spark):
+    """Dataset-level violations carry NULL row keys — they sort last, so
+    row-keyed exemplars win the cap slots."""
+    from protovalidate_spark.errors import cap_exemplars
+    df = spark.createDataFrame(
+        [(None, "/a", "DRIFT"), (1, "/a", "DRIFT"), (2, "/a", "DRIFT")],
+        "row_idx long, field_path string, rule_id string")
+    got = sorted((r["row_idx"] or -1) for r in
+                 cap_exemplars(df, ["row_idx"], 2).collect())
+    assert got == [1, 2]
+
+
+def test_suite_cap_keeps_verdicts_exact(spark):
+    """max_exemplars_per_rule bounds RunResult.violations but verdict
+    counts still reflect the full stream."""
+    from protovalidate_spark.clips import clips_suite
+    from protovalidate_spark.fixtures import TINY, clips_df
+    df = clips_df(spark, TINY)
+    full = clips_suite(spark).run(df)
+    suite = clips_suite(spark)
+    suite.max_exemplars_per_rule = 1
+    capped = suite.run(df)
+    # verdict totals identical
+    tot = lambda res: sum(r["violations"] for r in res.verdicts.collect())
+    assert tot(capped) == tot(full)
+    # capped rows: at most 1 per rule, and a subset of the full rows
+    per_rule = (capped.violations.groupBy("field_path", "rule_id")
+                .count().collect())
+    assert per_rule and all(r["count"] == 1 for r in per_rule)
+    key = lambda r: (r["row_idx"], r["field_path"], r["rule_id"])
+    assert {key(r) for r in capped.violations.collect()} <= \
+           {key(r) for r in full.violations.collect()}

@@ -211,3 +211,23 @@ def test_embedding_snapshot_is_single_row_agg(spark):
     assert "Generate" not in plan                 # no explode
     assert plan.count("Exchange") <= 1            # single-row reduce
     assert embedding_dim(df, "v") == 3
+
+
+def test_cap_exemplars_has_mapside_group_limit(spark):
+    """The exemplar cap must get a PARTIAL WindowGroupLimit before the
+    exchange (SPARK-37099): each map partition ships at most k rows per
+    rule, so a pervasive rule's shuffle volume is P·k — never its raw
+    violation count. Non-constant rule keys so nothing constant-folds."""
+    from pyspark.sql import functions as F
+    from protovalidate_spark.errors import cap_exemplars
+    df = spark.range(1000).select(
+        F.col("id").alias("row_idx"),
+        F.concat(F.lit("/p"), (F.col("id") % 3).cast("string"))
+         .alias("field_path"),
+        F.lit("MIN").alias("rule_id"))
+    plan = _plan(cap_exemplars(df, ["row_idx"], 5))
+    partial = plan.index("WindowGroupLimit")
+    assert "Partial" in plan[partial:plan.index("\n", partial)] or \
+           ", Partial" in plan[plan.rindex("WindowGroupLimit"):]
+    # the partial limit sits BELOW (after, in explain order) the exchange
+    assert plan.index("Exchange") < plan.rindex("WindowGroupLimit")

@@ -140,3 +140,32 @@ def test_partition_batching_matches_per_partition(spark, tmp_path_factory):
     got = key_set(out4) | {(r["row_idx"], r["field_path"], r["rule_id"])
                            for r in gv.collect()}
     assert got == expected_violations(TINY)
+
+
+def test_runner_caps_sink_but_keeps_manifest_counts_exact(
+        spark, tmp_path_factory):
+    """max_exemplars_per_rule bounds the violations PARQUET SINK while
+    the manifest (Observation on the pre-cap stream) records exact
+    counts — the verdicts stay identical to an uncapped run."""
+    table = _table(spark, tmp_path_factory)
+    out_full = str(tmp_path_factory.mktemp("run_full"))
+    out_cap = str(tmp_path_factory.mktemp("run_cap"))
+
+    run_checkpointed(spark, clips_suite(spark), table, out_full)
+    suite = dataclasses.replace(clips_suite(spark),
+                                max_exemplars_per_rule=1)
+    run_checkpointed(spark, suite, table, out_cap)
+
+    mf = read_manifest(os.path.join(out_full, "_manifest"))
+    mc = read_manifest(os.path.join(out_cap, "_manifest"))
+    assert {p: r["violations"] for p, r in mf.items()} == \
+           {p: r["violations"] for p, r in mc.items()}
+
+    vfull = spark.read.parquet(os.path.join(out_full, "violations"))
+    vcap = spark.read.parquet(os.path.join(out_cap, "violations"))
+    # capped sink: at most 1 row per (partition, rule); subset of full
+    per = vcap.groupBy("part_date", "field_path", "rule_id").count()
+    assert all(r["count"] == 1 for r in per.collect())
+    key = lambda r: (r["row_idx"], r["field_path"], r["rule_id"])
+    assert {key(r) for r in vcap.collect()} <= \
+           {key(r) for r in vfull.collect()} and vcap.count() > 0

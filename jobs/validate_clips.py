@@ -24,6 +24,11 @@ def main():
     ap.add_argument("--rows", type=int, default=0)
     ap.add_argument("--resume", action="store_true",
                     help="use the checkpointed per-partition runner")
+    ap.add_argument("--max-exemplars", type=int, default=0,
+                    help="bound the materialized violation rows to the K "
+                         "deterministically smallest per (field_path, "
+                         "rule_id); verdict counts stay exact (0 = keep "
+                         "every violation row)")
     ap.add_argument("--audio-checks", action="store_true",
                     help="add PCM clipping/silence gates + speech-rate "
                          "consistency (same fused Arrow decode stage)")
@@ -56,6 +61,10 @@ def main():
                         level_checks=args.level_checks,
                         vad_checks=args.vad_checks,
                         bandwidth_checks=args.bandwidth_checks)
+    if args.max_exemplars > 0:
+        import dataclasses
+        suite = dataclasses.replace(
+            suite, max_exemplars_per_rule=args.max_exemplars)
     t0 = time.time()
 
     if args.resume:
@@ -80,12 +89,18 @@ def main():
               else clips_df(spark, profile))
         res = suite.run(df)
         n_rows = df.count()
-        nv = res.violations.count()
-        print(json.dumps({
+        # exact even when --max-exemplars caps the materialized rows:
+        # violations_full is the pre-cap stream
+        nv = (res.violations_full
+              if res.violations_full is not None else res.violations).count()
+        out = {
             "mode": "single-pass", "rows": n_rows, "violations": nv,
             "clips_per_sec": round(n_rows / (time.time() - t0), 1),
             "wall_s": round(time.time() - t0, 2),
-        }))
+        }
+        if args.max_exemplars > 0:
+            out["exemplar_rows"] = res.violations.count()
+        print(json.dumps(out))
         res.verdicts.orderBy("part_date").show(5, truncate=False)
         res.violations.groupBy("field_path", "rule_id").count() \
            .orderBy("field_path", "rule_id").show(30, truncate=False)

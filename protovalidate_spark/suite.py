@@ -40,6 +40,9 @@ class RunResult:
     verdicts: DataFrame          # (part, pass, rows_scanned, violations, wall_ms)
     stats: Optional[DataFrame]
     wall_ms: int
+    # pre-cap stream when max_exemplars_per_rule > 0 (exact counts live
+    # here); identical to `violations` otherwise
+    violations_full: Optional[DataFrame] = None
 
 
 @dataclass
@@ -279,4 +282,5 @@ class ValidationSuite:
                 self.max_exemplars_per_rule)
         wall_ms = int((time.time() - t0) * 1000)
         verdicts = verdicts.withColumn("wall_ms", F.lit(wall_ms))
-        return RunResult(out_violations, verdicts, stats, wall_ms)
+        return RunResult(out_violations, verdicts, stats, wall_ms,
+                         violations_full=violations)

@@ -368,3 +368,35 @@ def test_mad_outliers_match_python_oracle(spark, vals):
     got = {r["id"] for r in mad_outlier_violations(
         df, ["x"], row_key_cols=["id"], k=3.5, exact=True).collect()}
     assert got == expect
+
+
+@given(st.lists(st.tuples(st.integers(0, 500),
+                          st.sampled_from(["/a", "/b", "/c"]),
+                          st.sampled_from(["MIN", "MAX"])),
+                min_size=1, max_size=80),
+       st.integers(1, 6), st.integers(1, 5))
+@settings(max_examples=20, deadline=None)
+def test_cap_exemplars_is_exact_per_rule_topk(spark, rows, k, nparts):
+    """cap_exemplars == the python top-k per (field_path, rule_id) by
+    the order key, for any k and any input partitioning. Duplicate
+    order keys within a rule are allowed here — the SET of kept order
+    keys (the semantics the sink exposes) must still match the oracle's
+    smallest-k multiset as a set-with-counts."""
+    from collections import Counter
+    from protovalidate_spark.errors import cap_exemplars
+    df = spark.createDataFrame(
+        rows, "row_idx long, field_path string, rule_id string")
+    got = Counter(
+        (r["field_path"], r["rule_id"], r["row_idx"])
+        for r in cap_exemplars(df.repartition(nparts),
+                               ["row_idx"], k).collect())
+    # python oracle: per rule, the k smallest by (row_idx) — ties kept
+    # in arbitrary-but-counted multiplicity
+    by_rule = {}
+    for idx, fp, rid in rows:
+        by_rule.setdefault((fp, rid), []).append(idx)
+    want = Counter()
+    for (fp, rid), idxs in by_rule.items():
+        for idx in sorted(idxs)[:k]:
+            want[(fp, rid, idx)] += 1
+    assert got == want

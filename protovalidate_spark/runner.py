@@ -27,7 +27,13 @@ compaction, backfill) is re-validated, not skipped. File-name equality
 is the Iceberg comparison: writers never reuse data-file names (UUID
 part files / Iceberg data paths), so any rewrite changes the set. The
 re-run appends a fresh ``complete`` rec (last-line-wins) with the new
-lineage. Disable with ``verify_lineage=False`` to get blind
+lineage. Pure APPENDS (recorded file set ⊂ current — the dominant
+Iceberg commit shape) are cheaper still: row-level checks are
+file-composable, so only the NEW files are scanned, their violations
+appended to the partition's sink, and the manifest totals summed with
+the prior rec (``appended_files`` records the delta size). Any other
+divergence (compaction, rewrite, shrink) re-validates the whole
+partition. Disable with ``verify_lineage=False`` to get blind
 skip-if-recorded semantics.
 
 Timeout/cancel semantics mirror the reference's context handling
@@ -61,7 +67,8 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .errors import Code
-from .sources import read_partition, read_table, table_partitions, table_snapshot_id
+from .sources import (read_partition, read_partition_files, read_table,
+                      table_partitions, table_snapshot_id)
 from .suite import ValidationSuite
 
 MANIFEST_NAME = "manifest.jsonl"
@@ -130,16 +137,34 @@ def stale_partitions(done: dict, table_path: str, partition_col: str) -> List[st
     longer matches the partition directory's current data files. Only
     meaningful for directory-backed tables (the Iceberg seam compares
     manifest data-file paths instead)."""
-    stale = []
+    return [pv for pv, _, _ in
+            classify_stale(done, table_path, partition_col)]
+
+
+def classify_stale(done: dict, table_path: str, partition_col: str):
+    """Lineage triage for completed-manifest partitions: ``(pv,
+    delta_files, old_rec)`` per stale partition. ``delta_files`` is the
+    list of NEW data files when the change is a pure append (recorded
+    file set ⊂ current — the dominant Iceberg commit shape), else None
+    (rewrite/compaction/shrink ⇒ full re-validation). Row-level checks
+    are file-composable, so an append only needs the delta validated and
+    the counts summed."""
+    out = []
     for pv, rec in done.items():
         if pv == GLOBAL_KEY:
             continue
         d = os.path.join(table_path, f"{partition_col}={pv}")
         current = (partition_files(table_path, partition_col, pv)
                    if os.path.isdir(d) else [])
-        if sorted(rec.get("file_list") or []) != current:
-            stale.append(pv)
-    return stale
+        recorded = sorted(rec.get("file_list") or [])
+        if recorded == current:
+            continue
+        delta = None
+        if recorded and set(recorded) <= set(current):
+            seen = set(recorded)
+            delta = [f for f in current if f not in seen]
+        out.append((pv, delta, rec))
+    return out
 
 
 def _manifest_rec(pv, snapshot_id, files, rows, viols, wall_ms,
@@ -255,10 +280,13 @@ def run_checkpointed(
     viol_dir = os.path.join(output_dir, "violations")
     done = completed_partitions(manifest_dir)
     stale = []
+    delta_plan = {}  # pv -> (new data files, prior complete rec)
     if verify_lineage and done and os.path.isdir(table_path):
-        stale = stale_partitions(done, table_path, pc)
-        for pv in stale:
+        for pv, delta, rec in classify_stale(done, table_path, pc):
+            stale.append(pv)
             done.pop(pv, None)
+            if delta is not None:
+                delta_plan[pv] = (delta, rec)
     # source seam: Iceberg catalog table (partitions/snapshots from
     # metadata tables) or directory-partitioned Parquet (fixtures)
     parts = table_partitions(spark, table_path, pc)
@@ -274,7 +302,13 @@ def run_checkpointed(
         pending = pending[:max_partitions]
 
     n = max(int(partitions_per_job), 1)
-    chunks = [pending[i:i + n] for i in range(0, len(pending), n)]
+    # append-delta partitions run as their own single-partition jobs:
+    # they read ONLY the new files and APPEND to the violations sink,
+    # so they can't share a batch with full-scan (overwrite) partitions
+    delta_pending = [pv for pv in pending if pv in delta_plan]
+    full_pending = [pv for pv in pending if pv not in delta_plan]
+    chunks = [[pv] for pv in delta_pending] + \
+        [full_pending[i:i + n] for i in range(0, len(full_pending), n)]
     stop = False
     for ci, chunk in enumerate(chunks):
         if stop:
@@ -294,6 +328,13 @@ def run_checkpointed(
         for pv in chunk:
             files = (partition_files(table_path, pc, pv)
                      if os.path.isdir(table_path) else [])
+            if pv in delta_plan:
+                # append-delta: scan only the files added since the
+                # recorded lineage; manifest keeps the FULL current list
+                pdf = read_partition_files(
+                    spark, delta_plan[pv][0], pc, pv)
+                live.append((pv, files, pdf))
+                continue
             pdf = read_partition(spark, table_path, pc, pv)
             if pdf is None:
                 # partition vanished between the listing and the read
@@ -339,7 +380,9 @@ def run_checkpointed(
         try:
             with watch:
                 if len(live) == 1:
-                    (rv.write.mode("overwrite")
+                    mode = ("append" if pvs[0] in delta_plan
+                            else "overwrite")
+                    (rv.write.mode(mode)
                        .parquet(os.path.join(viol_dir, f"{pc}={pvs[0]}")))
                 else:
                     (rv.write.mode("overwrite")
@@ -369,6 +412,13 @@ def run_checkpointed(
             rows = in_vals[f"r{i}"]
             nv = out_vals[f"v{i}"]
             rec = _manifest_rec(pv, snapshot_id, files, rows, nv, wall_ms)
+            if pv in delta_plan:
+                # cumulative per-partition totals: prior complete rec +
+                # this delta scan (row checks are file-composable)
+                old = delta_plan[pv][1]
+                rec["rows_scanned"] += old["rows_scanned"]
+                rec["violations"] += old["violations"]
+                rec["appended_files"] = len(delta_plan[pv][0])
             if len(live) > 1:
                 rec["batch_size"] = len(live)
             append_manifest(manifest_dir, rec)

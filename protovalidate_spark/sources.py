@@ -91,3 +91,13 @@ def read_partition(spark: SparkSession, ref: str, partition_col: str,
         return None
     return spark.read.parquet(path).withColumn(
         partition_col, F.lit(value).cast("date"))
+
+
+def read_partition_files(spark: SparkSession, files, partition_col: str,
+                         value: str) -> DataFrame:
+    """A subset of one partition's data files (append-delta resume reads
+    only the files added since the recorded lineage). Same partition-
+    column reconstruction as :func:`read_partition`."""
+    from pyspark.sql import functions as F
+    return spark.read.parquet(*files).withColumn(
+        partition_col, F.lit(value).cast("date"))

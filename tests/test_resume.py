@@ -113,3 +113,59 @@ def test_resume_reruns_rewritten_partition(spark, tmp_path_factory):
     # blind mode would have skipped the rewrite too
     r4 = run_checkpointed(spark, suite, table, out, verify_lineage=False)
     assert not r4.partitions_stale and not r4.partitions_run
+
+
+def test_resume_appends_only_delta_files(spark, tmp_path_factory):
+    """Pure-append lineage (Iceberg's dominant commit shape): a resumed
+    run scans ONLY the new files, appends their violations to the
+    partition sink, and sums manifest totals — final verdicts equal a
+    cold run over the augmented table."""
+    import glob
+
+    from protovalidate_spark.sources import read_table
+
+    table = str(tmp_path_factory.mktemp("clips_table_app"))
+    out = str(tmp_path_factory.mktemp("run_out_app"))
+    write_clips(spark, table, TINY)
+    suite = clips_suite(spark)
+
+    r1 = run_checkpointed(spark, suite, table, out)
+    parts = sorted(r1.partitions_run)
+    victim, donor = parts[0], parts[1]
+    m1 = read_manifest(os.path.join(out, "_manifest"))
+    donor_rows = m1[donor]["rows_scanned"]
+
+    # append one extra data file to the victim partition: the donor
+    # partition's rows (same non-partition schema, new file name)
+    vdir = os.path.join(table, f"part_date={victim}")
+    ddir = os.path.join(table, f"part_date={donor}")
+    tmp = str(tmp_path_factory.mktemp("delta_stage"))
+    spark.read.parquet(ddir).coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.copy(src, os.path.join(vdir, "part-appended-00001.parquet"))
+
+    r2 = run_checkpointed(spark, suite, table, out)
+    assert r2.partitions_stale == [victim]
+    assert r2.partitions_run == [victim]
+    # only the delta file's rows were scanned this run
+    assert r2.total_rows == donor_rows
+    m2 = read_manifest(os.path.join(out, "_manifest"))
+    rec = m2[victim]
+    assert rec["appended_files"] == 1
+    assert rec["rows_scanned"] == m1[victim]["rows_scanned"] + donor_rows
+    assert sorted(rec["file_list"]) == sorted(
+        os.path.join(vdir, f) for f in os.listdir(vdir)
+        if f.endswith(".parquet"))
+
+    # verdicts reconcile with a cold full run over the AUGMENTED table
+    got = {r["part_date"]: (r["pass"], r["rows_scanned"], r["violations"])
+           for r in verdicts_from_outputs(spark, out).collect()}
+    cold = clips_suite(spark).run(read_table(spark, table))
+    want = {str(r["part_date"]): (r["pass"], r["rows_scanned"],
+                                  r["violations"])
+            for r in cold.verdicts.collect()}
+    assert got == want
+
+    # idempotent: nothing stale on the next rerun, global phase reused
+    r3 = run_checkpointed(spark, suite, table, out)
+    assert not r3.partitions_stale and not r3.partitions_run

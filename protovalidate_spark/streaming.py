@@ -315,14 +315,37 @@ def write_violations_stream(
     violations: DataFrame, path: str, checkpoint: str,
     output_mode: str = "append", trigger_available_now: bool = True,
     fmt: str = "parquet",
+    max_exemplars_per_rule: int = 0,
+    exemplar_order_cols: Sequence[str] = (),
 ):
     """writeStream with checkpointing — the streaming analog of the
     batch runner's violation sink. ``availableNow`` drains the backlog
-    and stops (batch-like semantics for tests and backfills)."""
-    w = (violations.writeStream.format(fmt)
-         .option("path", path)
-         .option("checkpointLocation", checkpoint)
-         .outputMode(output_mode))
+    and stops (batch-like semantics for tests and backfills).
+
+    ``max_exemplars_per_rule`` > 0 bounds the rows MATERIALIZED per
+    micro-batch to the k smallest (by ``exemplar_order_cols``) per
+    (field_path, rule_id) — a pervasive rule firing on a hot stream
+    writes k rows per batch, not its raw rate. Per-micro-batch, not
+    global: a cross-batch cap would need unbounded state; the batch
+    runner's cap applies when the backlog is re-validated offline.
+    Implemented via ``foreachBatch`` (the cap is a batch transform), so
+    exactly-once comes from the idempotent parquet epoch commit."""
+    if max_exemplars_per_rule > 0:
+        from .errors import cap_exemplars
+
+        def _sink(batch_df: DataFrame, epoch: int) -> None:
+            (cap_exemplars(batch_df, list(exemplar_order_cols),
+                           max_exemplars_per_rule)
+             .write.mode("append").format(fmt).save(path))
+
+        w = (violations.writeStream.foreachBatch(_sink)
+             .option("checkpointLocation", checkpoint)
+             .outputMode(output_mode))
+    else:
+        w = (violations.writeStream.format(fmt)
+             .option("path", path)
+             .option("checkpointLocation", checkpoint)
+             .outputMode(output_mode))
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()

@@ -507,3 +507,24 @@ def test_stream_outlier_violations(spark, tmp_path):
     assert r["rule_id"] == "OUTLIER" and r["field_path"] == "/value"
     assert r["window_start"].strftime("%H:%M") == "01:00"
     assert abs(float(r["actual"]) - 0.2) < 1e-9
+
+
+def test_stream_sink_caps_exemplars_per_rule(spark, tmp_path):
+    """max_exemplars_per_rule on the streaming sink bounds each
+    micro-batch's materialized rows per (field_path, rule_id) to the k
+    smallest by the order key."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "src_cap")
+    rows = [(i, f"clip-{i:010d}", 4000) for i in range(20)]  # all sr MIN
+    df = spark.createDataFrame(rows, "row_idx long, clip_id string, sr_hz int")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    v = stream_violations(stream, _rules(), row_key_cols=["row_idx"])
+    out, ckpt = str(tmp_path / "o_cap"), str(tmp_path / "c_cap")
+    write_violations_stream(v, out, ckpt, max_exemplars_per_rule=3,
+                            exemplar_order_cols=["row_idx"]
+                            ).awaitTermination(120)
+    got = sorted(r["row_idx"] for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 2]  # the 3 smallest of 20 MIN violations

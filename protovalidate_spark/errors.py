@@ -282,6 +282,10 @@ def cap_exemplars(df, order_cols, k: int,
     stay bounded."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+    if not order_cols:
+        raise ValueError(
+            "cap_exemplars needs order_cols (row keys) — the kept "
+            "exemplars must be deterministic")
     w = Window.partitionBy(*rule_cols).orderBy(
         *[F.asc_nulls_last(c) for c in order_cols])
     return (df.withColumn("__rn", F.row_number().over(w))

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "outliers_iqr_events",
     "vector_rules_embeddings",
     "embedding_drift",
+    "exemplars_lineitem",
 ]
 
 _FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),

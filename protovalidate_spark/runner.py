@@ -463,6 +463,38 @@ def run_checkpointed(
                      timed_out, canceled, stale)
 
 
+def compact_violations(spark: SparkSession, output_dir: str,
+                       partition_col: str = "part_date",
+                       files_per_partition: int = 1,
+                       min_files: int = 2) -> List[str]:
+    """Rewrite violation-sink partitions that have accumulated small
+    files (each append-delta run appends one file set — the classic
+    Iceberg small-file problem) into ``files_per_partition`` coalesced
+    files. Pure sink maintenance: row content, the manifest, and
+    verdicts are untouched. Per-partition read→coalesce→atomic dir swap;
+    partitions under ``min_files`` are skipped. Returns the partitions
+    compacted."""
+    viol_dir = os.path.join(output_dir, "violations")
+    compacted = []
+    if not os.path.isdir(viol_dir):
+        return compacted
+    for name in sorted(os.listdir(viol_dir)):
+        if not name.startswith(f"{partition_col}="):
+            continue
+        d = os.path.join(viol_dir, name)
+        nfiles = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        if nfiles < max(min_files, files_per_partition + 1):
+            continue
+        tmp = d + "__compact"
+        (spark.read.parquet(d).coalesce(files_per_partition)
+         .write.mode("overwrite").parquet(tmp))
+        import shutil as _sh
+        _sh.rmtree(d)
+        os.replace(tmp, d)
+        compacted.append(name.split("=", 1)[1])
+    return compacted
+
+
 def verdicts_from_outputs(spark: SparkSession, output_dir: str,
                           partition_col: str = "part_date") -> DataFrame:
     """Reconstruct per-partition verdicts from the manifest + violation

@@ -169,3 +169,34 @@ def test_resume_appends_only_delta_files(spark, tmp_path_factory):
     # idempotent: nothing stale on the next rerun, global phase reused
     r3 = run_checkpointed(spark, suite, table, out)
     assert not r3.partitions_stale and not r3.partitions_run
+
+
+def test_compact_violations_preserves_rows(spark, tmp_path_factory):
+    """Sink compaction collapses a partition's accumulated small files
+    into one without changing row content; single-file partitions are
+    left alone."""
+    from protovalidate_spark.runner import compact_violations
+
+    out = str(tmp_path_factory.mktemp("run_out_cmp"))
+    vdir = os.path.join(out, "violations")
+    rows = [(i, f"/f{i % 2}", "MIN", "m", str(i)) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "row_idx long, field_path string, rule_id string, "
+              "message string, actual string")
+    # partition A: three append runs -> >= 3 files; partition B: one
+    a = os.path.join(vdir, "part_date=2026-01-01")
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        (df.filter(f"row_idx >= {lo} and row_idx < {hi}").coalesce(1)
+           .write.mode("append").parquet(a))
+    b = os.path.join(vdir, "part_date=2026-01-02")
+    df.limit(5).coalesce(1).write.mode("overwrite").parquet(b)
+
+    nf = lambda d: sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+    assert nf(a) == 3 and nf(b) == 1
+    before = sorted(tuple(r) for r in spark.read.parquet(a).collect())
+
+    done = compact_violations(spark, out)
+    assert done == ["2026-01-01"]
+    assert nf(a) == 1 and nf(b) == 1
+    after = sorted(tuple(r) for r in spark.read.parquet(a).collect())
+    assert after == before

@@ -271,9 +271,10 @@ def run_checkpointed(
 
     ``verify_lineage``: re-run (instead of skip) completed partitions whose
     current data-file list differs from the manifest's recorded lineage —
-    rewritten/backfilled partitions are never silently trusted. The check
-    is a directory listing per completed partition, O(partitions) driver
-    work and no Spark jobs.
+    rewritten/backfilled partitions are never silently trusted; pure
+    appends scan only their new files (module docstring). The check is a
+    directory listing per completed partition, O(partitions) driver work
+    and no Spark jobs.
     """
     pc = suite.partition_col or "part_date"
     manifest_dir = os.path.join(output_dir, "_manifest")

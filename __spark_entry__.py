@@ -1361,6 +1361,18 @@ def q_langid_documents(spark, sf_dir):
     return lang_id(d, "text").select("doc_id", "lang_pred")
 
 
+def q_perplexity_documents(spark, sf_dir):
+    """CCNet-style corpus-LM quality signal (pipeline/text.py
+    bigram_logprob): an add-0.5-smoothed bigram LM trained on the
+    corpus itself scores every doc by mean negative log-likelihood.
+    Pure SQL oracle — integer counts, exactly-representable k and a
+    6-decimal round of the per-doc MEAN make the arithmetic
+    cross-engine stable (the psi/ks ROUND convention)."""
+    from protovalidate_spark.pipeline import bigram_logprob
+    d = _t(spark, sf_dir, "documents")
+    return bigram_logprob(d, "doc_id")
+
+
 def q_repetition_documents(spark, sf_dir):
     """Gopher/C4 repetition signals (pipeline/text.py) — map-only JVM
     expressions; the oracle composes the identical arithmetic from
@@ -1847,12 +1859,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Dict order is the driver's execution order and the sweep
         # truncates at 50 — so the rotation policy is least-recently-
         # driver-verified first. Round-5 order: the 9 queries with NO
-        # driver row in any round, then 37 of the 39 last verified in
+        # driver row in any round, then 36 of the 39 last verified in
         # r3, then the round-5 code changes (quantize contract shape,
         # duplicate_spans de-skew, embedding_drift dim path) and the
-        # new exemplars_lineitem — exactly 50. Two r3-green scalar
-        # queries moved below the cut to make room (their r3 rows
-        # already count toward cumulative coverage).
+        # new perplexity_documents + exemplars_lineitem — exactly 50.
+        # Three r3-green queries moved below the cut to make room
+        # (bool_constant_events, int_base16_customer,
+        # chi2_js_returnflag — their r3 rows already count toward
+        # cumulative coverage).
         "audio_level_clips": q_audio_level_clips,
         "audio_snr_clips": q_audio_snr_clips,
         "audio_bandwidth_clips": q_audio_bandwidth_clips,
@@ -1890,7 +1904,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_audio_features": q_clips_audio_features,
         "split_documents": q_split_documents,
         "stratified_sample_clips": q_stratified_sample_clips,
-        "chi2_js_returnflag": q_chi2_js_returnflag,
         "heavy_hitters_clips": q_heavy_hitters_clips,
         "stats_drift_lineitem": q_stats_drift_lineitem,
         "dedup_exact_documents": q_dedup_exact_documents,
@@ -1899,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_documents": q_token_count_documents,
         "quality_documents": q_quality_documents,
         "langid_documents": q_langid_documents,
+        "perplexity_documents": q_perplexity_documents,
         "quantize_embeddings": q_quantize_embeddings,
         "duplicate_spans_documents": q_duplicate_spans_documents,
         "embedding_drift": q_embedding_drift,
@@ -1909,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_lineitem": q_validate_lineitem,
         "bool_constant_events": q_bool_constant_events,
         "int_base16_customer": q_int_base16_customer,
+        "chi2_js_returnflag": q_chi2_js_returnflag,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "neardup_embeddings": q_neardup_embeddings,
         "neardup_embeddings_lsh": q_neardup_embeddings_lsh,
@@ -2928,6 +2943,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, '/text', 'MAX',
                    'symbol-to-word ratio above cap'
               FROM f WHERE symr > 0.1
+        """,
+        "perplexity_documents": r"""
+            WITH w AS (SELECT doc_id,
+                              CASE WHEN length(trim(text)) = 0
+                                   THEN CAST([] AS VARCHAR[])
+                                   ELSE string_split_regex(trim(text), '\s+')
+                              END AS toks
+                         FROM documents),
+            tok AS (SELECT unnest(toks) AS t FROM w),
+            c1 AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+            v AS (SELECT count(*) AS nv FROM c1),
+            bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+                     FROM w, unnest(generate_series(1, len(toks)-1)) AS u(i)
+                    WHERE len(toks) >= 2),
+            s AS (SELECT bi.doc_id, count(*) AS nb,
+                         sum(ln((c2.c + 0.5) / (c1.c + 0.5 * v.nv))) AS lp
+                    FROM bi
+                    JOIN (SELECT w1, w2, count(*) AS c
+                            FROM bi GROUP BY 1, 2) c2
+                      ON bi.w1 = c2.w1 AND bi.w2 = c2.w2
+                    JOIN c1 ON bi.w1 = c1.t
+                   CROSS JOIN v
+                   GROUP BY bi.doc_id)
+            SELECT w.doc_id,
+                   coalesce(s.nb, 0)::BIGINT AS n_bigrams,
+                   round(-s.lp / s.nb, 6) AS mean_nll
+              FROM w LEFT JOIN s USING (doc_id)
         """,
         "oov_documents": r"""
             WITH w AS (

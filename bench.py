@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "fingerprint_documents",
     "quality_documents",
     "langid_documents",
+    "perplexity_documents",
     "repetition_documents",
     "ann_topk_embeddings",
     "neardup_embeddings",

@@ -1,7 +1,8 @@
 from .text import (  # noqa: F401
-    bpe_ish_token_count, c4_clean_text, c4_line_features,
+    bigram_logprob, bpe_ish_token_count, c4_clean_text, c4_line_features,
     c4_quality_violations, fingerprint, gopher_quality_violations, lang_id,
-    normalize_text, oov_rate, oov_violations, pii_counts, punct_ratio,
+    normalize_text, oov_rate, oov_violations, perplexity_violations,
+    pii_counts, punct_ratio,
     quality_features, quality_score, redact_pii, with_redacted_text,
     repetition_features, rolling_hash_fingerprint, stopword_ratio,
     token_count, tokens, vocab_topk,

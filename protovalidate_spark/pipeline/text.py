@@ -540,3 +540,90 @@ def vocab_topk(df: DataFrame, text_col: str = "text",
               .groupBy("token").agg(F.count("*").alias("freq"))
               .orderBy(F.desc("freq"), F.asc("token"))
               .limit(k))
+
+
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per adjacent token pair ``(id, w1, w2)``. The pair
+    assembly is an ``arrays_zip`` of two slices of the SAME materialized
+    token array — map-only JVM, one tokenizer eval per row, no
+    positional explode+self-join. Docs with <2 tokens contribute no
+    rows (guarded: ``slice`` with a negative length would error)."""
+    w = tokens(F.col(text_col))
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.arrays_zip(F.slice(w, 1, F.size(w) - 1).alias("w1"),
+                     F.slice(w, 2, F.size(w) - 1).alias("w2")),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (df.select(F.col(id_col), F.explode(pairs).alias("b"))
+              .select(id_col, F.col("b.w1").alias("w1"),
+                      F.col("b.w2").alias("w2")))
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str = "text",
+                   k: float = 0.5) -> DataFrame:
+    """CCNet-style language-model quality signal (Wenzek et al. 2020
+    filter corpora by LM perplexity): train an add-k-smoothed bigram LM
+    on the corpus ITSELF, then score every document by the mean
+    negative log-likelihood of its adjacent token pairs —
+    ``(id, n_bigrams, mean_nll)`` with ``mean_nll`` rounded to 6
+    decimals (log-perplexity, natural log; lower = more typical of the
+    corpus). Gibberish, wrong-language and encoding-damaged docs score
+    high because their token transitions never occur elsewhere; no
+    external model needed, which keeps the op engine-portable and the
+    oracle exact. Docs with <2 tokens report ``n_bigrams = 0`` and NULL
+    ``mean_nll`` (no transitions to judge — a length gate's job, not
+    this one's).
+
+    Arithmetic (mirrored verbatim by the DuckDB oracle):
+    ``lp(w1,w2) = ln((c2(w1,w2) + k) / (c1(w1) + k*V))`` with integer
+    corpus counts ``c2``/``c1``, vocabulary size ``V`` and exactly-
+    representable ``k`` — every division sees bit-identical operands in
+    both engines, and the 6-decimal round of the per-doc MEAN absorbs
+    sum-order and libm-ulp noise (~1e-15) with ~1e-8/doc flip odds.
+
+    Scale shape: pair assembly is map-only (arrays_zip of two slices);
+    ``c1``/``c2`` are map-side-combined groupBy counts (one row per
+    distinct token/pair per partition reaches the shuffle — hot tokens
+    like "the" collapse BEFORE shuffling); V is a 1-row broadcast
+    cross-join; the count frames join back to the pair frame on token
+    keys, where a hot bigram is a skewed JOIN key, not a skewed agg —
+    AQE skew-join splits it; the per-doc re-agg is map-side-combined on
+    the id. Nothing touches the driver."""
+    bi = _doc_bigrams(df, id_col, text_col)
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+    c1 = tok.groupBy("t").agg(F.count("*").alias("c1"))
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    vocab_n = c1.agg(F.count("*").alias("V"))
+    scored = (bi.join(c2, ["w1", "w2"])
+                .join(c1.withColumnRenamed("t", "w1"), "w1")
+                .crossJoin(F.broadcast(vocab_n))
+                .select(F.col(id_col),
+                        F.log((F.col("c2") + F.lit(k))
+                              / (F.col("c1") + F.lit(k) * F.col("V")))
+                         .alias("lp")))
+    per_doc = (scored.groupBy(id_col)
+               .agg(F.count("*").alias("n_bigrams"),
+                    F.sum("lp").alias("sum_lp")))
+    base = df.select(id_col)
+    return (base.join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+                     .alias("n_bigrams"),
+                    F.round(-F.col("sum_lp") / F.col("n_bigrams"), 6)
+                     .alias("mean_nll")))
+
+
+def perplexity_violations(df: DataFrame, id_col: str,
+                          text_col: str = "text", k: float = 0.5,
+                          max_nll: float = 8.0) -> DataFrame:
+    """Docs whose corpus-LM mean negative log-likelihood exceeds
+    ``max_nll`` (log-perplexity gate over :func:`bigram_logprob`), as
+    violation rows (MAX) — the CCNet-style junk filter. Zero-bigram
+    docs pass (NULL compares false), mirroring oov_violations'
+    treatment of empty docs."""
+    r = bigram_logprob(df, id_col, text_col, k)
+    return (r.filter(F.col("mean_nll") > max_nll)
+            .select(F.col(id_col),
+                    F.lit(f"/{text_col}").alias("field_path"),
+                    F.lit(Code.MAX).alias("rule_id"),
+                    F.col("mean_nll").cast("string").alias("actual")))

@@ -235,3 +235,63 @@ def test_redact_pii(spark):
     assert post.filter(
         (F.col("n_emails") + F.col("n_ipv4") + F.col("n_phones")) > 0
     ).count() == 0
+
+
+def test_bigram_logprob(spark):
+    """Corpus-LM quality signal vs a pure-Python oracle, plus the
+    zero-bigram edge (one-token / empty / NULL docs → NULL mean_nll)."""
+    import math
+    from collections import Counter
+
+    from protovalidate_spark.pipeline import (bigram_logprob,
+                                              perplexity_violations)
+    rows = [(1, "the cat sat on the mat"),
+            (2, "the cat ran"),
+            (3, "xyzzy"),
+            (4, ""),
+            (5, None),
+            (6, "the cat sat on the mat again and again")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["mean_nll"])
+           for r in bigram_logprob(df, "doc_id").collect()}
+
+    k = 0.5
+    toks = {i: (t.split() if t else []) for i, t in rows}
+    c1 = Counter(w for ws in toks.values() for w in ws)
+    c2 = Counter((ws[i], ws[i + 1]) for ws in toks.values()
+                 for i in range(len(ws) - 1))
+    vocab = len(c1)
+    for i, ws in toks.items():
+        bs = [(ws[j], ws[j + 1]) for j in range(len(ws) - 1)]
+        if not bs:
+            assert got[i] == (0, None)
+            continue
+        lp = sum(math.log((c2[b] + k) / (c1[b[0]] + k * vocab))
+                 for b in bs)
+        assert got[i] == (len(bs), round(-lp / len(bs), 6))
+
+    # the rare-transition doc scores strictly worse than the repeated one
+    assert got[2][1] > got[1][1]
+
+    # gate: exactly the docs above the threshold; zero-bigram docs pass
+    thr = got[1][1] + 1e-9
+    expected = {i for i, (nb, nll) in got.items()
+                if nll is not None and nll > thr}
+    v = {r["doc_id"] for r in perplexity_violations(
+        df, "doc_id", max_nll=thr).collect()}
+    assert v == expected and 2 in v
+    assert {3, 4, 5}.isdisjoint(v)
+
+
+def test_bigram_logprob_plan(spark):
+    """Scale-shape pins: map-side partial aggregation on the count
+    frames and the per-doc re-agg; the 1-row vocab side is a broadcast;
+    no Python UDF stage anywhere."""
+    from protovalidate_spark.pipeline import bigram_logprob
+    df = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(10)], "doc_id int, text string")
+    plan = bigram_logprob(df, "doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

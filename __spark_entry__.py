@@ -1361,6 +1361,37 @@ def q_langid_documents(spark, sf_dir):
     return lang_id(d, "text").select("doc_id", "lang_pred")
 
 
+def q_entropy_events(spark, sf_dir):
+    """Shannon entropy of categorical columns (dataset/metrics.py
+    column_entropy — Deequ-parity metric): one stacked melt + map-side
+    counts; the decisive float is ln()-of-integer-count arithmetic,
+    6-decimal round (psi convention)."""
+    from protovalidate_spark.dataset import column_entropy
+    e = _t(spark, sf_dir, "events")
+    return column_entropy(e, ["event_type", "user_id"])
+
+
+def q_corr_lineitem(spark, sf_dir):
+    """Pearson correlation bound metric (dataset/metrics.py
+    correlation): ONE single-row aggregate scan, streaming co-moments.
+    The oracle is DuckDB's corr() — both sides compute sample Pearson
+    from the identical double column, 6-decimal round on one row."""
+    from protovalidate_spark.dataset import correlation
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation(li, "l_quantity", "l_extendedprice")
+
+
+def q_mi_lineitem(spark, sf_dir):
+    """Mutual information between two categoricals (dataset/metrics.py
+    mutual_information — the soft functional-dependency metric): one
+    groupBy(x,y) shuffle, marginals re-aggregated from the joint frame.
+    Integer-count operands, double casts before the products, 6-decimal
+    round."""
+    from protovalidate_spark.dataset import mutual_information
+    li = _t(spark, sf_dir, "lineitem")
+    return mutual_information(li, "l_returnflag", "l_linestatus")
+
+
 def q_perplexity_documents(spark, sf_dir):
     """CCNet-style corpus-LM quality signal (pipeline/text.py
     bigram_logprob): an add-0.5-smoothed bigram LM trained on the
@@ -1859,14 +1890,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Dict order is the driver's execution order and the sweep
         # truncates at 50 — so the rotation policy is least-recently-
         # driver-verified first. Round-5 order: the 9 queries with NO
-        # driver row in any round, then 36 of the 39 last verified in
-        # r3, then the round-5 code changes (quantize contract shape,
-        # duplicate_spans de-skew, embedding_drift dim path) and the
-        # new perplexity_documents + exemplars_lineitem — exactly 50.
-        # Three r3-green queries moved below the cut to make room
-        # (bool_constant_events, int_base16_customer,
-        # chi2_js_returnflag — their r3 rows already count toward
-        # cumulative coverage).
+        # driver row in any round, then 33 of the 39 last verified in
+        # r3, then the round-5 NEW ops (entropy/corr/MI metrics,
+        # perplexity, exemplars) and the round-5 code changes
+        # (quantize contract shape, duplicate_spans de-skew,
+        # embedding_drift dim path) — exactly 50. Six r3-green queries
+        # moved below the cut to make room (bool_constant_events,
+        # int_base16_customer, chi2_js_returnflag, split_documents,
+        # stratified_sample_clips, token_count_documents — their r3
+        # rows already count toward cumulative coverage).
         "audio_level_clips": q_audio_level_clips,
         "audio_snr_clips": q_audio_snr_clips,
         "audio_bandwidth_clips": q_audio_bandwidth_clips,
@@ -1902,16 +1934,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_format_family": q_clips_format_family,
         "speech_rate_clips": q_speech_rate_clips,
         "clips_audio_features": q_clips_audio_features,
-        "split_documents": q_split_documents,
-        "stratified_sample_clips": q_stratified_sample_clips,
         "heavy_hitters_clips": q_heavy_hitters_clips,
         "stats_drift_lineitem": q_stats_drift_lineitem,
         "dedup_exact_documents": q_dedup_exact_documents,
         "curate_documents": q_curate_documents,
         "fingerprint_documents": q_fingerprint_documents,
-        "token_count_documents": q_token_count_documents,
         "quality_documents": q_quality_documents,
         "langid_documents": q_langid_documents,
+        "entropy_events": q_entropy_events,
+        "corr_lineitem": q_corr_lineitem,
+        "mi_lineitem": q_mi_lineitem,
         "perplexity_documents": q_perplexity_documents,
         "quantize_embeddings": q_quantize_embeddings,
         "duplicate_spans_documents": q_duplicate_spans_documents,
@@ -1924,6 +1956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_constant_events": q_bool_constant_events,
         "int_base16_customer": q_int_base16_customer,
         "chi2_js_returnflag": q_chi2_js_returnflag,
+        "split_documents": q_split_documents,
+        "stratified_sample_clips": q_stratified_sample_clips,
+        "token_count_documents": q_token_count_documents,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "neardup_embeddings": q_neardup_embeddings,
         "neardup_embeddings_lsh": q_neardup_embeddings_lsh,
@@ -2943,6 +2978,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, '/text', 'MAX',
                    'symbol-to-word ratio above cap'
               FROM f WHERE symr > 0.1
+        """,
+        "entropy_events": r"""
+            WITH m AS (
+              SELECT 'event_type' AS "column", event_type::VARCHAR AS v
+                FROM events
+              UNION ALL
+              SELECT 'user_id', user_id::VARCHAR FROM events),
+            c AS (SELECT "column", v, count(*) AS c FROM m GROUP BY 1, 2)
+            SELECT "column",
+                   sum(c)::BIGINT AS n,
+                   count(*)::BIGINT AS n_distinct,
+                   round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6)
+                     AS entropy
+              FROM c GROUP BY "column"
+        """,
+        "corr_lineitem": r"""
+            SELECT count(*) FILTER (WHERE l_quantity IS NOT NULL
+                                      AND l_extendedprice IS NOT NULL
+                   )::BIGINT AS n,
+                   round(corr(l_quantity, l_extendedprice), 6) AS r
+              FROM lineitem
+        """,
+        "mi_lineitem": r"""
+            WITH b AS (SELECT l_returnflag::VARCHAR AS x,
+                              l_linestatus::VARCHAR AS y
+                         FROM lineitem
+                        WHERE l_returnflag IS NOT NULL
+                          AND l_linestatus IS NOT NULL),
+            j AS (SELECT x, y, count(*) AS c_xy FROM b GROUP BY 1, 2),
+            mx AS (SELECT x, sum(c_xy) AS c_x FROM j GROUP BY 1),
+            my AS (SELECT y, sum(c_xy) AS c_y FROM j GROUP BY 1),
+            nn AS (SELECT sum(c_xy) AS n FROM j)
+            SELECT nn.n::BIGINT AS n,
+                   round(sum(c_xy * ln((nn.n::DOUBLE * c_xy)
+                                       / (c_x::DOUBLE * c_y)))
+                         / nn.n, 6) AS mi
+              FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nn
+             GROUP BY nn.n
         """,
         "perplexity_documents": r"""
             WITH w AS (SELECT doc_id,

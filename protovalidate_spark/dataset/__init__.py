@@ -14,6 +14,11 @@ from .schema import schema_violations  # noqa: F401
 from .embedding import (  # noqa: F401
     embedding_dim, embedding_drift_violations, embedding_snapshot,
 )
+from .metrics import (  # noqa: F401
+    column_entropy, correlation, correlation_violations,
+    entropy_violations, mutual_information,
+    mutual_information_violations,
+)
 from .outliers import (  # noqa: F401
     iqr_fences, iqr_outlier_violations, mad_outlier_violations, mad_params,
 )

@@ -471,3 +471,107 @@ def test_grouped_column_stats_one_shuffle(spark):
     # one hash-partitioned exchange for the groupBy; the reshape adds none
     assert plan.count("Exchange") == 1
     assert out.count() == 2  # (a,x), (a,y)
+
+
+def test_column_entropy_and_gate(spark):
+    """Entropy vs a Python oracle; NULL counts as a category; MIN gate
+    fires on the collapsed column only."""
+    import math
+    from collections import Counter
+
+    from protovalidate_spark.dataset import (column_entropy,
+                                             entropy_violations)
+    rows = [(1, "a", "k"), (2, "a", "k"), (3, "b", "k"),
+            (4, "b", "k"), (5, "a", "k"), (6, None, "k")]
+    df = spark.createDataFrame(rows, "id int, x string, y string")
+
+    def h(vals):
+        c = Counter(vals)
+        n = len(vals)
+        return round(-sum(v / n * math.log(v / n) for v in c.values()), 6)
+
+    got = {r["column"]: (r["n"], r["n_distinct"], r["entropy"])
+           for r in column_entropy(df, ["x", "y"]).collect()}
+    assert got["x"] == (6, 3, h([r[1] for r in rows]))
+    assert got["y"] == (6, 1, 0.0)          # constant column: H = 0
+    v = {(r["field_path"], r["rule_id"]) for r in entropy_violations(
+        df, ["x", "y"], min_entropy=0.5, max_entropy=5.0).collect()}
+    assert v == {("/y", "MIN")}
+
+
+def test_correlation_and_gate(spark):
+    """Pearson r vs a Python oracle; constant column → NULL r, which
+    VIOLATES a min_r bound (absence of evidence is not the required
+    correlation)."""
+    import math
+
+    from protovalidate_spark.dataset import (correlation,
+                                             correlation_violations)
+    rows = [(1, 1.0, 2.1), (2, 2.0, 3.9), (3, 3.0, 6.2), (4, 4.0, 7.8),
+            (5, None, 9.0)]
+    df = spark.createDataFrame(rows, "id int, a double, b double")
+    xs = [r[1] for r in rows if r[1] is not None]
+    ys = [r[2] for r in rows if r[1] is not None]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    num = sum((p - mx) * (q - my) for p, q in zip(xs, ys))
+    den = math.sqrt(sum((p - mx) ** 2 for p in xs)
+                    * sum((q - my) ** 2 for q in ys))
+    r = correlation(df, "a", "b").collect()[0]
+    assert r["n"] == 4 and abs(r["r"] - round(num / den, 6)) < 1e-9
+    assert correlation_violations(df, "a", "b", min_r=0.999).count() == 1
+    assert correlation_violations(df, "a", "b", min_r=0.99).count() == 0
+    # constant column: r NULL violates min_r
+    const = df.withColumn("a", df.a * 0)
+    got = correlation_violations(const, "a", "b", min_r=0.1).collect()
+    assert len(got) == 1 and got[0]["actual"] == "null"
+
+
+def test_mutual_information_and_gate(spark):
+    """MI vs a Python oracle: a determining pair scores H(x), an
+    independent pair ~0; NULL rows excluded; MAX gate catches the
+    leak-shaped coupling."""
+    import math
+    from collections import Counter
+
+    from protovalidate_spark.dataset import (
+        mutual_information, mutual_information_violations)
+    rows = [("a", "p"), ("a", "p"), ("b", "q"), ("b", "q"),
+            ("c", "p"), (None, "p")]
+    df = spark.createDataFrame(rows, "x string, y string")
+    pairs = [r for r in rows if r[0] is not None]
+    n = len(pairs)
+    cj, cx, cy = (Counter(pairs), Counter(p[0] for p in pairs),
+                  Counter(p[1] for p in pairs))
+    exp = round(sum(c / n * math.log(n * c / (cx[a] * cy[b]))
+                    for (a, b), c in cj.items()), 6)
+    m = mutual_information(df, "x", "y").collect()[0]
+    assert (m["n"], m["mi"]) == (n, exp)
+    # x determines y here except 'c' sharing p — MI strictly between
+    # 0 and min(H); gates on both sides
+    assert mutual_information_violations(
+        df, "x", "y", min_mi=exp + 0.01).count() == 1
+    assert mutual_information_violations(
+        df, "x", "y", max_mi=exp - 0.01).count() == 1
+    assert mutual_information_violations(
+        df, "x", "y", min_mi=0.0, max_mi=exp + 0.01).count() == 0
+
+
+def test_metrics_plan_shapes(spark):
+    """Scale pins: entropy/MI shuffle O(distinct) rows via map-side
+    partial counts; correlation is one single-row agg with partials;
+    the MI marginal joins are broadcasts; no Python UDF stages."""
+    from protovalidate_spark.dataset import (column_entropy, correlation,
+                                             mutual_information)
+    df = spark.createDataFrame(
+        [(i, str(i % 3), str(i % 2), float(i)) for i in range(100)],
+        "id int, x string, y string, v double")
+    for frame in (column_entropy(df, ["x", "y"]),
+                  correlation(df, "id", "v"),
+                  mutual_information(df, "x", "y")):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "partial" in plan.lower()
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+    mi_plan = mutual_information(df, "x", "y") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in mi_plan

@@ -10,6 +10,11 @@ Runs, in three Spark actions total regardless of column count:
      --baseline pointing at a previous snapshot, a PSI/KS(/chi2/JS)
      drift report against it instead.
 
+Optional extra passes: --outlier-cols (IQR fence counts), --group-col
+(per-group stats), --entropy-cols (Shannon entropy per categorical),
+--corr x:y (Pearson r), --mi x:y (mutual information) — the
+dataset/metrics.py Deequ-parity family on the job surface.
+
 Usage:
   spark-submit --py-files protovalidate_spark.zip jobs/profile_table.py \
       [--table PATH] [--cols a,b,c] [--top-k 10] \
@@ -49,6 +54,15 @@ def main():
                          "Tukey IQR fence outlier check on (reports the "
                          "flagged-row count per column)")
     ap.add_argument("--outlier-k", type=float, default=1.5)
+    ap.add_argument("--entropy-cols", default="",
+                    help="comma-separated columns to report Shannon "
+                         "entropy (nats) for (one stacked melt+agg)")
+    ap.add_argument("--corr", default="",
+                    help="colX:colY — report Pearson correlation "
+                         "(one single-row agg scan)")
+    ap.add_argument("--mi", default="",
+                    help="colX:colY — report mutual information in "
+                         "nats (one joint groupBy)")
     ap.add_argument("--group-col", default="",
                     help="additionally print per-group stats for the "
                          "profiled columns grouped by this column "
@@ -113,6 +127,28 @@ def main():
                ov.groupBy("field_path")
                  .agg(F.count(F.lit(1)).alias("cnt")).collect()}
         summary["outliers"] = {c: per.get(f"/{c}", 0) for c in ocols}
+
+    if args.entropy_cols:
+        from protovalidate_spark.dataset import column_entropy
+        ecols = [c for c in args.entropy_cols.split(",") if c]
+        bad = [c for c in ecols if c not in df.columns]
+        if bad:
+            raise SystemExit(f"--entropy-cols names not in table: {bad}")
+        summary["entropy"] = {
+            r["column"]: r["entropy"]
+            for r in column_entropy(df, ecols).collect()}
+
+    if args.corr:
+        from protovalidate_spark.dataset import correlation
+        cx, cy = args.corr.split(":", 1)
+        r = correlation(df, cx, cy).collect()[0]
+        summary["corr"] = {"cols": [cx, cy], "n": r["n"], "r": r["r"]}
+
+    if args.mi:
+        from protovalidate_spark.dataset import mutual_information
+        mx, my_ = args.mi.split(":", 1)
+        r = mutual_information(df, mx, my_).collect()[0]
+        summary["mi"] = {"cols": [mx, my_], "n": r["n"], "mi": r["mi"]}
 
     grouped = []
     if args.group_col:

@@ -17,8 +17,8 @@ Scale design (10^12 rows):
   the shuffle), a per-column re-agg over distinct-value rows, total
   row count via a 1-row broadcast. Shuffle bytes are O(distinct
   values), never O(rows).
-- Correlation: ``F.corr`` inside ONE single-row aggregate scan —
-  Spark's streaming co-moment, map-side partials, no shuffle beyond
+- Correlation: guarded co-moments (covar_samp / stddevs) inside ONE
+  single-row aggregate scan — map-side partials, no shuffle beyond
   the 1-row exchange.
 - Mutual information: ONE ``groupBy(x, y).count`` shuffle; marginals
   are derived FROM the tiny joint frame (re-agg of distinct pairs,
@@ -88,12 +88,16 @@ def entropy_violations(df: DataFrame, cols: Sequence[str],
             e.filter(F.col("entropy") < F.lit(float(min_entropy)))
              .select(F.concat(F.lit("/"), "column").alias("field_path"),
                      F.lit(Code.MIN).alias("rule_id"),
+                     F.lit(f"entropy below minimum {min_entropy} nats "
+                           "(collapsing categorical)").alias("message"),
                      F.col("entropy").cast("string").alias("actual")))
     if max_entropy is not None:
         checks.append(
             e.filter(F.col("entropy") > F.lit(float(max_entropy)))
              .select(F.concat(F.lit("/"), "column").alias("field_path"),
                      F.lit(Code.MAX).alias("rule_id"),
+                     F.lit(f"entropy above maximum {max_entropy} nats "
+                           "(key-shaped noise)").alias("message"),
                      F.col("entropy").cast("string").alias("actual")))
     if not checks:
         raise ValueError("entropy_violations: set min_entropy and/or "
@@ -147,12 +151,17 @@ def correlation_violations(df: DataFrame, col_x: str, col_y: str,
                                | (F.col("r") < F.lit(float(min_r))))
                       .select(path.alias("field_path"),
                               F.lit(Code.MIN).alias("rule_id"),
+                              F.lit(f"Pearson r below minimum {min_r} "
+                                    "(required relationship broken)")
+                               .alias("message"),
                               F.coalesce(F.col("r").cast("string"),
                                          F.lit("null")).alias("actual")))
     if max_r is not None:
         checks.append(r.filter(F.col("r") > F.lit(float(max_r)))
                       .select(path.alias("field_path"),
                               F.lit(Code.MAX).alias("rule_id"),
+                              F.lit(f"Pearson r above maximum {max_r}")
+                               .alias("message"),
                               F.col("r").cast("string").alias("actual")))
     out = checks[0]
     for c in checks[1:]:
@@ -216,12 +225,18 @@ def mutual_information_violations(df: DataFrame, col_x: str, col_y: str,
                                | (F.col("mi") < F.lit(float(min_mi))))
                       .select(path.alias("field_path"),
                               F.lit(Code.MIN).alias("rule_id"),
+                              F.lit(f"mutual information below minimum "
+                                    f"{min_mi} nats (pair decoupled)")
+                               .alias("message"),
                               F.coalesce(F.col("mi").cast("string"),
                                          F.lit("null")).alias("actual")))
     if max_mi is not None:
         checks.append(m.filter(F.col("mi") > F.lit(float(max_mi)))
                       .select(path.alias("field_path"),
                               F.lit(Code.MAX).alias("rule_id"),
+                              F.lit(f"mutual information above maximum "
+                                    f"{max_mi} nats (leak-shaped "
+                                    "coupling)").alias("message"),
                               F.col("mi").cast("string").alias("actual")))
     out = checks[0]
     for c in checks[1:]:

@@ -100,6 +100,12 @@ class ValidationSuite:
     # embedding drift specs: {"col": str, "baseline": dict, ...} — NOTE:
     # eager (two tiny single-row agg jobs fire at plan-build time)
     embedding_drift: Sequence[dict] = ()
+    # information-metric bound specs (dataset/metrics.py): each dict is
+    # {"kind": "entropy", "cols": [...], "min_entropy"/"max_entropy"} |
+    # {"kind": "corr", "col_x", "col_y", "min_r"/"max_r"} |
+    # {"kind": "mi", "col_x", "col_y", "min_mi"/"max_mi"} — table-level
+    # findings, NULL row keys like the drift family
+    metrics: Sequence[dict] = ()
     # robust row-level outlier specs (dataset/outliers.py): each dict is
     # kwargs for iqr_outlier_violations / mad_outlier_violations minus
     # df/row_key_cols, plus "method": "iqr" (default) | "mad". NOTE:
@@ -184,6 +190,16 @@ class ValidationSuite:
             return v.select(*null_keys, *part, "field_path", "rule_id",
                             msg.alias("message"), "actual")
 
+        for spec in self.metrics:
+            from .dataset.metrics import (correlation_violations,
+                                          entropy_violations,
+                                          mutual_information_violations)
+            s_ = dict(spec)
+            kind = s_.pop("kind")
+            fn = {"entropy": entropy_violations,
+                  "corr": correlation_violations,
+                  "mi": mutual_information_violations}[kind]
+            out.append(_tag(fn(df, **s_)))
         for spec in self.outliers:
             from .dataset.outliers import (iqr_outlier_violations,
                                            mad_outlier_violations)

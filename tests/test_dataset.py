@@ -575,3 +575,36 @@ def test_metrics_plan_shapes(spark):
     mi_plan = mutual_information(df, "x", "y") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in mi_plan
+
+
+def test_suite_integration_metrics_specs(spark):
+    """ValidationSuite carries the information-metric family: a
+    collapsed categorical (entropy MIN), a broken numeric relationship
+    (corr MIN), and a leak-shaped coupling (MI MAX) all surface as
+    table-level rows with NULL row keys."""
+    from protovalidate_spark import Int64, Object
+    from protovalidate_spark.suite import ValidationSuite
+
+    df = spark.createDataFrame(
+        [(i, "pinned", str(i % 3), str(i % 3), float(i),
+          float((-1) ** i)) for i in range(30)],
+        "id int, status string, feat string, target string, "
+        "a double, b double")
+    suite = ValidationSuite(
+        rules=Object().with_unknown().with_key(
+            "id", Int64().with_required()),
+        row_keys=["id"],
+        metrics=[
+            {"kind": "entropy", "cols": ["status"], "min_entropy": 0.5},
+            {"kind": "corr", "col_x": "a", "col_y": "b", "min_r": 0.5},
+            {"kind": "mi", "col_x": "feat", "col_y": "target",
+             "max_mi": 0.5},
+        ])
+    res = suite.run(df)
+    rows = {(r["field_path"], r["rule_id"]): r
+            for r in res.violations.collect()}
+    assert ("/status", "MIN") in rows          # constant column H=0
+    assert ("/a,b", "MIN") in rows             # r ~ 0 < 0.5
+    assert ("/feat,target", "MAX") in rows     # feat == target: MI = H
+    assert all(r["id"] is None for r in rows.values())
+    assert "entropy below minimum" in rows[("/status", "MIN")]["message"]

@@ -400,3 +400,72 @@ def test_cap_exemplars_is_exact_per_rule_topk(spark, rows, k, nparts):
         for idx in sorted(idxs)[:k]:
             want[(fp, rid, idx)] += 1
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(labels=st.lists(st.integers(min_value=0, max_value=4),
+                       min_size=2, max_size=40),
+       seed=st.integers(min_value=0, max_value=9))
+def test_entropy_relabel_invariance_property(spark, labels, seed):
+    """Entropy depends only on the count MULTISET: renaming every
+    category (any injective relabeling) must not change it, and it must
+    equal the pure-Python Shannon formula."""
+    import math
+    from collections import Counter
+
+    from protovalidate_spark.dataset import column_entropy
+
+    df = spark.createDataFrame(
+        [(f"c{v}", f"renamed_{(v * 7 + seed) % 31}") for v in labels],
+        "a string, b string")
+    got = {r["column"]: r["entropy"]
+           for r in column_entropy(df, ["a", "b"]).collect()}
+    n = len(labels)
+    c = Counter(labels)
+    want = round(-sum(v / n * math.log(v / n) for v in c.values()), 6)
+    assert got["a"] == want
+    assert got["b"] == want  # injective relabel: same multiset
+
+
+@settings(max_examples=5, deadline=None)
+@given(pairs=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 3)),
+                      min_size=2, max_size=40))
+def test_mutual_information_symmetry_property(spark, pairs):
+    """MI(x;y) == MI(y;x) exactly (the formula is symmetric and both
+    orders round identically), and MI >= 0 up to the 6-decimal round."""
+    from protovalidate_spark.dataset import mutual_information
+
+    df = spark.createDataFrame(
+        [(f"x{a}", f"y{b}") for a, b in pairs], "x string, y string")
+    m_xy = mutual_information(df, "x", "y").collect()[0]
+    m_yx = mutual_information(df, "y", "x").collect()[0]
+    assert m_xy["mi"] == m_yx["mi"] and m_xy["n"] == m_yx["n"]
+    assert m_xy["mi"] >= -1e-6
+
+
+@settings(max_examples=5, deadline=None)
+@given(vals=st.lists(
+    st.tuples(st.floats(-100, 100, allow_nan=False),
+              st.floats(-100, 100, allow_nan=False)),
+    min_size=3, max_size=40),
+    a=st.floats(0.5, 10), b=st.floats(-5, 5))
+def test_correlation_affine_invariance_property(spark, vals, a, b):
+    """Pearson r is invariant under positive affine maps of either
+    column (r(ax+b, y) == r(x, y)) and sign-flips under negative a —
+    up to the 6-decimal round and co-moment float noise."""
+    from protovalidate_spark.dataset import correlation
+
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in vals], "x double, y double")
+    base = correlation(df, "x", "y").collect()[0]["r"]
+    pos = correlation(
+        df.withColumn("x", F.col("x") * float(a) + float(b)),
+        "x", "y").collect()[0]["r"]
+    neg = correlation(
+        df.withColumn("x", F.col("x") * float(-a)),
+        "x", "y").collect()[0]["r"]
+    if base is None:
+        assert pos is None and neg is None
+    else:
+        assert abs(pos - base) <= 2e-5
+        assert abs(neg + base) <= 2e-5

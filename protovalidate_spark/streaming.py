@@ -697,3 +697,96 @@ def stream_outlier_violations(
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def windowed_category_counts(stream_df: DataFrame, ts_col: str,
+                             col: str, window: str = "10 minutes",
+                             watermark: str = "10 minutes") -> DataFrame:
+    """Per-window per-category counts for ONE categorical column — the
+    streaming stage of dataset/metrics.py entropy monitoring. ONE
+    watermarked agg; state is one counter row per (open window,
+    category), so this is for genuinely LOW-cardinality columns
+    (status/codec enums — the columns entropy monitoring exists for).
+    A key-shaped column would grow state per distinct value; the batch
+    entropy MAX gate is precisely the check that catches a column
+    drifting into that shape, so run it before pointing the stream
+    monitor at a column. NULL is a real category (a producer pinning a
+    field to NULL is the collapse being monitored)."""
+    return (stream_df.withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window).alias("w"),
+                     F.col(col).cast("string").alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"), "v", "cnt"))
+
+
+def window_entropy_rows(batch_rows, col: str,
+                        min_entropy: Optional[float] = None,
+                        max_entropy: Optional[float] = None) -> list:
+    """Driver-side verdict for CLOSED windows: recombine each window's
+    per-category counts into Shannon entropy (nats, same
+    ``ln(n) - sum(c*ln(c))/n`` arithmetic as the batch metric, rounded
+    to 6) and emit MIN (collapsing categorical) / MAX (category-set
+    explosion) rows. The driver sees one row per (window, category) —
+    bounded by the low-cardinality contract — never raw rows."""
+    import math
+    from collections import defaultdict
+
+    by_win = defaultdict(list)
+    for r in batch_rows:
+        by_win[(r["window_start"], r["window_end"])].append(int(r["cnt"]))
+    out = []
+    for (ws, we), counts in sorted(by_win.items()):
+        n = sum(counts)
+        if n == 0:
+            continue
+        h = round(math.log(n) - sum(c * math.log(c) for c in counts) / n,
+                  6)
+        if min_entropy is not None and h < min_entropy:
+            out.append((ws, we, f"/{col}", Code.MIN,
+                        f"window entropy below minimum {min_entropy} "
+                        f"nats (collapsing categorical, "
+                        f"{len(counts)} categories over {n} rows)",
+                        str(h)))
+        if max_entropy is not None and h > max_entropy:
+            out.append((ws, we, f"/{col}", Code.MAX,
+                        f"window entropy above maximum {max_entropy} "
+                        f"nats (category explosion, "
+                        f"{len(counts)} categories over {n} rows)",
+                        str(h)))
+    return out
+
+
+def stream_entropy_violations(
+    stream_df: DataFrame, ts_col: str, out_path: str, checkpoint: str,
+    col: str, window: str = "10 minutes", watermark: str = "10 minutes",
+    min_entropy: Optional[float] = None,
+    max_entropy: Optional[float] = None, trigger_available_now: bool = True,
+):
+    """End-to-end streaming entropy monitor (the "status column froze /
+    exploded at 2am" detector): watermarked per-window category counts
+    -> per-closed-window Shannon entropy verdict vs pinned bounds ->
+    violation rows as Parquet, same epoch-overwrite idempotent sink as
+    the drift/volume/outlier monitors. Derive the bounds from the batch
+    metric over a healthy baseline (column_entropy), the same
+    baseline-snapshot contract the other monitors use."""
+    counts = windowed_category_counts(stream_df, ts_col, col,
+                                      window, watermark)
+
+    def _sink(batch_df: DataFrame, epoch: int) -> None:
+        rows = window_entropy_rows(batch_df.collect(), col,
+                                   min_entropy, max_entropy)
+        if rows:
+            (batch_df.sparkSession.createDataFrame(
+                rows, _DRIFT_WINDOW_SCHEMA)
+             .withColumn("__epoch", F.lit(int(epoch)))
+             .coalesce(1).write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("__epoch").parquet(out_path))
+
+    w = (counts.writeStream.foreachBatch(_sink)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -528,3 +528,43 @@ def test_stream_sink_caps_exemplars_per_rule(spark, tmp_path):
                             ).awaitTermination(120)
     got = sorted(r["row_idx"] for r in spark.read.parquet(out).collect())
     assert got == [0, 1, 2]  # the 3 smallest of 20 MIN violations
+
+
+def test_stream_entropy_violations(spark, tmp_path):
+    """Windowed entropy monitor vs pinned bounds from a healthy batch
+    baseline: the collapsed window (one category) flags MIN, the
+    healthy window's mixed categories pass, and the verdict value
+    equals the batch column_entropy arithmetic."""
+    import math
+
+    from protovalidate_spark.streaming import stream_entropy_violations
+
+    rows = []
+    for i in range(100):      # window 00:00 — healthy (4 categories)
+        rows.append((f"s{i % 4}", "2026-01-01 00:0%d:%02d"
+                     % (i % 10, i % 60)))
+    for i in range(100):      # window 01:00 — collapsed (pinned value)
+        rows.append(("stuck", "2026-01-01 01:0%d:%02d"
+                     % (i % 10, i % 60)))
+    rows.append(("s0", "2026-01-01 09:00:00"))  # sentinel closes 01:00
+    df = spark.createDataFrame(rows, "status string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    src = str(tmp_path / "src_ent")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out, ckpt = str(tmp_path / "out_ent"), str(tmp_path / "ckpt_ent")
+    q = stream_entropy_violations(stream, "ts", out, ckpt, "status",
+                                  window="10 minutes",
+                                  watermark="0 seconds",
+                                  min_entropy=0.5)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["rule_id"] == "MIN" and r["field_path"] == "/status"
+    assert r["window_start"].strftime("%H:%M") == "01:00"
+    assert float(r["actual"]) == 0.0          # one category: H = 0
+    # healthy window would have scored ln(4) — over the bound
+    assert math.log(4) > 0.5

@@ -1361,6 +1361,26 @@ def q_langid_documents(spark, sf_dir):
     return lang_id(d, "text").select("doc_id", "lang_pred")
 
 
+def q_stats_bounds_lineitem(spark, sf_dir):
+    """Deequ-style absolute stats assertions (dataset/stats.py
+    stats_bounds_violations): null-rate budget, distinct bounds and
+    value-range bounds from ONE agg pass. Nulls injected
+    deterministically in BOTH engines (testdata is fully non-null);
+    exact-distinct oracle mode; every actual is an integer count,
+    a stringified column min/max, or a %g-formatted integer ratio."""
+    from protovalidate_spark.dataset import stats_bounds_violations
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "l_quantity", F.when(F.col("l_orderkey") % 50 == 0,
+                             F.lit(None).cast("double"))
+        .otherwise(F.col("l_quantity")))
+    return stats_bounds_violations(li, [
+        {"col": "l_quantity", "max_null_rate": 0.01, "min": 2.0,
+         "max": 40.0},
+        {"col": "l_returnflag", "max_distinct": 2},
+        {"col": "l_linestatus", "min_distinct": 2},   # passes: no row
+    ], exact_distinct=True)
+
+
 def q_entropy_events(spark, sf_dir):
     """Shannon entropy of categorical columns (dataset/metrics.py
     column_entropy — Deequ-parity metric): one stacked melt + map-side
@@ -1890,15 +1910,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Dict order is the driver's execution order and the sweep
         # truncates at 50 — so the rotation policy is least-recently-
         # driver-verified first. Round-5 order: the 9 queries with NO
-        # driver row in any round, then 33 of the 39 last verified in
-        # r3, then the round-5 NEW ops (entropy/corr/MI metrics,
-        # perplexity, exemplars) and the round-5 code changes
+        # driver row in any round, then 32 of the 39 last verified in
+        # r3, then the round-5 NEW ops (stats-bounds, entropy/corr/MI
+        # metrics, perplexity, exemplars) and the round-5 code changes
         # (quantize contract shape, duplicate_spans de-skew,
-        # embedding_drift dim path) — exactly 50. Six r3-green queries
-        # moved below the cut to make room (bool_constant_events,
-        # int_base16_customer, chi2_js_returnflag, split_documents,
-        # stratified_sample_clips, token_count_documents — their r3
-        # rows already count toward cumulative coverage).
+        # embedding_drift dim path) — exactly 50. Seven r3-green
+        # queries moved below the cut to make room (bool_constant,
+        # int_base16, chi2_js, split_documents, stratified_sample,
+        # token_count, fingerprint — their r3 rows already count
+        # toward cumulative coverage).
         "audio_level_clips": q_audio_level_clips,
         "audio_snr_clips": q_audio_snr_clips,
         "audio_bandwidth_clips": q_audio_bandwidth_clips,
@@ -1938,9 +1958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_drift_lineitem": q_stats_drift_lineitem,
         "dedup_exact_documents": q_dedup_exact_documents,
         "curate_documents": q_curate_documents,
-        "fingerprint_documents": q_fingerprint_documents,
         "quality_documents": q_quality_documents,
         "langid_documents": q_langid_documents,
+        "stats_bounds_lineitem": q_stats_bounds_lineitem,
         "entropy_events": q_entropy_events,
         "corr_lineitem": q_corr_lineitem,
         "mi_lineitem": q_mi_lineitem,
@@ -1959,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_documents": q_split_documents,
         "stratified_sample_clips": q_stratified_sample_clips,
         "token_count_documents": q_token_count_documents,
+        "fingerprint_documents": q_fingerprint_documents,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "neardup_embeddings": q_neardup_embeddings,
         "neardup_embeddings_lsh": q_neardup_embeddings_lsh,
@@ -2978,6 +2999,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, '/text', 'MAX',
                    'symbol-to-word ratio above cap'
               FROM f WHERE symr > 0.1
+        """,
+        "stats_bounds_lineitem": r"""
+            WITH li AS (SELECT CASE WHEN l_orderkey % 50 = 0 THEN NULL
+                                    ELSE l_quantity END AS q,
+                               l_returnflag, l_linestatus
+                          FROM lineitem),
+            s AS (SELECT count(*) AS n,
+                         sum(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS qn,
+                         min(q) AS qmin, max(q) AS qmax,
+                         count(DISTINCT l_returnflag) AS rfd,
+                         count(DISTINCT l_linestatus) AS lsd
+                    FROM li)
+            SELECT * FROM (
+              SELECT '/l_quantity/null_rate' AS field_path,
+                     'NULL' AS rule_id,
+                     'null rate above maximum 0.01' AS message,
+                     printf('%g', round(qn / CAST(n AS DOUBLE), 6))
+                       AS actual
+                FROM s WHERE qn / CAST(n AS DOUBLE) > 0.01
+              UNION ALL
+              SELECT '/l_quantity/min', 'MIN',
+                     'observed minimum below bound 2.0', qmin::VARCHAR
+                FROM s WHERE qmin < 2.0
+              UNION ALL
+              SELECT '/l_quantity/max', 'MAX',
+                     'observed maximum above bound 40.0', qmax::VARCHAR
+                FROM s WHERE qmax > 40.0
+              UNION ALL
+              SELECT '/l_returnflag/distinct', 'MAX',
+                     'distinct count above maximum 2', rfd::VARCHAR
+                FROM s WHERE rfd > 2
+              UNION ALL
+              SELECT '/l_linestatus/distinct', 'MIN',
+                     'distinct count below minimum 2', lsd::VARCHAR
+                FROM s WHERE lsd < 2
+            )
         """,
         "entropy_events": r"""
             WITH m AS (

@@ -1,6 +1,6 @@
 from .stats import (  # noqa: F401
     column_stats, grouped_column_stats, heavy_hitters,
-    stats_drift_violations, stats_snapshot,
+    stats_bounds_violations, stats_drift_violations, stats_snapshot,
 )
 from .uniqueness import duplicate_keys, unique_violations  # noqa: F401
 from .referential import ref_violations  # noqa: F401

@@ -289,3 +289,64 @@ def grouped_column_stats(
         (F.col("s.nulls") / F.col("n_rows")).cast("double")
         .alias("null_rate"),
         "s.min", "s.max", "s.approx_distinct", "s.quantiles")
+
+
+def stats_bounds_violations(df: DataFrame, specs: Sequence[dict],
+                            exact_distinct: bool = False) -> DataFrame:
+    """Deequ-style ABSOLUTE column assertions over ONE ``column_stats``
+    aggregation pass — "completeness ≥ 99%", "distinct count in
+    [lo, hi]", "all values within [lo, hi]" as a standing contract
+    needing no snapshot (``stats_drift_violations`` is the same idea
+    against the table's own HISTORY). Distinct-count bounds default to
+    the HLL estimate (±rsd) — pass ``exact_distinct=True`` when the
+    bound is tight (and in oracle comparisons).
+
+    Each spec: ``{"col": str}`` plus any of ``max_null_rate`` (NULL
+    row, sub-path ``/col/null_rate``), ``min_distinct``/``max_distinct``
+    (MIN/MAX, ``/col/distinct``), ``min``/``max`` numeric value bounds
+    on the observed column min/max (MIN/MAX, ``/col/min`` and
+    ``/col/max`` — note these gate the AGGREGATE, one row per breached
+    table, where the row-level DSL min/max flags every offending row).
+    Sub-paths keep each finding's rule id unambiguous, the audio
+    feature-rule convention (``/bytes/rms_dbfs``).
+
+    The driver loop is O(#specs) over the collected per-column stat
+    rows — the table itself is touched by exactly the one agg scan."""
+    from ..errors import Code
+    cols = [s["col"] for s in specs]
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"stats_bounds_violations: columns not in "
+                         f"table: {missing}")
+    st = {r["column"]: r for r in
+          column_stats(df, cols, exact_distinct=exact_distinct).collect()}
+    rows = []
+    for s in specs:
+        c = s["col"]
+        r = st[c]
+        if "max_null_rate" in s and r["null_rate"] > s["max_null_rate"]:
+            rows.append((f"/{c}/null_rate", Code.NULL,
+                         f"null rate above maximum {s['max_null_rate']}",
+                         f"{round(r['null_rate'], 6):g}"))
+        d = r["approx_distinct"]
+        if "min_distinct" in s and d < s["min_distinct"]:
+            rows.append((f"/{c}/distinct", Code.MIN,
+                         f"distinct count below minimum "
+                         f"{s['min_distinct']}", str(d)))
+        if "max_distinct" in s and d > s["max_distinct"]:
+            rows.append((f"/{c}/distinct", Code.MAX,
+                         f"distinct count above maximum "
+                         f"{s['max_distinct']}", str(d)))
+        if "min" in s and r["min"] is not None \
+                and float(r["min"]) < s["min"]:
+            rows.append((f"/{c}/min", Code.MIN,
+                         f"observed minimum below bound {s['min']}",
+                         r["min"]))
+        if "max" in s and r["max"] is not None \
+                and float(r["max"]) > s["max"]:
+            rows.append((f"/{c}/max", Code.MAX,
+                         f"observed maximum above bound {s['max']}",
+                         r["max"]))
+    return df.sparkSession.createDataFrame(
+        rows,
+        "field_path string, rule_id string, message string, actual string")

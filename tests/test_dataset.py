@@ -608,3 +608,26 @@ def test_suite_integration_metrics_specs(spark):
     assert ("/feat,target", "MAX") in rows     # feat == target: MI = H
     assert all(r["id"] is None for r in rows.values())
     assert "entropy below minimum" in rows[("/status", "MIN")]["message"]
+
+
+def test_stats_bounds_violations(spark):
+    """Absolute stats assertions: null-rate budget, distinct-count
+    bounds, and value-range bounds — each on its own sub-path, exact
+    distinct so the bounds are sharp."""
+    from protovalidate_spark.dataset import stats_bounds_violations
+    df = spark.createDataFrame(
+        [(i, None if i % 5 == 0 else float(i), "c%d" % (i % 3))
+         for i in range(50)], "id int, v double, c string")
+    got = {(r["field_path"], r["rule_id"]): r["actual"]
+           for r in stats_bounds_violations(df, [
+               {"col": "v", "max_null_rate": 0.1, "min": 5.0,
+                "max": 40.0},
+               {"col": "c", "min_distinct": 4, "max_distinct": 10},
+               {"col": "id", "max_null_rate": 0.0},  # clean: no row
+           ], exact_distinct=True).collect()}
+    assert got[("/v/null_rate", "NULL")] == "0.2"
+    assert got[("/v/min", "MIN")] == "1.0"     # observed min 1 < 5
+    assert got[("/v/max", "MAX")] == "49.0"    # observed max 49 > 40
+    assert got[("/c/distinct", "MIN")] == "3"
+    assert ("/id/null_rate", "NULL") not in got
+    assert len(got) == 4

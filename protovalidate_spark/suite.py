@@ -100,6 +100,11 @@ class ValidationSuite:
     # embedding drift specs: {"col": str, "baseline": dict, ...} — NOTE:
     # eager (two tiny single-row agg jobs fire at plan-build time)
     embedding_drift: Sequence[dict] = ()
+    # absolute stats assertions (dataset/stats.py
+    # stats_bounds_violations specs: {"col", "max_null_rate",
+    # "min_distinct"/"max_distinct", "min"/"max"}). NOTE: eager — the
+    # one column_stats agg fires at plan-build time, like outliers
+    stats_bounds: Sequence[dict] = ()
     # information-metric bound specs (dataset/metrics.py): each dict is
     # {"kind": "entropy", "cols": [...], "min_entropy"/"max_entropy"} |
     # {"kind": "corr", "col_x", "col_y", "min_r"/"max_r"} |
@@ -190,6 +195,10 @@ class ValidationSuite:
             return v.select(*null_keys, *part, "field_path", "rule_id",
                             msg.alias("message"), "actual")
 
+        if self.stats_bounds:
+            from .dataset.stats import stats_bounds_violations
+            out.append(_tag(stats_bounds_violations(
+                df, list(self.stats_bounds))))
         for spec in self.metrics:
             from .dataset.metrics import (correlation_violations,
                                           entropy_violations,

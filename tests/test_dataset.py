@@ -631,3 +631,24 @@ def test_stats_bounds_violations(spark):
     assert got[("/c/distinct", "MIN")] == "3"
     assert ("/id/null_rate", "NULL") not in got
     assert len(got) == 4
+
+
+def test_suite_integration_stats_bounds(spark):
+    """ValidationSuite carries the absolute stats assertions: findings
+    ride as table-level rows (NULL row keys) on metric sub-paths."""
+    from protovalidate_spark import Int64, Object
+    from protovalidate_spark.suite import ValidationSuite
+
+    df = spark.createDataFrame(
+        [(i, None if i % 4 == 0 else float(i)) for i in range(40)],
+        "id int, v double")
+    suite = ValidationSuite(
+        rules=Object().with_unknown().with_key(
+            "id", Int64().with_required()),
+        row_keys=["id"],
+        stats_bounds=[{"col": "v", "max_null_rate": 0.1, "max": 30.0}])
+    rows = {(r["field_path"], r["rule_id"]): r
+            for r in suite.run(df).violations.collect()}
+    assert ("/v/null_rate", "NULL") in rows
+    assert ("/v/max", "MAX") in rows
+    assert all(r["id"] is None for r in rows.values())

@@ -138,25 +138,36 @@ def heavy_hitters(df: DataFrame, cols: Optional[Sequence[str]] = None,
 # ---------------------------------------------------------------------------
 
 def stats_snapshot(df: DataFrame, cols: Optional[Sequence[str]] = None,
-                   exact_distinct: bool = False) -> dict:
-    """JSON-serializable per-column stats baseline (ONE aggregation).
-    Records each column's Spark dtype so the drift check can flag a
-    TYPE change (older snapshots without it are still accepted)."""
+                   exact_distinct: bool = False,
+                   entropy_cols: Sequence[str] = ()) -> dict:
+    """JSON-serializable per-column stats baseline (ONE aggregation;
+    ``entropy_cols`` adds one stacked melt+agg pass recording Shannon
+    entropy for those categoricals — dataset/metrics.py arithmetic —
+    so the drift check can gate on entropy movement). Records each
+    column's Spark dtype so the drift check can flag a TYPE change
+    (older snapshots without it are still accepted)."""
     dtypes = dict(df.dtypes)
     rows = column_stats(df, cols, exact_distinct=exact_distinct).collect()
-    return {r["column"]: {
+    snap = {r["column"]: {
         "n_rows": r["n_rows"], "null_rate": r["null_rate"],
         "min": r["min"], "max": r["max"],
         "distinct": r["approx_distinct"], "quantiles": r["quantiles"],
         "dtype": dtypes[r["column"]],
     } for r in rows}
+    if entropy_cols:
+        from .metrics import column_entropy
+        for r in column_entropy(df, list(entropy_cols)).collect():
+            snap.setdefault(r["column"], {"dtype": dtypes[r["column"]]})[
+                "entropy"] = r["entropy"]
+    return snap
 
 
 def stats_drift_violations(df: DataFrame, baseline: dict,
                            null_rate_jump: float = 0.05,
                            distinct_ratio: float = 2.0,
                            exact_distinct: bool = False,
-                           report_added: bool = False) -> DataFrame:
+                           report_added: bool = False,
+                           entropy_jump: float = 0.5) -> DataFrame:
     """One violation row per column whose current stats regressed vs the
     snapshot (rule_id=DRIFT, row keys not applicable):
 
@@ -165,7 +176,13 @@ def stats_drift_violations(df: DataFrame, baseline: dict,
       (cardinality collapse = a join key went constant; explosion = an
       enum column started leaking free text),
     - a numeric column's observed min/max escaped the baseline range
-      (new values outside every previously seen value).
+      (new values outside every previously seen value),
+    - a column whose baseline recorded Shannon entropy (snapshot taken
+      with ``entropy_cols``) moved by more than ``entropy_jump`` nats
+      either way — the distribution-SHAPE regression null-rate and
+      cardinality both miss (same categories, same nulls, but one value
+      now dominates); costs one extra stacked agg over only those
+      columns.
 
     A baseline column MISSING from the current schema is itself a
     violation (rule_id=REQUIRED, the loudest regression of all) — it is
@@ -184,6 +201,12 @@ def stats_drift_violations(df: DataFrame, baseline: dict,
     cols = [c for c in baseline.keys() if c in dtypes]
     cur = {r["column"]: r for r in
            column_stats(df, cols, exact_distinct=exact_distinct).collect()}
+    ent_cols = [c for c in cols if baseline[c].get("entropy") is not None]
+    cur_ent = {}
+    if ent_cols:
+        from .metrics import column_entropy
+        cur_ent = {r["column"]: r["entropy"] for r in
+                   column_entropy(df, ent_cols).collect()}
     rows = [(f"/{c}", "REQUIRED",
              "baseline column missing from current schema", None)
             for c in baseline.keys() if c not in dtypes]
@@ -236,6 +259,11 @@ def stats_drift_violations(df: DataFrame, baseline: dict,
             if escaped:
                 probs.append(f"range [{b['min']},{b['max']}] -> "
                              f"[{a['min']},{a['max']}]")
+        be = b.get("entropy")
+        ae = cur_ent.get(c)
+        if be is not None and ae is not None \
+                and abs(ae - be) > entropy_jump:
+            probs.append(f"entropy {be:.4f}->{ae:.4f}")
         if probs:
             rows.append((f"/{c}", "DRIFT",
                          "column statistics regressed vs baseline snapshot",

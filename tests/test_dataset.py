@@ -652,3 +652,30 @@ def test_suite_integration_stats_bounds(spark):
     assert ("/v/null_rate", "NULL") in rows
     assert ("/v/max", "MAX") in rows
     assert all(r["id"] is None for r in rows.values())
+
+
+def test_stats_drift_entropy_gate(spark):
+    """A categorical that keeps its category set, null rate and
+    cardinality but COLLAPSES in shape (one value now dominates) is
+    invisible to every other stats gate — the entropy delta catches
+    it; an identically-shaped table does not trip."""
+    from protovalidate_spark.dataset import (stats_drift_violations,
+                                             stats_snapshot)
+    base = spark.createDataFrame(
+        [(f"c{i % 4}",) for i in range(100)], "c string")
+    snap = stats_snapshot(base, ["c"], entropy_cols=["c"])
+    assert "entropy" in snap["c"]
+
+    same = spark.createDataFrame(
+        [(f"c{i % 4}",) for i in range(100)], "c string")
+    assert stats_drift_violations(same, snap).count() == 0
+
+    collapsed = spark.createDataFrame(
+        [("c0",)] * 97 + [("c1",), ("c2",), ("c3",)], "c string")
+    got = stats_drift_violations(collapsed, snap).collect()
+    assert len(got) == 1
+    assert got[0]["rule_id"] == "DRIFT" and "entropy" in got[0]["actual"]
+    # same category set + same null rate + cardinality within ratio:
+    # without the entropy gate this table is green
+    assert stats_drift_violations(collapsed, snap,
+                                  entropy_jump=1e9).count() == 0

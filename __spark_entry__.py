@@ -1381,6 +1381,17 @@ def q_stats_bounds_lineitem(spark, sf_dir):
     ], exact_distinct=True)
 
 
+def q_grouped_entropy_events(spark, sf_dir):
+    """Segmented Shannon entropy (dataset/metrics.py
+    grouped_column_entropy): event_type entropy per ingest day — one
+    shard/day collapsing is invisible to the global metric. Pure SQL
+    oracle, identical integer-count arithmetic."""
+    from protovalidate_spark.dataset import grouped_column_entropy
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts").cast("string"))
+    return grouped_column_entropy(e, "day", ["event_type"])
+
+
 def q_entropy_events(spark, sf_dir):
     """Shannon entropy of categorical columns (dataset/metrics.py
     column_entropy — Deequ-parity metric): one stacked melt + map-side
@@ -1914,11 +1925,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3, then the round-5 NEW ops (stats-bounds, entropy/corr/MI
         # metrics, perplexity, exemplars) and the round-5 code changes
         # (quantize contract shape, duplicate_spans de-skew,
-        # embedding_drift dim path) — exactly 50. Seven r3-green
+        # embedding_drift dim path) — exactly 50. Eight r3-green
         # queries moved below the cut to make room (bool_constant,
         # int_base16, chi2_js, split_documents, stratified_sample,
-        # token_count, fingerprint — their r3 rows already count
-        # toward cumulative coverage).
+        # token_count, fingerprint, curate_documents — their r3 rows
+        # already count toward cumulative coverage).
         "audio_level_clips": q_audio_level_clips,
         "audio_snr_clips": q_audio_snr_clips,
         "audio_bandwidth_clips": q_audio_bandwidth_clips,
@@ -1957,11 +1968,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_clips": q_heavy_hitters_clips,
         "stats_drift_lineitem": q_stats_drift_lineitem,
         "dedup_exact_documents": q_dedup_exact_documents,
-        "curate_documents": q_curate_documents,
         "quality_documents": q_quality_documents,
         "langid_documents": q_langid_documents,
         "stats_bounds_lineitem": q_stats_bounds_lineitem,
         "entropy_events": q_entropy_events,
+        "grouped_entropy_events": q_grouped_entropy_events,
         "corr_lineitem": q_corr_lineitem,
         "mi_lineitem": q_mi_lineitem,
         "perplexity_documents": q_perplexity_documents,
@@ -1980,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_clips": q_stratified_sample_clips,
         "token_count_documents": q_token_count_documents,
         "fingerprint_documents": q_fingerprint_documents,
+        "curate_documents": q_curate_documents,
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "neardup_embeddings": q_neardup_embeddings,
         "neardup_embeddings_lsh": q_neardup_embeddings_lsh,
@@ -3035,6 +3047,18 @@ def oracle_sql() -> dict[str, str]:
                      'distinct count below minimum 2', lsd::VARCHAR
                 FROM s WHERE lsd < 2
             )
+        """,
+        "grouped_entropy_events": r"""
+            WITH e AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                              event_type::VARCHAR AS v
+                         FROM events WHERE ts IS NOT NULL),
+            c AS (SELECT day, v, count(*) AS c FROM e GROUP BY 1, 2)
+            SELECT day, 'event_type' AS "column",
+                   sum(c)::BIGINT AS n,
+                   count(*)::BIGINT AS n_distinct,
+                   round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6)
+                     AS entropy
+              FROM c GROUP BY day
         """,
         "entropy_events": r"""
             WITH m AS (

@@ -16,7 +16,8 @@ from .embedding import (  # noqa: F401
 )
 from .metrics import (  # noqa: F401
     column_entropy, correlation, correlation_violations,
-    entropy_violations, mutual_information,
+    entropy_violations, grouped_column_entropy,
+    grouped_entropy_violations, mutual_information,
     mutual_information_violations,
 )
 from .outliers import (  # noqa: F401

@@ -242,3 +242,77 @@ def mutual_information_violations(df: DataFrame, col_x: str, col_y: str,
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def grouped_column_entropy(df: DataFrame, group_col: str,
+                           cols: Sequence[str]) -> DataFrame:
+    """Shannon entropy per (group, column): the segmented form of
+    :func:`column_entropy` — one producer/shard/day whose categorical
+    collapsed is invisible to the GLOBAL entropy while the other groups
+    keep mixing (exactly the per-group freshness/drift motivation).
+    Output ``(group_col, column, n, n_distinct, entropy)``; NULL groups
+    are skipped (a NULL shard key is the stats family's finding).
+
+    Same shape as the global metric with the group key prepended: ONE
+    stacked melt, map-side-combined (group, column, value) counts —
+    shuffle O(groups × distinct values) — then a per-(group, column)
+    re-agg. Identical integer-count arithmetic, 6-decimal round."""
+    pairs = []
+    for c in cols:
+        pairs += [F.lit(c), F.col(c).cast("string")]
+    melted = (df.filter(F.col(group_col).isNotNull())
+              .select(F.col(group_col).alias("__g"),
+                      F.explode(F.create_map(*pairs)).alias("column", "v")))
+    counts = melted.groupBy("__g", "column", "v") \
+        .agg(F.count("*").alias("c"))
+    per = (counts.groupBy("__g", "column")
+           .agg(F.sum("c").alias("n"),
+                F.count("*").alias("n_distinct"),
+                F.sum(F.col("c") * F.log("c")).alias("sum_clnc")))
+    return per.select(
+        F.col("__g").alias(group_col), "column",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.round(F.log("n") - F.col("sum_clnc") / F.col("n"), 6)
+         .alias("entropy"))
+
+
+def grouped_entropy_violations(df: DataFrame, group_col: str,
+                               cols: Sequence[str],
+                               min_entropy: Optional[float] = None,
+                               max_entropy: Optional[float] = None,
+                               min_group_rows: int = 1) -> DataFrame:
+    """Groups whose per-column entropy leaves the bounds, as violation
+    rows with the group identity in the message (the table-level
+    convention). ``min_group_rows`` skips tiny groups whose entropy is
+    noise (a 2-row group can only score 0 or ln 2)."""
+    if min_entropy is None and max_entropy is None:
+        raise ValueError("grouped_entropy_violations: set min_entropy "
+                         "and/or max_entropy")
+    e = grouped_column_entropy(df, group_col, cols) \
+        .filter(F.col("n") >= int(min_group_rows))
+    msg_tail = (F.lit(f" [{group_col}="),
+                F.col(group_col).cast("string"), F.lit("]"))
+    checks = []
+    if min_entropy is not None:
+        checks.append(
+            e.filter(F.col("entropy") < F.lit(float(min_entropy)))
+             .select(F.concat(F.lit("/"), "column").alias("field_path"),
+                     F.lit(Code.MIN).alias("rule_id"),
+                     F.concat(F.lit(f"group entropy below minimum "
+                                    f"{min_entropy} nats"), *msg_tail)
+                      .alias("message"),
+                     F.col("entropy").cast("string").alias("actual")))
+    if max_entropy is not None:
+        checks.append(
+            e.filter(F.col("entropy") > F.lit(float(max_entropy)))
+             .select(F.concat(F.lit("/"), "column").alias("field_path"),
+                     F.lit(Code.MAX).alias("rule_id"),
+                     F.concat(F.lit(f"group entropy above maximum "
+                                    f"{max_entropy} nats"), *msg_tail)
+                      .alias("message"),
+                     F.col("entropy").cast("string").alias("actual")))
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

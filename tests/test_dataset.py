@@ -679,3 +679,38 @@ def test_stats_drift_entropy_gate(spark):
     # without the entropy gate this table is green
     assert stats_drift_violations(collapsed, snap,
                                   entropy_jump=1e9).count() == 0
+
+
+def test_grouped_entropy_and_gate(spark):
+    """Segmented entropy: a shard whose categorical collapsed flags MIN
+    while the global entropy stays healthy (the per-group freshness
+    motivation); NULL groups skipped; tiny groups gated out."""
+    import math
+    from collections import Counter
+
+    from protovalidate_spark.dataset import (grouped_column_entropy,
+                                             grouped_entropy_violations)
+    rows = ([("shardA", f"c{i % 4}") for i in range(40)]
+            + [("shardB", "stuck")] * 40
+            + [(None, "c1")] * 5
+            + [("tiny", "c1")])
+    df = spark.createDataFrame(rows, "shard string, c string")
+
+    got = {(r["shard"], r["column"]): (r["n"], r["entropy"]) for r in
+           grouped_column_entropy(df, "shard", ["c"]).collect()}
+    assert got[("shardA", "c")] == (40, round(math.log(4), 6))
+    assert got[("shardB", "c")] == (40, 0.0)
+    assert ("tiny", "c") in got and (None, "c") not in got
+
+    v = grouped_entropy_violations(df, "shard", ["c"],
+                                   min_entropy=0.5,
+                                   min_group_rows=5).collect()
+    assert len(v) == 1
+    assert "[shard=shardB]" in v[0]["message"]
+    assert v[0]["rule_id"] == "MIN" and v[0]["actual"] == "0.0"
+
+    # global entropy over the same column is healthy — the segmented
+    # view is what catches shardB
+    from protovalidate_spark.dataset import column_entropy
+    h_global = column_entropy(df, ["c"]).collect()[0]["entropy"]
+    assert h_global > 0.5

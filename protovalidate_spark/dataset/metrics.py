@@ -48,8 +48,8 @@ def column_entropy(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Shannon entropy (nats) of each listed column's value
     distribution: ``(column, n, n_distinct, entropy)``, one row per
     column, NULLs counted as a real category (a producer pinning a
-    field to NULL is exactly the collapse this catches). Entropy of an
-    empty table is NULL.
+    field to NULL is exactly the collapse this catches). An empty
+    table produces no rows (there is no distribution to score).
 
     All columns ride ONE stacked pass: values are cast to string and
     melted to (column, value) rows map-side, counted with map-side

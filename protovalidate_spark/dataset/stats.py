@@ -346,6 +346,15 @@ def stats_bounds_violations(df: DataFrame, specs: Sequence[dict],
     if missing:
         raise ValueError(f"stats_bounds_violations: columns not in "
                          f"table: {missing}")
+    dtypes = dict(df.dtypes)
+    bad = [s["col"] for s in specs
+           if ("min" in s or "max" in s)
+           and dtypes[s["col"]].split("(")[0] not in _NUMERIC | {"decimal"}]
+    if bad:
+        raise ValueError(
+            f"stats_bounds_violations: value bounds (min/max) require "
+            f"numeric columns, got non-numeric: {bad} — use the DSL "
+            f"string comparators for lexicographic bounds")
     st = {r["column"]: r for r in
           column_stats(df, cols, exact_distinct=exact_distinct).collect()}
     rows = []

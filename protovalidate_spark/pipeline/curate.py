@@ -36,12 +36,17 @@ def curate_documents(
     df: DataFrame, id_col: str, text_col: str,
     min_tokens: int = 10, max_punct_ratio: float = 0.30,
     near_dup: bool = False, jaccard_threshold: float = 0.85,
-    shingle_n: int = 3, keeper_score=None,
+    shingle_n: int = 3, keeper_score=None, max_nll=None,
 ) -> Tuple[DataFrame, DataFrame]:
     """(kept, dropped) — dropped carries one violation row per reason:
 
     - ``MIN_LEN``  /text: fewer than ``min_tokens`` whitespace tokens
     - ``MAX``      /text: punctuation ratio above ``max_punct_ratio``
+    - ``MAX``      /text: corpus-LM mean NLL above ``max_nll`` — the
+      opt-in CCNet-style perplexity gate (text.py bigram_logprob; the
+      LM trains on the FULL input corpus, so the gate is deterministic
+      and self-contained); only length/punct-passing docs are scored
+      against it, like the punct gate
     - ``UNIQUE``   /text: exact duplicate of a kept (smaller-id) doc
     - ``DUPLICATE``/text: near-duplicate (verified Jaccard ≥ threshold)
       of a kept doc — only when ``near_dup=True``
@@ -78,6 +83,19 @@ def curate_documents(
                          F.round(p_ratio, 4))))
 
     clean = df.filter((n_tok >= min_tokens) & (p_ratio <= max_punct_ratio))
+
+    if max_nll is not None:
+        from .text import bigram_logprob
+        high = (bigram_logprob(df, id_col, text_col)
+                .filter(F.col("mean_nll") > float(max_nll))
+                .select(F.col(id_col).alias("__pid"), "mean_nll"))
+        quality_v = quality_v.unionByName(
+            clean.join(high, clean[id_col] == F.col("__pid"))
+                 .select(*_viol(id_col, tid, f"/{text_col}", "MAX",
+                                f"corpus-LM mean NLL above {max_nll}",
+                                F.round(F.col("mean_nll"), 4))))
+        clean = clean.join(high, clean[id_col] == F.col("__pid"),
+                           "left_anti")
 
     # exact dedup among quality-passing docs: keep the smallest id per
     # fingerprint group (deterministic); duplicate groups are tiny vs

@@ -897,3 +897,29 @@ def test_curate_quality_keeper_idempotent(spark):
                                        keeper_score=F.col("q"))
     assert dropped2.count() == 0
     assert kept2.count() == kept.count()
+
+
+def test_curate_documents_perplexity_gate(spark):
+    """Opt-in corpus-LM gate: the doc whose token transitions never
+    occur elsewhere is dropped with the NLL in actual; without max_nll
+    the same doc survives; already-dropped docs are not double-flagged."""
+    from protovalidate_spark.pipeline import curate_documents
+
+    normal = "the cat sat on the mat and the dog sat on the rug today"
+    rows = [(i, normal) for i in range(8)]
+    rows.append((100, "zq xv qp wk jm fy bh dn lr ts gw cx"))   # gibberish
+    rows.append((101, "a b"))                                   # too short
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    kept_off, _ = curate_documents(df, "doc_id", "text", min_tokens=5)
+    assert 100 in {r["doc_id"] for r in kept_off.collect()}
+
+    kept, dropped = curate_documents(df, "doc_id", "text",
+                                     min_tokens=5, max_nll=2.0)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert 100 not in kept_ids
+    drops = {r["doc_id"]: r for r in dropped.collect()
+             if r["rule_id"] == "MAX" and "NLL" in r["message"]}
+    assert set(drops) == {100}
+    assert float(drops[100]["actual"]) > 2.0
+    assert 101 not in drops          # short doc: MIN_LEN only

@@ -57,6 +57,11 @@ def main():
     ap.add_argument("--entropy-cols", default="",
                     help="comma-separated columns to report Shannon "
                          "entropy (nats) for (one stacked melt+agg)")
+    ap.add_argument("--entropy-group-col", default="",
+                    help="with --entropy-cols: ALSO report per-group "
+                         "entropy segmented by this column (catches "
+                         "one shard collapsing while the global "
+                         "entropy looks fine)")
     ap.add_argument("--corr", default="",
                     help="colX:colY — report Pearson correlation "
                          "(one single-row agg scan)")
@@ -137,6 +142,19 @@ def main():
         summary["entropy"] = {
             r["column"]: r["entropy"]
             for r in column_entropy(df, ecols).collect()}
+        if args.entropy_group_col:
+            from protovalidate_spark.dataset import grouped_column_entropy
+            ge = grouped_column_entropy(
+                df, args.entropy_group_col, ecols).collect()
+            summary["entropy_groups"] = len(
+                {r[args.entropy_group_col] for r in ge})
+            print(f"\n== per-group entropy ({args.entropy_group_col}) ==",
+                  file=sys.stderr)
+            for r in sorted(ge, key=lambda r: (
+                    str(r[args.entropy_group_col]), r["column"])):
+                print(f"  {str(r[args.entropy_group_col]):>12s}."
+                      f"{r['column']}: n={r['n']} H={r['entropy']}",
+                      file=sys.stderr)
 
     if args.corr:
         from protovalidate_spark.dataset import correlation

@@ -1916,6 +1916,21 @@ def q_lsh_topk_embeddings(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 
+def q_suggest_rules_orders(spark, sf_dir):
+    """Constraint suggestion (dataset/suggest.py suggest_rules —
+    Deequ-ConstraintSuggestion parity on the repo's own fluent DSL):
+    ONE profiling agg (+ one bounded value-set agg) over orders →
+    (column, rule, param, reason) rows. Oracle mode uses exact
+    count_distinct; the at-scale default is HLL. Params are formatted
+    cross-engine canonical (%.6f doubles, ISO timestamps), so the
+    whole suggestion frame is value-hashable against plain SQL."""
+    from protovalidate_spark.dataset import suggest_rules
+    o = _t(spark, sf_dir, "orders")
+    return suggest_rules(
+        o, ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+        exact_distinct=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Dict order is the driver's execution order and the sweep
@@ -2040,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantity": q_hist_quantity,
         "psi_returnflag": q_psi_returnflag,
         "ks_quantity": q_ks_quantity,
+        "suggest_rules_orders": q_suggest_rules_orders,
     }
 
 
@@ -3606,5 +3622,72 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_embeddings": f"""
             SELECT vec_id, cos4
               FROM read_parquet('{EXPECTED_DIR}/ivf_topk_embeddings.parquet')
+        """,
+        "suggest_rules_orders": """
+            WITH s AS (
+              SELECT COUNT(*) AS n,
+                     COUNT(DISTINCT o_orderkey) AS dk,
+                     MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax,
+                     COUNT(DISTINCT o_orderstatus) AS ds,
+                     MIN(strlen(o_orderstatus)) AS smin,
+                     MAX(strlen(o_orderstatus)) AS smax,
+                     MIN(o_totalprice) AS pmin, MAX(o_totalprice) AS pmax,
+                     MIN(o_orderdate) AS dmin, MAX(o_orderdate) AS dmax,
+                     SUM(CASE WHEN o_orderstatus SIMILAR TO '[0-9]+'
+                              THEN 1 ELSE 0 END) AS sdigits
+                FROM orders)
+            SELECT * FROM (
+              SELECT 'o_orderkey' AS "column", 'required' AS rule,
+                     '' AS param,
+                     printf('0 nulls in %d rows', n) AS reason FROM s
+              UNION ALL
+              SELECT 'o_orderkey', 'min', CAST(kmin AS VARCHAR),
+                     'observed min' FROM s
+              UNION ALL
+              SELECT 'o_orderkey', 'max', CAST(kmax AS VARCHAR),
+                     'observed max' FROM s
+              UNION ALL
+              SELECT 'o_orderkey', 'unique', '',
+                     'distinct == rows, no nulls' FROM s WHERE dk = n
+              UNION ALL
+              SELECT 'o_orderstatus', 'required', '',
+                     printf('0 nulls in %d rows', n) FROM s
+              UNION ALL
+              SELECT 'o_orderstatus', 'min_len', CAST(smin AS VARCHAR),
+                     'observed octet length bounds' FROM s
+              UNION ALL
+              SELECT 'o_orderstatus', 'max_len', CAST(smax AS VARCHAR),
+                     'observed octet length bounds' FROM s
+              UNION ALL
+              SELECT 'o_orderstatus', 'regex', '^[0-9]+$',
+                     'all non-null values are digits' FROM s
+               WHERE sdigits = n
+              UNION ALL
+              SELECT 'o_orderstatus', 'allowed_values',
+                     (SELECT string_agg(v, ',' ORDER BY v) FROM
+                        (SELECT DISTINCT o_orderstatus AS v FROM orders)),
+                     printf('%d distinct values', ds) FROM s
+               WHERE ds <= 12 AND ds <= 0.1 * n
+              UNION ALL
+              SELECT 'o_totalprice', 'required', '',
+                     printf('0 nulls in %d rows', n) FROM s
+              UNION ALL
+              SELECT 'o_totalprice', 'min', printf('%.6f', pmin),
+                     'observed min' FROM s
+              UNION ALL
+              SELECT 'o_totalprice', 'max', printf('%.6f', pmax),
+                     'observed max' FROM s
+              UNION ALL
+              SELECT 'o_orderdate', 'required', '',
+                     printf('0 nulls in %d rows', n) FROM s
+              UNION ALL
+              SELECT 'o_orderdate', 'min',
+                     strftime(dmin, '%Y-%m-%d %H:%M:%S'),
+                     'observed min' FROM s
+              UNION ALL
+              SELECT 'o_orderdate', 'max',
+                     strftime(dmax, '%Y-%m-%d %H:%M:%S'),
+                     'observed max' FROM s
+            ) ORDER BY "column", rule
         """,
     }

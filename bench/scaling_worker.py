@@ -26,6 +26,15 @@ def main():
     ap.add_argument("--table", required=True)
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--serve", action="store_true",
+                    help="interleaved-pair protocol (bench/scaling_paired"
+                    ".py): after the untimed warm-up, block on stdin; "
+                    "each 'PASS' line runs ONE timed pass and prints one "
+                    "JSON line, so the orchestrator can alternate the N "
+                    "and 4N levels within the same host-regime window "
+                    "instead of timing all of one level then all of the "
+                    "other (regime drift between the two blocks lands "
+                    "directly in the efficiency ratio)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -110,6 +119,30 @@ def main():
             return -1
 
     one_pass()  # warm-up: python workers, JIT, page cache — untimed
+
+    if args.serve:
+        # Interleaved-pair mode: one timed pass per 'PASS' command. The
+        # JVM stays warm between passes (a real cluster's long-running
+        # executors are warm too); an idle Spark JVM burns ~0 cpu, so
+        # the OTHER level's pass runs uncontended on the shared cores.
+        print(json.dumps({"ready": True, "cores": args.cores,
+                          "rows": n_rows, "plan_sec": plan_sec}),
+              flush=True)
+        for line in sys.stdin:
+            if line.strip() != "PASS":
+                break
+            la = load1()
+            s0 = steal_ticks()
+            sec = round(one_pass(), 3)
+            s1 = steal_ticks()
+            print(json.dumps({
+                "cores": args.cores, "pass_sec": sec, "loadavg": la,
+                "steal_cpu_sec": (round((s1 - s0) / 100.0, 2)
+                                  if s0 >= 0 and s1 >= 0 else None),
+            }), flush=True)
+        spark.stop()
+        return 0
+
     secs, loads, steals = [], [], []
     for _ in range(args.repeats):
         loads.append(load1())

@@ -23,6 +23,7 @@ from .metrics import (  # noqa: F401
 from .outliers import (  # noqa: F401
     iqr_fences, iqr_outlier_violations, mad_outlier_violations, mad_params,
 )
+from .suggest import build_ruleset, suggest_rules  # noqa: F401
 from .integrity import (  # noqa: F401
     calendar_gap_violations, freshness_violations,
     functional_dependency_violations, group_size_violations,

@@ -26,15 +26,20 @@ def main():
     ap.add_argument("--table", required=True)
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--serve", action="store_true",
+    ap.add_argument("--serve", default="",
                     help="interleaved-pair protocol (bench/scaling_paired"
-                    ".py): after the untimed warm-up, block on stdin; "
-                    "each 'PASS' line runs ONE timed pass and prints one "
-                    "JSON line, so the orchestrator can alternate the N "
-                    "and 4N levels within the same host-regime window "
-                    "instead of timing all of one level then all of the "
-                    "other (regime drift between the two blocks lands "
-                    "directly in the efficiency ratio)")
+                    ".py): path to a control DIRECTORY. After the "
+                    "untimed warm-up, poll it for cmd-NNNN files; each "
+                    "containing 'PASS' runs ONE timed pass and prints "
+                    "one JSON line on stdout, so the orchestrator can "
+                    "alternate the N and 4N levels within the same "
+                    "host-regime window instead of timing all of one "
+                    "level then all of the other (regime drift between "
+                    "the two blocks lands directly in the efficiency "
+                    "ratio). File-based because spark-submit does NOT "
+                    "wire the parent's stdin through to the Python "
+                    "driver (verified: a piped line never reaches "
+                    "sys.stdin).")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -121,15 +126,21 @@ def main():
     one_pass()  # warm-up: python workers, JIT, page cache — untimed
 
     if args.serve:
-        # Interleaved-pair mode: one timed pass per 'PASS' command. The
+        # Interleaved-pair mode: one timed pass per command file. The
         # JVM stays warm between passes (a real cluster's long-running
         # executors are warm too); an idle Spark JVM burns ~0 cpu, so
         # the OTHER level's pass runs uncontended on the shared cores.
         print(json.dumps({"ready": True, "cores": args.cores,
                           "rows": n_rows, "plan_sec": plan_sec}),
               flush=True)
-        for line in sys.stdin:
-            if line.strip() != "PASS":
+        k = 0
+        while True:
+            cmd = os.path.join(args.serve, "cmd-%04d" % k)
+            while not os.path.exists(cmd):
+                time.sleep(0.2)
+            with open(cmd) as f:
+                c = f.read().strip()
+            if c != "PASS":
                 break
             la = load1()
             s0 = steal_ticks()
@@ -140,6 +151,7 @@ def main():
                 "steal_cpu_sec": (round((s1 - s0) / 100.0, 2)
                                   if s0 >= 0 and s1 >= 0 else None),
             }), flush=True)
+            k += 1
         spark.stop()
         return 0
 

@@ -51,7 +51,8 @@ class Level:
     the Python driver — stdout does pass through, so results ride
     stdout and commands ride numbered files in a control dir)."""
 
-    def __init__(self, cores: int, cpu_list: str, table: str, zpath: str):
+    def __init__(self, cores: int, cpu_list: str, table: str, zpath: str,
+                 warmup: int = 1):
         self.cores = cores
         self.ctl = tempfile.mkdtemp(prefix=f"pv_paired_{cores}_")
         self.n_sent = 0
@@ -63,6 +64,7 @@ class Level:
             "--py-files", zpath,
             os.path.join(REPO, "bench", "scaling_worker.py"),
             "--table", table, "--cores", str(cores),
+            "--warmup", str(warmup),
             "--serve", self.ctl,
         ]
         self.proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
@@ -102,6 +104,11 @@ def main():
     ap.add_argument("--rows", type=int, default=400000)
     ap.add_argument("--pairs", type=int, default=5)
     ap.add_argument("--n", type=int, default=2, help="small level (N cores)")
+    ap.add_argument("--warmup", type=int, default=1,
+                    help="untimed warm-up passes per level (use 2 for "
+                         "tables past ~2 GiB: the first timed 4N pass "
+                         "otherwise still pays GC heap growth + "
+                         "page-cache fill)")
     args = ap.parse_args()
     n, n4 = args.n, args.n * 4
 
@@ -120,8 +127,8 @@ def main():
     # Disjoint core sets: hi on 0..4N-1, lo on 4N..5N-1 — the idle
     # level's JVM housekeeping threads never share a cpu with the
     # active level's timed pass.
-    hi = Level(n4, f"0-{n4 - 1}", table, zpath)
-    lo = Level(n, f"{n4}-{n4 + n - 1}", table, zpath)
+    hi = Level(n4, f"0-{n4 - 1}", table, zpath, warmup=args.warmup)
+    lo = Level(n, f"{n4}-{n4 + n - 1}", table, zpath, warmup=args.warmup)
     try:
         hi_ready = hi.read_json_line()
         lo_ready = lo.read_json_line()

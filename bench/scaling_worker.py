@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--table", required=True)
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--warmup", type=int, default=1)
     ap.add_argument("--serve", default="",
                     help="interleaved-pair protocol (bench/scaling_paired"
                     ".py): path to a control DIRECTORY. After the "
@@ -123,7 +124,12 @@ def main():
         except (OSError, IndexError, ValueError):
             return -1
 
-    one_pass()  # warm-up: python workers, JIT, page cache — untimed
+    # warm-up: python workers, JIT, page cache — untimed. Larger tables
+    # need more than one (the 800k paired window's first two timed
+    # 8-core passes ran 2× steady-state: GC heap growth + page-cache
+    # population under the other level's concurrent warm-up).
+    for _ in range(args.warmup):
+        one_pass()
 
     if args.serve:
         # Interleaved-pair mode: one timed pass per command file. The

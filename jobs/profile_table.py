@@ -72,6 +72,12 @@ def main():
                     help="additionally print per-group stats for the "
                          "profiled columns grouped by this column "
                          "(one extra groupBy agg scan)")
+    ap.add_argument("--suggest", action="store_true",
+                    help="run constraint suggestion over the profiled "
+                         "columns (dataset/suggest.py): prints the "
+                         "suggested (column, rule, param) rows and "
+                         "reports the count; the rows compile back "
+                         "into the fluent DSL via build_ruleset")
     args = ap.parse_args()
 
     from protovalidate_spark.conf import apply_recommended
@@ -168,6 +174,12 @@ def main():
         r = mutual_information(df, mx, my_).collect()[0]
         summary["mi"] = {"cols": [mx, my_], "n": r["n"], "mi": r["mi"]}
 
+    suggestions = []
+    if args.suggest:
+        from protovalidate_spark.dataset import suggest_rules
+        suggestions = suggest_rules(df, cols).collect()
+        summary["suggested_rules"] = len(suggestions)
+
     grouped = []
     if args.group_col:
         from protovalidate_spark.dataset import grouped_column_stats
@@ -188,6 +200,11 @@ def main():
     for r in hh:
         print(f"  {r['column']:>12s} #{r['rank']}: {r['value']} "
               f"(n={r['n']})", file=sys.stderr)
+    if suggestions:
+        print("\n== suggested rules ==", file=sys.stderr)
+        for r in suggestions:
+            print(f"  {r['column']:>12s}.{r['rule']}"
+                  f"({r['param']})  # {r['reason']}", file=sys.stderr)
     if grouped:
         print(f"\n== per-group stats ({args.group_col}) ==",
               file=sys.stderr)

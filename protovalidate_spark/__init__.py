@@ -17,5 +17,9 @@ from .rules import (  # noqa: F401
     MapOfStrings, Object, ObjectRule, Query, Slice, String, Time, Uint8,
     Uint16, Uint32, Uint64, Vector,
 )
+from .rules import (  # noqa: F401
+    SerdeError, load_ruleset, ruleset_from_dict, ruleset_to_dict,
+    save_ruleset,
+)
 
 __version__ = "0.1.0"

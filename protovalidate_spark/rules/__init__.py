@@ -1,6 +1,10 @@
 """Fluent rule-builder DSL (reference /root/reference/pkg/rules)."""
 
 from .base import Rule, RuleSet, violation_struct, typed_empty_array  # noqa: F401
+from .serde import (  # noqa: F401
+    SerdeError, load_ruleset, ruleset_from_dict, ruleset_to_dict,
+    save_ruleset,
+)
 from .string import String, StringRuleSet  # noqa: F401
 from .numeric import (  # noqa: F401
     Float32, Float64, FloatRuleSet, Int, Int8, Int16, Int32, Int64,

@@ -37,11 +37,13 @@ class StringRuleSet(RuleSet, ComparableMixin, MembershipMixin):
             params={"n": n}))
 
     def min_len_chars(self, n: int) -> "StringRuleSet":
-        """Character-length variant (Spark ``length``)."""
+        """Character-length variant (Spark ``length``). The ``chars``
+        param disambiguates it from the octet form for serde round-trips
+        (rules/serde.py) — same rule_id and conflict key otherwise."""
         return self._with_rule(Rule(
             Code.MIN_LEN, lambda c: F.length(c) >= n,
             f"length must be at least {n} chars", conflict_key="min_len",
-            params={"n": n}))
+            params={"n": n, "chars": True}))
 
     def regex(self, pattern: str, message: str = "") -> "StringRuleSet":
         """Full-match semantics like Go ``regexp.MatchString`` is *search*;

@@ -424,14 +424,16 @@ class IPRuleSet(StringRuleSet):
             Code.DENIED,
             lambda c: (_is_v4(c) & _in_cidrs(c, _PRIVATE_V4_CIDRS))
             | (_is_v6(c) & _private_v6(c)),
-            "IP must be private", conflict_key="ip_pub_priv"))
+            "IP must be private", conflict_key="ip_pub_priv",
+            params={"mode": "private"}))
 
     def with_public_only(self) -> "IPRuleSet":
         return self._with_rule(Rule(
             Code.DENIED,
             lambda c: (_is_v4(c) & ~_in_cidrs(c, _PRIVATE_V4_CIDRS))
             | (_is_v6(c) & ~_private_v6(c)),
-            "IP must be public", conflict_key="ip_pub_priv"))
+            "IP must be public", conflict_key="ip_pub_priv",
+            params={"mode": "public"}))
 
     def with_range(self, start: str, end: str) -> "IPRuleSet":
         """Numeric range membership, v4 AND v6 (reference
@@ -591,7 +593,7 @@ class URIRuleSet(StringRuleSet):
             lambda c: (uri_part(c, "scheme") == "")
             | uri_part(c, "scheme").rlike(r"^[A-Za-z][A-Za-z0-9+.-]*$"),
             "invalid scheme", conflict_key="uri_scheme_req",
-            params={"uri_part": "scheme"}))
+            params={"uri_part": "scheme", "relative": True}))
 
     def with_allowed_schemes(self, *schemes: str) -> "URIRuleSet":
         allowed = tuple(sorted({s.lower() for s in schemes}))
@@ -639,14 +641,14 @@ class URIRuleSet(StringRuleSet):
             Code.MIN,
             lambda c: self._port_num(c).isNull() | (self._port_num(c) >= n),
             f"port must be at least {n}", conflict_key="uri_min_port",
-            params={"uri_part": "port"}))
+            params={"uri_part": "port", "n": n}))
 
     def with_max_port(self, n: int) -> "URIRuleSet":
         return self._with_rule(Rule(
             Code.MAX,
             lambda c: self._port_num(c).isNull() | (self._port_num(c) <= n),
             f"port must be at most {n}", conflict_key="uri_max_port",
-            params={"uri_part": "port"}))
+            params={"uri_part": "port", "n": n}))
 
     def with_allowed_ports(self, *ports: int) -> "URIRuleSet":
         allowed = tuple(sorted(set(ports)))

@@ -144,7 +144,121 @@ def test_conditional_key_refuses():
         ruleset_to_dict(rs)
 
 
-def test_net_family_refuses():
+def test_email_roundtrip(spark):
+    """Default Email() = structural + with_domain(Domain().with_tld());
+    the lifted domain rules regroup into one with_domain call."""
     from protovalidate_spark import Email
+    rs = Object().with_key("e", Email())
+    rs2 = roundtrip(rs)
+    df = spark.createDataFrame(
+        [(1, "a@b.com"), (2, "no-at"), (3, "two@@x.com"),
+         (4, "ok@sub.example.org"), (5, "x@bad_tld.zzzznotatld"),
+         (6, ".dot@x.com")],
+        "id int, e string")
+    assert_same_violations(spark, rs, rs2, df)
+
+
+def test_email_custom_domain_roundtrip(spark):
+    from protovalidate_spark import Domain, Email
+    rs = Object().with_key(
+        "e", Email().with_domain(Domain().with_suffix("example.com")))
+    rs2 = roundtrip(rs)
+    df = spark.createDataFrame(
+        [(1, "a@mail.example.com"), (2, "a@other.org"), (3, "bad")],
+        "id int, e string")
+    assert_same_violations(spark, rs, rs2, df)
+
+
+def test_ip_roundtrip(spark):
+    from protovalidate_spark import IP
+    rs = Object().with_key(
+        "ip", IP().with_ipv4_only().with_private_only()
+                  .with_cidr("10.0.0.0/8", "192.168.0.0/16"))
+    rs2 = roundtrip(rs)
+    df = spark.createDataFrame(
+        [(1, "10.1.2.3"), (2, "8.8.8.8"), (3, "192.168.1.1"),
+         (4, "172.16.0.1"), (5, "fe80::1"), (6, "not-an-ip")],
+        "id int, ip string")
+    assert_same_violations(spark, rs, rs2, df)
+
+
+def test_ip_range_mask_roundtrip(spark):
+    from protovalidate_spark import IP
+    rs = Object().with_key(
+        "ip", IP().with_range("10.0.0.1", "10.0.0.100")
+                  .with_subnet_mask("10.0.0.0", "255.0.0.0"))
+    rs2 = roundtrip(rs)
+    df = spark.createDataFrame(
+        [(1, "10.0.0.50"), (2, "10.9.9.9"), (3, "11.0.0.1")],
+        "id int, ip string")
+    assert_same_violations(spark, rs, rs2, df)
+
+
+def test_uri_roundtrip(spark):
+    from protovalidate_spark import URI
+    rs = Object().with_key(
+        "u", URI().with_allowed_schemes("https", "ftp")
+                  .with_host_required().with_min_port(1000)
+                  .with_allowed_ports(8443, 9000).with_deep_errors())
+    rs2 = roundtrip(rs)
+    df = spark.createDataFrame(
+        [(1, "https://x.com:8443/a"), (2, "http://y.com"),
+         (3, "https://z.com:80/b"), (4, "https:///nohost"),
+         (5, "bad uri %zz")],
+        "id int, u string")
+    assert_same_violations(spark, rs, rs2, df)
+
+
+def test_uri_relative_roundtrip(spark):
+    from protovalidate_spark import URI
+    rs = Object().with_key("u", URI().with_relative())
+    rs2 = roundtrip(rs)
+    df = spark.createDataFrame(
+        [(1, "//x.com/a"), (2, "https://y.com"), (3, "1nvalid://z")],
+        "id int, u string")
+    assert_same_violations(spark, rs, rs2, df)
+
+
+def test_domain_standalone_roundtrip(spark):
+    from protovalidate_spark import Domain
+    rs = Object().with_key("d", Domain().with_tld("com", "org"))
+    rs2 = roundtrip(rs)
+    df = spark.createDataFrame(
+        [(1, "a.com"), (2, "b.net"), (3, "-bad-.com")],
+        "id int, d string")
+    assert_same_violations(spark, rs, rs2, df)
+
+
+def test_vector_roundtrip(spark):
+    from protovalidate_spark import Vector
+    rs = Object().with_key(
+        "v", Vector().dim(3).finite().norm_min(0.5).norm_max(2.0))
+    rs2 = roundtrip(rs)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 1.0]),
+         (3, [float("nan"), 0.0, 0.0]), (4, [9.0, 9.0, 9.0])],
+        "id int, v array<double>")
+    assert_same_violations(spark, rs, rs2, df)
+
+
+def test_map_roundtrip(spark):
+    from protovalidate_spark import Int32, Map, String
+    rs = (Map().with_key("name", String().min_len(2))
+          .with_dynamic_key(r"score_.*", Int32().min(0).max(100))
+          .with_dynamic_bucket(r"x_.*", "extras"))
+    rs2 = roundtrip(rs)
+    from protovalidate_spark.rules.map_ import MapRuleSet
+    assert isinstance(rs2, MapRuleSet)
+    df = spark.createDataFrame(
+        [(1, {"name": "a", "score_math": "150", "x_extra": "1"}),
+         (2, {"name": "ok", "score_sci": "50", "stray": "v"})],
+        "id int, m map<string,string>")
+    obj = Object().with_unknown().with_key("m", rs)
+    obj2 = Object().with_unknown().with_key("m", rs2)
+    assert_same_violations(spark, obj, obj2, df)
+
+
+def test_query_param_lift_refuses():
+    from protovalidate_spark import Int32, Query
     with pytest.raises(SerdeError):
-        ruleset_to_dict(Email())
+        ruleset_to_dict(Query().with_param("page", Int32().min(1)))

@@ -126,8 +126,8 @@ def ruleset_to_dict(rs: RuleSet) -> dict:
     kind = next((k for k, cls in kinds.items() if type(rs) is cls), None)
     if kind is None:
         raise SerdeError(
-            f"{type(rs).__name__} has no serde kind (the net family and "
-            f"map/vector rule sets are not serializable yet)")
+            f"{type(rs).__name__} has no registered serde kind "
+            f"(subclassed rule sets must be registered in _kinds)")
 
     out: dict = {"kind": kind}
     for f in _dc_fields(rs):
@@ -146,7 +146,7 @@ def ruleset_to_dict(rs: RuleSet) -> dict:
         out.pop("rules", None)
         return out
 
-    if kind == "array" and rs.item_rule_set is not None:
+    if kind in ("array", "vector") and rs.item_rule_set is not None:
         out["item_rule_set"] = ruleset_to_dict(rs.item_rule_set)
         out.pop("item_type", None)  # derived by with_item_rule_set
 

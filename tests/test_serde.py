@@ -230,13 +230,15 @@ def test_domain_standalone_roundtrip(spark):
 
 
 def test_vector_roundtrip(spark):
-    from protovalidate_spark import Vector
+    from protovalidate_spark import Float64, Vector
     rs = Object().with_key(
-        "v", Vector().dim(3).finite().norm_min(0.5).norm_max(2.0))
+        "v", Vector().dim(3).finite().norm_min(0.5).norm_max(2.0)
+                     .with_item_rule_set(Float64().min(-1.0)))
     rs2 = roundtrip(rs)
     df = spark.createDataFrame(
         [(1, [1.0, 0.0, 0.0]), (2, [1.0, 1.0]),
-         (3, [float("nan"), 0.0, 0.0]), (4, [9.0, 9.0, 9.0])],
+         (3, [float("nan"), 0.0, 0.0]), (4, [9.0, 9.0, 9.0]),
+         (5, [-2.0, 0.5, 0.5])],
         "id int, v array<double>")
     assert_same_violations(spark, rs, rs2, df)
 

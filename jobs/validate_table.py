@@ -26,10 +26,17 @@ from pyspark.sql import functions as F
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--table", required=True)
-    ap.add_argument("--rules", required=True,
+    ap.add_argument("--rules", default="",
                     help="JSON rule-set artifact (rules/serde.py "
                          "save_ruleset / profile_table --suggest + "
                          "build_ruleset)")
+    ap.add_argument("--suite", default="",
+                    help="JSON ValidationSuite artifact "
+                         "(suite_serde.py save_suite): the WHOLE table "
+                         "contract — rules + uniqueness + refs + drift "
+                         "baseline + bounds/metric/integrity specs — "
+                         "run end-to-end; mutually exclusive with "
+                         "--rules/--unique")
     ap.add_argument("--row-keys", default="",
                     help="comma-separated row-identity columns carried "
                          "on each violation row")
@@ -49,6 +56,33 @@ def main():
     from protovalidate_spark import load_ruleset
     from protovalidate_spark.errors import cap_exemplars, violation_summary
     from protovalidate_spark.rules.object import ObjectRuleSet
+
+    if bool(args.rules) == bool(args.suite):
+        raise SystemExit("exactly one of --rules / --suite is required")
+
+    if args.suite:
+        from protovalidate_spark import load_suite
+        suite = load_suite(args.suite, spark)
+        df = spark.read.parquet(args.table)
+        t0 = time.time()
+        res = suite.run(df, persist=True)
+        summary_rows = violation_summary(res.violations_full).collect()
+        if args.out:
+            res.violations.write.mode("overwrite").parquet(args.out)
+        by_rule = {f"{r['field_path']}:{r['rule_id']}": r["violations"]
+                   for r in sorted(summary_rows, key=lambda r: (
+                       r["field_path"], r["rule_id"]))}
+        print(json.dumps({
+            "table": args.table, "suite": args.suite,
+            "rows": df.count(),
+            "violations": sum(by_rule.values()),
+            "by_rule": by_rule,
+            "wall_s": round(time.time() - t0, 2),
+        }))
+        for k, v in by_rule.items():
+            print(f"  {k}: {v}", file=sys.stderr)
+        spark.stop()
+        return
 
     rules = load_ruleset(args.rules)
     if not isinstance(rules, ObjectRuleSet):

@@ -21,5 +21,8 @@ from .rules import (  # noqa: F401
     SerdeError, load_ruleset, ruleset_from_dict, ruleset_to_dict,
     save_ruleset,
 )
+from .suite_serde import (  # noqa: F401
+    load_suite, save_suite, suite_from_dict, suite_to_dict,
+)
 
 __version__ = "0.1.0"
